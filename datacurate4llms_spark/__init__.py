@@ -1,0 +1,27 @@
+"""datacurate4llms_spark — a PySpark-native data-curation analytics engine.
+
+A from-scratch reimplementation of the query/data-processing capabilities of
+krishnatejakk/DataCurate4LLMs (reference at /root/reference, snapshot
+2025-06-29) as one idiomatic Spark DataFrame engine:
+
+- keyed rows (``doc_id`` / ``(repo, path, commit)``), never positional identity
+  (reference keys everything by list position, e.g.
+  ``data_subset_selection.py:303-326``);
+- declarative DataFrame/SQL plans so Catalyst does pruning/pushdown/broadcast;
+- vectorized pandas/Arrow UDFs for model-shaped work (encoders, compression),
+  ``applyInPandas`` for the per-fold submodular greedy kernel;
+- explicit partitioning (seeded-hash folds, salt-keyed repartition) for the
+  100 TB target.
+
+Subpackages
+-----------
+sources     multi-format scan, union, checkpoint/resume, format-preserving sinks
+functions   scalar/column functions: text, vectors, hashing, quality, compression
+operators   similarity, selection, clustering, dedup, ANN, metrics, text stats
+pipelines   end-to-end flows: quality filter (north rule), subset selection,
+            clustering; synthetic source_files derivation shared with the oracle
+streaming   Structured Streaming variants of the batch operators
+oracle      numpy/pure-python reference implementations used as test oracles
+"""
+
+__version__ = "0.1.0"

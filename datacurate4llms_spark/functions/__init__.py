@@ -1,0 +1,1 @@
+"""Column-level functions (pure Spark SQL expressions + pandas UDFs)."""

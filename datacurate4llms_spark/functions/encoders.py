@@ -1,0 +1,94 @@
+"""Embedding encoders as Arrow-batched pandas UDFs (SURVEY §2.3 E1-E9).
+
+Architecture mirrors every reference encoder's contract
+(src/encoders/bge_unified_encoder.py:140-209 etc.): text in → float32 unit
+vector out, batched, model loaded **once per executor process** — never per
+row, never per batch. In Spark terms that is an iterator-form
+``pandas_udf`` whose model lives in a module-level singleton:
+
+    executor process start → first Arrow batch triggers lazy model load →
+    all subsequent batches reuse it (the north rule's "model broadcast once
+    per executor, batched inference, no per-row Python").
+
+The container has no torch/transformers and no network, so the real model
+families are registered as clearly-marked stubs behind the same seam; the
+deterministic hash encoder is the hermetic stand-in used by tests and by the
+flagship pipeline (FIXTURES.md determinism rules).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# Executor-process singleton cache: model_key -> loaded model. One entry per
+# executor python worker, shared across Arrow batches and tasks (reference
+# loads once per process: bge_unified_encoder.py:56-106 __init__).
+_MODEL_CACHE: dict[str, object] = {}
+
+
+def _hash_vector(text: str, dim: int) -> np.ndarray:
+    """text → deterministic unit vector. sha256 seeds a PCG64 stream so the
+    vector is stable across processes, platforms, and engines."""
+    seed = int.from_bytes(hashlib.sha256(text.encode("utf-8")).digest()[:8], "big")
+    rng = np.random.Generator(np.random.PCG64(seed))
+    v = rng.standard_normal(dim).astype(np.float32)
+    n = float(np.linalg.norm(v))
+    return v / n if n > 0 else v
+
+
+def hash_encoder_udf(dim: int = 16, instruction: str = ""):
+    """Deterministic fake encoder (E1 shape, hermetic). ``instruction``
+    replicates the reference's prompt-decoration path
+    (bge_unified_encoder.py:124-138) — it changes the hash, as a real
+    instruction changes a real embedding."""
+
+    @pandas_udf("array<float>")
+    def _encode(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        prefix = f"{instruction} " if instruction else ""
+        for texts in batches:
+            yield texts.map(lambda t: _hash_vector(prefix + (t or ""), dim).tolist())
+
+    return _encode
+
+
+def real_encoder_udf(model_name: str, dim: int, batch_size: int = 64):
+    """Registered seam for the reference's real encoder families (BGE, NVEmbed,
+    GTE-Qwen2, SFR-Mistral, Arctic, SentenceTransformer, OpenAI —
+    src/encoders/*). torch/transformers are not installed in this container,
+    so loading raises; the UDF shape (iterator pandas_udf, executor-cached
+    model, micro-batched forward) is the production contract.
+    """
+
+    @pandas_udf("array<float>")
+    def _encode(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        key = f"real::{model_name}"
+        if key not in _MODEL_CACHE:
+            try:
+                import torch  # noqa: F401
+                import transformers  # noqa: F401
+            except ImportError as exc:  # pragma: no cover - container has no torch
+                raise NotImplementedError(
+                    f"real encoder '{model_name}' requires torch/transformers; "
+                    "install them on the cluster and ship via --py-files/--archives"
+                ) from exc
+            raise NotImplementedError(
+                f"model load for '{model_name}' not wired in this sandbox"
+            )
+        raise NotImplementedError  # pragma: no cover
+
+    return _encode
+
+
+def embed_dataframe(df, text_col: str = "text", out_col: str = "embedding",
+                    dim: int = 16, instruction: str = ""):
+    """``embed_dataset`` equivalent (bge_unified_encoder.py:219-234): attach an
+    embedding column. Keyed, so order survives any downstream shuffle —
+    unlike the reference's positional h5 rows (§1.3)."""
+    return df.withColumn(out_col, hash_encoder_udf(dim, instruction)(F.col(text_col)))

@@ -1,0 +1,65 @@
+"""Deterministic cross-engine hashing.
+
+The reference seeds numpy RNG state for fold shuffles
+(``data_subset_selection.py:105-109, 337-350``). Exact numpy-RNG parity is
+impossible across engines, so the engine replaces RNG with a seeded hash both
+Spark and the DuckDB oracle can compute identically (SURVEY §2.7 D1):
+
+    hash32(x) = int(md5(x)[:8 hex], 16)   -- uniform in [0, 2^32)
+
+Spark:  ``cast(conv(substr(md5(x), 1, 8), 16, 10) as bigint)``
+DuckDB: ``('0x' || substr(md5(x), 1, 8))::bigint``
+
+md5 is identical everywhere, so fold membership / salts / minhash values are
+bit-identical between the engine and the oracle. At 100 TB this is also the
+skew weapon: salting keys by ``hash32(repo, path, salt)`` spreads giant repos
+across partitions deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HASH32_MOD = 1 << 32
+
+
+def hash32(*cols: Column | str, seed: str = "") -> Column:
+    """Uniform deterministic 32-bit hash of the concatenated columns.
+
+    Columns are joined with a non-colliding separator; ``seed`` prefixes the
+    payload so independent hash families (minhash permutations, fold seeds,
+    salts) come from the same primitive.
+    """
+    parts = [F.lit(seed)] + [F.col(c).cast("string") if isinstance(c, str) else c.cast("string") for c in cols]
+    payload = F.concat_ws("\x01", *parts)
+    return F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("bigint")
+
+
+def hash32_sql(*exprs: str, seed: str = "") -> str:
+    """DuckDB SQL text computing the identical hash32 over SQL expressions."""
+    parts = [f"'{seed}'"] + [f"cast(({e}) as varchar)" for e in exprs]
+    payload = "concat_ws(chr(1), " + ", ".join(parts) + ")"
+    return f"(('0x' || substr(md5({payload}), 1, 8))::bigint)"
+
+
+def fold_assign(id_col: Column | str, num_folds: int, seed: int = 42) -> Column:
+    """Deterministic fold id in [0, num_folds) — replaces the reference's
+    ``np.random.shuffle`` + contiguous-slice folds (data_subset_selection.py:337-350).
+
+    Uniform hash mod k gives folds of equal expected size; decision-level
+    parity (not fold-membership parity) is the cross-engine contract
+    (SURVEY §7.4.3).
+    """
+    return (hash32(id_col, seed=f"fold{seed}") % F.lit(num_folds)).cast("int")
+
+
+def fold_assign_sql(id_expr: str, num_folds: int, seed: int = 42) -> str:
+    """DuckDB equivalent of :func:`fold_assign`."""
+    return f"cast({hash32_sql(id_expr, seed=f'fold{seed}')} % {num_folds} as int)"
+
+
+def salt(id_cols: list[str], buckets: int, seed: int = 0) -> Column:
+    """Salt key for skew-breaking repartition (north rule: salt-keyed
+    repartition on (repo, path)); deterministic so resume/lineage are stable."""
+    return (hash32(*id_cols, seed=f"salt{seed}") % F.lit(buckets)).cast("int")

@@ -1,0 +1,170 @@
+"""Text projections and string utilities (SURVEY §2.2 P1-P7, P10).
+
+Everything here is a pure Catalyst column expression — the reference renders
+row-at-a-time through Jinja2 (`data_subset_selection.py:111-118`) or python
+f-strings; we keep the hot path JVM-side and fall back to one pandas UDF only
+for fully general Jinja2 templates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Python's string.punctuation — reference strips exactly this set
+# (src/utils/format_utils/aggregations.py:12 `str.maketrans('', '', string.punctuation)`).
+PUNCTUATION = r"""!"#$%&'()*+,-./:;<=>?@[\]^_`{|}~"""
+
+
+def normalize_document(col: Column | str) -> Column:
+    """lowercase → strip punctuation → strip digits → collapse whitespace → trim.
+
+    Reference: ``normalize_document`` (src/utils/format_utils/aggregations.py:5-21).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    c = F.translate(c, PUNCTUATION, "")
+    c = F.regexp_replace(c, r"\d", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def normalize_document_sql(expr: str) -> str:
+    """DuckDB oracle text for :func:`normalize_document`."""
+    # translate() exists in duckdb with identical semantics; escape ' and \.
+    punct_sql = PUNCTUATION.replace("\\", "\\\\").replace("'", "''")
+    return (
+        "trim(regexp_replace(regexp_replace("
+        f"translate(lower({expr}), e'{punct_sql}', ''), "
+        "'\\d', '', 'g'), '\\s+', ' ', 'g'))"
+    )
+
+
+def concatenate_with_space(a: Column | str, b: Column | str) -> Column:
+    """Reference ``concatenate_with_space`` (aggregations.py:23-34)."""
+    return F.concat_ws(" ", a, b)
+
+
+def interleave_words(a: Column | str, b: Column | str, by_character: bool = False) -> Column:
+    """Zip the word lists of two strings and flatten (reference
+    ``aggregate_strings``, aggregations.py:37-60). Python ``zip`` truncates to
+    the shorter list — replicated here via an explicit slice.
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    wa, wb = F.split(a, " "), F.split(b, " ")
+    n = F.least(F.size(wa), F.size(wb))
+    wa, wb = F.slice(wa, 1, n), F.slice(wb, 1, n)
+    pairs = F.zip_with(wa, wb, lambda x, y: F.array(x, y))
+    sep = "" if by_character else " "
+    return F.array_join(F.flatten(pairs), sep)
+
+
+def interleave_words_sql(a: str, b: str, by_character: bool = False) -> str:
+    sep = "''" if by_character else "' '"
+    return (
+        f"array_to_string(flatten(list_transform(range(1, "
+        f"least(len(string_split({a}, ' ')), len(string_split({b}, ' ')))+1), "
+        f"i -> [string_split({a}, ' ')[i], string_split({b}, ' ')[i]])), {sep})"
+    )
+
+
+def render_conversation(conv_col: Column | str, from_field: str = "from", value_field: str = "value") -> Column:
+    """The reference's flagship Jinja2 template
+    ``{% for conv in conversations %}{{ conv.from }}: {{ conv.value }}\\n{% endfor %}``
+    (configs/replay_buffer_selection/example_config.json) as a higher-order fn.
+    Produces the identical string including the trailing newline.
+    """
+    c = F.col(conv_col) if isinstance(conv_col, str) else conv_col
+    rendered = F.transform(c, lambda t: F.concat(t[from_field], F.lit(": "), t[value_field], F.lit("\n")))
+    return F.array_join(rendered, "")
+
+
+def render_chatml(messages: Column | str, role_field: str = "role", content_field: str = "content") -> Column:
+    """ChatML fallback template the reference applies when a tokenizer has no
+    chat template (get_model_independent_kernel.py:78-84):
+    ``<|im_start|>{role}\\n{content}<|im_end|>\\n`` per message.
+    """
+    c = F.col(messages) if isinstance(messages, str) else messages
+    rendered = F.transform(
+        c,
+        lambda m: F.concat(
+            F.lit("<|im_start|>"), m[role_field], F.lit("\n"), m[content_field], F.lit("<|im_end|>\n")
+        ),
+    )
+    return F.array_join(rendered, "")
+
+
+def qa_template(question: Column | str, answer: Column | str) -> Column:
+    """Reference 'qa' template: ``Question: {q}\\nAnswer: {a}`` (README.md:133-134)."""
+    return F.format_string(
+        "Question: %s\nAnswer: %s",
+        F.col(question) if isinstance(question, str) else question,
+        F.col(answer) if isinstance(answer, str) else answer,
+    )
+
+
+def instruction_prefix(text: Column | str, instruction: str) -> Column:
+    """Reference `_prepare_inputs` BGE family: ``f'{instruction} {text}'``
+    (src/encoders/bge_unified_encoder.py:124-138)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.concat(F.lit(instruction), F.lit(" "), t)
+
+
+def jinja2_template_udf(template: str, columns: list[str]):
+    """Fully general Jinja2 fallback (reference format_text,
+    data_subset_selection.py:111-118) as an Arrow-batched pandas UDF.
+
+    Only needed when a template can't be expressed with higher-order
+    functions; the compiled template is process-cached per executor.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _render(*cols: pd.Series) -> pd.Series:
+        import jinja2
+
+        env = jinja2.Environment()
+        tmpl = env.from_string(template)
+        frame = pd.concat(cols, axis=1)
+        frame.columns = columns
+        return frame.apply(lambda row: tmpl.render(**row.to_dict()), axis=1)
+
+    return _render
+
+
+# --- P6 filename/regex utilities (data_subset_selection.py:154-160, 261-270, 416-422)
+
+
+def extract_batch_number(path: Column | str) -> Column:
+    """``r'batch_(\\d+)\\.h5$'`` → int (data_subset_selection.py:261-270)."""
+    c = F.col(path) if isinstance(path, str) else path
+    return F.regexp_extract(c, r"batch_(\d+)\.h5$", 1).cast("int")
+
+
+def dataset_name(path: Column | str) -> Column:
+    """Sanitize a file stem: non-word chars → '_' (data_subset_selection.py:416-422)."""
+    c = F.col(path) if isinstance(path, str) else path
+    stem = F.regexp_extract(c, r"([^/]+?)(\.[^./]*)?$", 1)
+    return F.regexp_replace(stem, r"[^\w\-]", "_")
+
+
+def subset_name(size_spec: Column | str, is_percent: Column | str) -> Column:
+    """``percent_{x:.1f}`` / ``samples_{n}`` (data_subset_selection.py:154-160)."""
+    s = F.col(size_spec) if isinstance(size_spec, str) else size_spec
+    p = F.col(is_percent) if isinstance(is_percent, str) else is_percent
+    return F.when(p, F.format_string("percent_%.1f", s.cast("double"))).otherwise(
+        F.format_string("samples_%d", s.cast("bigint"))
+    )
+
+
+def calculate_subset_size(total: Column | str, spec: Column | str, is_percent: Column | str) -> Column:
+    """Budget arithmetic (data_subset_selection.py:146-152):
+    percent → ``max(1, int(spec/100 * total))``; absolute → ``min(spec, total)``.
+    """
+    t = (F.col(total) if isinstance(total, str) else total).cast("bigint")
+    s = F.col(spec) if isinstance(spec, str) else spec
+    p = F.col(is_percent) if isinstance(is_percent, str) else is_percent
+    pct = F.greatest(F.lit(1).cast("bigint"), F.floor(s.cast("double") / 100.0 * t))
+    return F.when(p, pct).otherwise(F.least(s.cast("bigint"), t))

@@ -1,0 +1,104 @@
+"""Vector algebra over ``array<float>`` columns as pure SQL expressions.
+
+The reference does this math in torch (`src/utils/compute_pairwise_similarity.py:43-62`:
+normalize → mm for cosine; euclidean → 1/(1+d²); rbf → exp(−d²/(kw·mean d²))).
+Here the same kernels are Catalyst higher-order functions so they run JVM-side
+inside whole-stage codegen — no Python in the hot path. All accumulate in
+DOUBLE regardless of the stored float32 so results are order-stable and match
+the DuckDB oracle.
+
+For the block-matmul fast path (numpy inside ``applyInPandas``) see
+``operators/similarity.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Σ aᵢ·bᵢ in double precision."""
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm2(a: Column | str) -> Column:
+    """‖a‖₂ in double precision."""
+    return F.sqrt(
+        F.aggregate(_c(a), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def l2_normalize(a: Column | str) -> Column:
+    """Unit-normalize (reference: ``F.normalize(emb, p=2, dim=1)``,
+    bge_unified_encoder.py:190). Zero vectors stay zero (no NaN)."""
+    a = _c(a)
+    n = norm2(a)
+    return F.when(n == 0.0, a.cast("array<double>")).otherwise(
+        F.transform(a, lambda x: x.cast("double") / n)
+    )
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """cos(a,b) = a·b / (‖a‖‖b‖); 0 when either norm is 0."""
+    d = dot(a, b)
+    na, nb = norm2(a), norm2(b)
+    return F.when((na == 0.0) | (nb == 0.0), F.lit(0.0)).otherwise(d / (na * nb))
+
+
+def sqdist(a: Column | str, b: Column | str) -> Column:
+    """Σ (aᵢ−bᵢ)² in double precision."""
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def euclidean_sim(a: Column | str, b: Column | str) -> Column:
+    """1 / (1 + d²) — reference metric (compute_pairwise_similarity.py:53-56)."""
+    return F.lit(1.0) / (F.lit(1.0) + sqdist(a, b))
+
+
+def additive_scale(sim: Column | str) -> Column:
+    """(s+1)/2 — reference 'additive' scaling (compute_pairwise_similarity.py:81-82)."""
+    return (_c(sim) + F.lit(1.0)) / F.lit(2.0)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB-oracle SQL text for the same kernels (shared arithmetic, different
+# dialect). Element access is 1-based in both dialects' HOFs.
+# ---------------------------------------------------------------------------
+
+def dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a})+1), "
+        f"i -> cast({a}[i] as double) * cast({b}[i] as double)))"
+    )
+
+
+def norm2_sql(a: str) -> str:
+    return f"sqrt(list_sum(list_transform({a}, x -> cast(x as double) * cast(x as double))))"
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return (
+        f"case when {norm2_sql(a)} = 0 or {norm2_sql(b)} = 0 then 0.0 "
+        f"else {dot_sql(a, b)} / ({norm2_sql(a)} * {norm2_sql(b)}) end"
+    )
+
+
+def sqdist_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a})+1), "
+        f"i -> (cast({a}[i] as double) - cast({b}[i] as double)) "
+        f"* (cast({a}[i] as double) - cast({b}[i] as double))))"
+    )

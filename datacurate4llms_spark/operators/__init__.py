@@ -1,0 +1,1 @@
+"""Distributed operators: similarity, selection, clustering, dedup, ANN."""

@@ -1,0 +1,113 @@
+"""Clustering operators (SURVEY §2.4 J4, §2.5 A4, §2.6 T2, §2.8 O2).
+
+The reference's clustering (data_clustering.py:227-281) is: facility-location
+full greedy curve → knee detection picks k → centers = first k greedy picks →
+argmax-similarity assignment → per-cluster sort. Here:
+
+- the greedy curve comes from ``operators.selection`` (budget = n−1);
+- knee detection is a driver-side scalar step over ≤ n floats (O2);
+- assignment is a **broadcast** join (centers ≪ rows) + deterministic argmax
+  via ``row_number`` over (sim desc, center_id asc) — replicating
+  ``torch.max`` tie semantics (lowest index) from data_clustering.py:163.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import additive_scale, cosine
+
+
+def assign_to_clusters(
+    rows: DataFrame,
+    centers: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    emb_col: str = "embedding",
+    center_id_col: str = "center_id",
+    center_emb_col: str = "cemb",
+) -> DataFrame:
+    """J4: argmax cosine(+additive) assignment of every row to a center.
+
+    Returns (id_col, cluster_id, similarity_to_center). Centers are
+    broadcast — k is small by construction (knee of the gain curve).
+    Reference: assign_to_clusters (data_clustering.py:155-168).
+    """
+    sim = additive_scale(cosine(F.col(emb_col), F.col(center_emb_col)))
+    scored = rows.crossJoin(F.broadcast(centers)).select(
+        F.col(id_col),
+        F.col(center_id_col).alias("cluster_id"),
+        sim.alias("similarity_to_center"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("similarity_to_center"), F.asc("cluster_id")
+    )
+    return (
+        scored.withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") == 1)
+        .drop("_rnk")
+    )
+
+
+def group_clusters(assigned: DataFrame, records: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """A4+T2: flat grouped view — each member ranked inside its cluster by
+    similarity desc (reference sorts each group, data_clustering.py:188-201).
+    Kept flat (window rank) rather than collect_list: at 100 TB a grouped
+    array per cluster is a straggler; the flat table is the same information.
+    """
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("similarity_to_center"), F.asc(id_col)
+    )
+    return (
+        assigned.join(records, id_col)
+        .withColumn("rank_in_cluster", F.row_number().over(w))
+    )
+
+
+def grouped_clusters_nested(assigned: DataFrame, records: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """S9 sink shape: one row per cluster with members sorted by similarity
+    desc — the reference's JSON output (data_clustering.py:203-209). Use only
+    at the sink (bounded cluster sizes); prefer group_clusters at scale."""
+    joined = assigned.join(records, id_col)
+    member_cols = [c for c in joined.columns if c != "cluster_id"]
+    member = F.struct(
+        (F.lit(1.0) - F.col("similarity_to_center")).alias("_inv_sim"),
+        *[F.col(c) for c in member_cols],
+    )
+    return (
+        joined.groupBy("cluster_id")
+        .agg(F.sort_array(F.collect_list(member)).alias("members"))
+        .select(
+            "cluster_id",
+            F.transform(F.col("members"), lambda m: m.dropFields("_inv_sim")).alias("members"),
+        )
+    )
+
+
+def detect_optimal_clusters(gains: list[float], default: int = 50) -> int:
+    """O2: knee of the greedy gain curve (data_clustering.py:171-186).
+
+    Kneedle on the convex-decreasing curve: normalize x and y to [0,1],
+    difference d(x) = y_norm_flipped − x_norm, knee = argmax d. Reference uses
+    ``KneeLocator(curve='convex', direction='decreasing').knee`` then +1;
+    falls back to ``default`` when no knee. Driver-side: the curve has one
+    float per greedy pick — tiny by construction.
+    """
+    import numpy as np
+
+    if len(gains) < 3:
+        return default
+    y = np.asarray(gains[1:], dtype=np.float64)  # reference skips the first gain
+    x = np.arange(2, len(gains) + 1, dtype=np.float64)
+    if y.max() == y.min():
+        return default
+    xn = (x - x.min()) / (x.max() - x.min())
+    yn = (y - y.min()) / (y.max() - y.min())
+    # convex decreasing → flip y so the knee is the max of (1-y) - x
+    diff = (1.0 - yn) - xn
+    knee_idx = int(np.argmax(diff))
+    if diff[knee_idx] <= 0:
+        return default
+    return int(x[knee_idx]) + 1  # reference's "+1 buffer" (data_clustering.py:180)

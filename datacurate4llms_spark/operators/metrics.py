@@ -1,0 +1,44 @@
+"""Embedding diversity metrics (SURVEY §2.5 A1-A2).
+
+Both are aggregations over the pairwise-cosine edge table — never a
+materialized n×n matrix. At scale the edge table is the quadratic object;
+callers bound it (per-fold / per-cluster / sampled) exactly as the reference
+bounds it by batching rows (embedding_max_diversity.py:54-83).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import additive_scale, cosine
+
+
+def _edges(df: DataFrame, id_col: str, emb_col: str, include_diagonal: bool) -> DataFrame:
+    a = df.select(F.col(id_col).alias("_i"), F.col(emb_col).alias("_ea"))
+    b = df.select(F.col(id_col).alias("_j"), F.col(emb_col).alias("_eb"))
+    cond = F.lit(True) if include_diagonal else (F.col("_i") != F.col("_j"))
+    return a.join(b, cond).select(
+        "_i", "_j", cosine(F.col("_ea"), F.col("_eb")).alias("sim")
+    )
+
+
+def max_diversity(df: DataFrame, id_col: str = "doc_id", emb_col: str = "embedding") -> DataFrame:
+    """A1: mean_i(1 − max_{j≠i} s_ij), cosine + additive scaling
+    (embedding_max_diversity.py:31-88, self-sim masked to −inf)."""
+    edges = _edges(df, id_col, emb_col, include_diagonal=False).withColumn(
+        "sim", additive_scale(F.col("sim"))
+    )
+    per_row = edges.groupBy("_i").agg(F.max("sim").alias("max_sim"))
+    return per_row.agg(F.avg(F.lit(1.0) - F.col("max_sim")).alias("diversity"))
+
+
+def average_diversity(df: DataFrame, id_col: str = "doc_id", emb_col: str = "embedding") -> DataFrame:
+    """A2: (1/n²)·Σ_{i,j}(1 − s_ij) **including i=j** and **without** additive
+    scaling — replicating the reference's docstring/code inconsistency
+    (embedding_average_diversity.py:48-52 passes metric='cosine' only;
+    SURVEY §7.4.7 documents this as intentional parity)."""
+    edges = _edges(df, id_col, emb_col, include_diagonal=True)
+    return edges.agg(
+        (F.sum(F.lit(1.0) - F.col("sim")) / F.count("*")).alias("avg_diversity")
+    )

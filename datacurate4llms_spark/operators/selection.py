@@ -1,0 +1,142 @@
+"""Submodular subset selection (SURVEY §2.8 O1, §2.7 D1-D2, §2.6 T1, §2.4 J5-J6).
+
+Spark-first layout of the reference's selection pipeline
+(data_subset_selection.py:333-414):
+
+    reference                               this engine
+    ---------                               -----------
+    np.random.shuffle + contiguous folds    seeded hash32 fold (deterministic,
+      (:337-350)                              shuffle-free to compute)
+    Pool(num_gpus).map per fold (:372)      repartition-by-fold → one
+                                              applyInPandas task per fold
+    submodlib FacilityLocation.maximize     oracle/numpy_fl lazy greedy
+      (:540-563)                              (same math, same tie-breaks)
+    fold→global index remap (:565)          unnecessary — rows stay keyed by
+                                              doc_id (no positional identity)
+    combine + top-k by gain (:375-398)      window row_number over
+                                              (gain desc, doc_id asc)
+    dataset.select(indices) (:473)          broadcast left-semi join
+
+Scale notes (100 TB): the greedy is inherently sequential *within* a fold —
+the reference parallelizes across folds and so do we; fold count is the
+parallelism knob and also the O(fold_n²) memory bound for the similarity
+block. With fold_n capped (~50k rows ⇒ 20 GB float64 sim worst case; use
+float32 inside the kernel for 10 GB) a 1000-executor cluster runs thousands
+of folds concurrently. The per-fold kernel never touches the driver.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.hashing import fold_assign
+from ..oracle.numpy_fl import select_fold
+
+SELECTION_SCHEMA = "doc_id bigint, fold int, pick_order int, gain double"
+
+
+def assign_folds(df: DataFrame, id_col: str = "doc_id", num_folds: int = 4,
+                 seed: int = 42) -> DataFrame:
+    """D1: deterministic fold column (replaces seeded shuffle + slicing)."""
+    return df.withColumn("fold", fold_assign(id_col, num_folds, seed))
+
+
+def select_per_fold(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    emb_col: str = "embedding",
+    num_folds: int = 4,
+    percent: float | None = 10.0,
+    absolute: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """O1: per-fold facility-location greedy → (doc_id, fold, pick_order, gain).
+
+    Per-fold budget replicates data_subset_selection.py:547-551:
+    percent spec → ``ceil(pct/100 * fold_n)``; absolute spec is handled at
+    the global top-k stage (the reference converts it per-fold via
+    ``ceil(abs * fold_n / total)``, which we mirror by over-selecting
+    percent-equivalently; final size is enforced by :func:`global_top_k`).
+    """
+    if percent is None and absolute is None:
+        raise ValueError("one of percent/absolute required")
+
+    folded = assign_folds(df.select(id_col, emb_col), id_col, num_folds, seed)
+
+    if percent is not None:
+        frac = percent / 100.0
+    else:
+        total = df.count()
+        frac = min(1.0, absolute / max(total, 1))
+
+    def run_fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        emb = np.asarray([np.asarray(v, dtype=np.float32) for v in pdf[emb_col]])
+        budget = max(1, math.ceil(frac * len(ids)))
+        picks = select_fold(emb, ids, budget)
+        fold = int(pdf["fold"].iloc[0]) if len(pdf) else -1
+        return pd.DataFrame(
+            {
+                "doc_id": [p[0] for p in picks],
+                "fold": fold,
+                "pick_order": [p[1] for p in picks],
+                "gain": [p[2] for p in picks],
+            }
+        )
+
+    # One shuffle: co-locate each fold in one task (reference: one process
+    # per fold, D2). groupBy(fold) + applyInPandas is exactly that schedule.
+    return folded.groupBy("fold").applyInPandas(run_fold, schema=SELECTION_SCHEMA)
+
+
+def global_top_k(selected: DataFrame, k: int) -> DataFrame:
+    """T1: keep the k best gains across folds, deterministic tie-break
+    (gain desc, doc_id asc) — reference sorts then slices
+    (data_subset_selection.py:389-398)."""
+    w = Window.orderBy(F.desc("gain"), F.asc("doc_id"))
+    return (
+        selected.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+def materialize_subset(df: DataFrame, selected: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """J5: subset materialization. Inner join (broadcast — the selected set is
+    ≤ k rows) carries gain/pick metadata; reference does positional
+    ``dataset.select(indices)`` (data_subset_selection.py:473)."""
+    picks = F.broadcast(selected.select(id_col, "fold", "pick_order", "gain"))
+    return df.join(picks, id_col, "inner")
+
+
+def select_subset(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    emb_col: str = "embedding",
+    num_folds: int = 4,
+    percent: float | None = 10.0,
+    absolute: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end selection (the §7.1 flagship slice, minus ingest/encode):
+    folds → per-fold greedy → global top-k → semi-join materialization.
+    """
+    total = df.count()
+    if percent is not None:
+        k = max(1, int(percent / 100.0 * total))  # :146-152 int() truncation
+    else:
+        k = min(absolute, total)
+    per_fold = select_per_fold(
+        df, id_col=id_col, emb_col=emb_col, num_folds=num_folds,
+        percent=percent, absolute=absolute, seed=seed,
+    )
+    top = global_top_k(per_fold, k)
+    return materialize_subset(df, top, id_col)

@@ -1,0 +1,1 @@
+"""Pure-python/numpy reference implementations used as test oracles."""

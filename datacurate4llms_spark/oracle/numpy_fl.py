@@ -1,0 +1,107 @@
+"""Numpy facility-location greedy — the deterministic oracle kernel.
+
+Reimplements, from the published submodular-optimization literature (lazy
+greedy / CELF; Minoux 1978, Leskovec et al. 2007), the semantics the reference
+gets from submodlib's ``FacilityLocationFunction(...).maximize(...,
+optimizer="LazyGreedy"/"LazierThanLazyGreedy")``
+(/root/reference/data_subset_selection.py:540-563, data_clustering.py:142-153):
+
+    f(S) = Σ_i max_{j∈S} s_ij       (facility location over a similarity matrix)
+
+Greedy adds the element with the largest marginal gain each step; lazy greedy
+keeps a max-heap of stale gains and only re-evaluates the top (valid because
+submodularity makes gains monotonically stale-decreasing). Ties break toward
+the lowest index — numpy argmax semantics, pinned explicitly so the Spark
+``applyInPandas`` kernel (which calls this exact function) and the test oracle
+agree bit-for-bit.
+
+This module is shared by the engine (executed inside executor tasks) and the
+pytest oracle (executed on the driver), which is what makes pick-set parity
+exact rather than statistical.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+
+def facility_location_greedy(
+    sim: np.ndarray, budget: int
+) -> list[tuple[int, float]]:
+    """Lazy-greedy maximization of facility location on a dense similarity
+    matrix ``sim`` (n×n, rows=clients, cols=candidate facilities).
+
+    Returns ``[(index, marginal_gain)]`` in pick order — the same contract as
+    submodlib's ``maximize`` (reference data_subset_selection.py:555-570).
+
+    Marginal gain of j given covered vector m: Σ_i max(0, s_ij − m_i).
+    """
+    n = sim.shape[0]
+    budget = min(budget, n)
+    if budget <= 0 or n == 0:
+        return []
+
+    # Current best coverage per client; facility location starts from 0
+    # coverage (empty set ⇒ f = 0), matching submodlib's dense mode.
+    covered = np.zeros(n, dtype=np.float64)
+    sim = sim.astype(np.float64, copy=False)
+
+    # CELF with iteration stamps: heap holds (-stale_gain, index); an element
+    # is accepted only when its gain was recomputed in the *current* iteration
+    # (stamp == len(picks)). On equal fresh gains the heap pops the lowest
+    # index first, which reproduces numpy argmax tie-breaking exactly.
+    init_gains = sim.sum(axis=0)
+    heap: list[tuple[float, int]] = [(-g, j) for j, g in enumerate(init_gains)]
+    heapq.heapify(heap)
+    stamp = np.full(n, 0, dtype=np.int64)  # initial gains are fresh for pick 0
+
+    picks: list[tuple[int, float]] = []
+    selected = np.zeros(n, dtype=bool)
+
+    while len(picks) < budget and heap:
+        neg_gain, j = heapq.heappop(heap)
+        if selected[j]:
+            continue
+        if stamp[j] == len(picks):
+            picks.append((j, -neg_gain))
+            selected[j] = True
+            covered = np.maximum(covered, sim[:, j])
+            continue
+        fresh = float(np.maximum(sim[:, j] - covered, 0.0).sum())
+        stamp[j] = len(picks)
+        heapq.heappush(heap, (-fresh, j))
+
+    return picks
+
+
+def cosine_similarity_additive(emb: np.ndarray) -> np.ndarray:
+    """Self pairwise cosine with additive scaling — the exact kernel the
+    reference feeds the greedy (data_subset_selection.py:530-537 →
+    compute_pairwise_similarity.py:43-49, 81-82): L2-normalize rows, X·Xᵀ,
+    then (s+1)/2. Computed in float64 for cross-engine stability.
+    """
+    x = emb.astype(np.float64, copy=False)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    x = x / norms
+    s = x @ x.T
+    return (s + 1.0) / 2.0
+
+
+def select_fold(
+    emb: np.ndarray, doc_ids: np.ndarray, budget: int
+) -> list[tuple[int, int, float]]:
+    """One fold's selection: similarity kernel + greedy, keyed by doc_id.
+
+    Rows are processed in ascending ``doc_id`` order so results are
+    independent of incoming partition order (Spark gives no row-order
+    guarantee after a shuffle). Returns ``[(doc_id, pick_order, gain)]``.
+    """
+    order = np.argsort(doc_ids, kind="stable")
+    emb = emb[order]
+    ids = doc_ids[order]
+    sim = cosine_similarity_additive(emb)
+    picks = facility_location_greedy(sim, budget)
+    return [(int(ids[j]), rank, float(gain)) for rank, (j, gain) in enumerate(picks)]

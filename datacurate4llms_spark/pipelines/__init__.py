@@ -1,0 +1,1 @@
+"""End-to-end pipelines: quality filter (north rule), selection, clustering."""

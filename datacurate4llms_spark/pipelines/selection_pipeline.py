@@ -1,0 +1,50 @@
+"""Flagship pipeline (SURVEY §7.1): "select the top-k% most representative
+documents of a corpus, with gains and lineage."
+
+One lazy logical plan covering every engine layer:
+
+    read parquet (S1) → doc_id/text projection (P1) → hash-encoder pandas UDF
+    (E1 shape) → seeded-hash folds (D1) → applyInPandas facility-location
+    greedy per fold (J1+J2+O1) → window top-k by gain (T1) → broadcast
+    semi-join materialization (J5)
+
+Reference flow: data_subset_selection.py:424-505 (_process_single_dataset).
+Catalyst prunes the scan to (doc_id, text); the only shuffles are the
+fold repartition and the top-k exchange — see .explain() discussion in
+PLANS.md.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.encoders import embed_dataframe
+from ..operators.selection import select_subset
+
+
+def run_selection(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    percent: float = 10.0,
+    num_folds: int = 4,
+    dim: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """documents.parquet → representative subset with (fold, pick_order, gain)."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # P1 simple template "{{ text }}" — identity projection over the text col.
+    keyed = docs.select("doc_id", F.col("text"))
+    embedded = embed_dataframe(keyed, "text", "embedding", dim=dim)
+    subset = select_subset(
+        embedded, id_col="doc_id", emb_col="embedding",
+        num_folds=num_folds, percent=percent, seed=seed,
+    )
+    return (
+        subset.join(docs.select("doc_id", "lang", "source", "n_chars"), "doc_id")
+        .select("doc_id", "fold", "pick_order", "gain", "lang", "source", "n_chars")
+        .orderBy(F.desc("gain"), F.asc("doc_id"))
+    )

@@ -1,0 +1,550 @@
+"""Registry of driver-checkable queries: Spark callable + DuckDB oracle SQL.
+
+Every SURVEY §2 operator marked SQL-expressible gets a pair here; the driver
+runs both at sf0.01 and compares row-count + schema + order-insensitive
+value-hash. Conventions that make cross-engine hashes match:
+
+- every float column is ``round(cast(x as double), 6)`` in both dialects;
+- every count is cast to bigint;
+- column names are aliased identically on both sides;
+- cross-engine determinism comes from md5-based hash32 (functions/hashing.py),
+  never engine RNG.
+
+Queries without an oracle entry (greedy selection, compression UDFs) get the
+driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions import text as T
+from .functions import vectors as V
+from .functions.hashing import fold_assign, fold_assign_sql, hash32, hash32_sql
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from .deploy import ensure_workers_can_import
+
+            ensure_workers_can_import(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _r6(c) -> F.Column:
+    return F.round(c.cast("double"), 6)
+
+
+# ---------------------------------------------------------------------------
+# Flagship (non-SQL core → rows-only check; exact parity vs the numpy oracle
+# is asserted in tests/test_selection.py)
+# ---------------------------------------------------------------------------
+
+
+@_register("flagship_selection")
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.selection_pipeline import run_selection
+
+    return run_selection(spark, sf_dir, percent=10.0, num_folds=4)
+
+
+# ---------------------------------------------------------------------------
+# §2.1 sources
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "s3_union_all",
+    """
+    select doc_id, lang from documents
+    union all
+    select doc_id, lang from documents where n_chars > 300
+    """,
+)
+def q_union(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    from .sources.readers import union_all
+
+    return union_all([d.select("doc_id", "lang"), d.filter(F.col("n_chars") > 300).select("doc_id", "lang")])
+
+
+@_register(
+    "s5_resume_anti_join",
+    """
+    select d.doc_id, d.lang from documents d
+    where d.doc_id not in (select doc_id from documents where doc_id % 5 = 0)
+    """,
+)
+def q_resume(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    checkpoint = d.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    return d.join(checkpoint, "doc_id", "left_anti").select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / scalar functions
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "p3_normalize_document",
+    f"select doc_id, {T.normalize_document_sql('text')} as norm_text from documents",
+)
+def q_normalize(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", T.normalize_document("text").alias("norm_text")
+    )
+
+
+@_register(
+    "p4_concat_with_space",
+    "select doc_id, concat_ws(' ', lang, source) as joined from documents",
+)
+def q_concat(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", T.concatenate_with_space("lang", "source").alias("joined")
+    )
+
+
+@_register(
+    "p5_interleave_words",
+    f"""
+    select doc_id,
+           {T.interleave_words_sql('text', "concat(lang, ' ', source, ' ', lang)")} as interleaved
+    from documents
+    """,
+)
+def q_interleave(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    b = F.concat_ws(" ", F.col("lang"), F.col("source"), F.col("lang"))
+    return d.select("doc_id", T.interleave_words(F.col("text"), b).alias("interleaved"))
+
+
+@_register(
+    "p6_regex_utils",
+    r"""
+    select doc_id,
+           cast(regexp_extract(concat('batch_', cast(doc_id % 7 as varchar), '.h5'),
+                               'batch_(\d+)\.h5$', 1) as int) as batch_no,
+           regexp_replace(source, '[^a-zA-Z0-9_\-]', '_', 'g') as ds_name
+    from documents
+    """,
+)
+def q_regex(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    path = F.concat(F.lit("batch_"), (F.col("doc_id") % 7).cast("string"), F.lit(".h5"))
+    return d.select(
+        "doc_id",
+        T.extract_batch_number(path).alias("batch_no"),
+        F.regexp_replace(F.col("source"), r"[^a-zA-Z0-9_\-]", "_").alias("ds_name"),
+    )
+
+
+@_register(
+    "p7_subset_size",
+    """
+    with specs(spec, is_percent) as (values (0.5, true), (10.0, true), (25.0, true),
+                                            (100.0, false), (99999.0, false)),
+         tot as (select count(*) as total from documents)
+    select spec, is_percent,
+           cast(case when is_percent
+                then greatest(1, floor(spec / 100.0 * total))
+                else least(cast(spec as bigint), total) end as bigint) as subset_size
+    from specs, tot
+    """,
+)
+def q_subset_size(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    total = d.agg(F.count("*").alias("total"))
+    specs = spark.createDataFrame(
+        [(0.5, True), (10.0, True), (25.0, True), (100.0, False), (99999.0, False)],
+        "spec double, is_percent boolean",
+    )
+    return specs.crossJoin(F.broadcast(total)).select(
+        "spec",
+        "is_percent",
+        T.calculate_subset_size("total", "spec", "is_percent").cast("bigint").alias("subset_size"),
+    )
+
+
+@_register(
+    "d1_fold_assign",
+    f"select doc_id, {fold_assign_sql('doc_id', 5, 42)} as fold from documents",
+)
+def q_fold(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", fold_assign("doc_id", 5, 42).alias("fold")
+    )
+
+
+@_register(
+    "p9_ncd_arithmetic",
+    """
+    select a.doc_id as i, b.doc_id as j,
+           round(cast(
+             (greatest(a.n_chars, b.n_chars) + floor(least(a.n_chars, b.n_chars) / 2)
+              - least(a.n_chars, b.n_chars))
+             / greatest(a.n_chars, b.n_chars) as double), 6) as ncd
+    from documents a join documents b on a.doc_id < b.doc_id
+    where a.doc_id < 40 and b.doc_id < 40
+    """,
+)
+def q_ncd(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    a, b = d.alias("a"), d.alias("b")
+    ca, cb = F.col("a.n_chars"), F.col("b.n_chars")
+    c_ab = F.greatest(ca, cb) + F.floor(F.least(ca, cb) / 2)  # stand-in C(ab)
+    ncd = (c_ab - F.least(ca, cb)) / F.greatest(ca, cb)
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"), _r6(ncd).alias("ncd"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 joins / pairwise similarity
+# ---------------------------------------------------------------------------
+
+_J1_SQL = f"""
+    select a.vec_id as i, b.vec_id as j,
+           round(cast({V.cosine_sql('a.embedding', 'b.embedding')} as double), 6) as cos_sim,
+           round(cast(({V.cosine_sql('a.embedding', 'b.embedding')} + 1.0) / 2.0 as double), 6) as cos_additive
+    from embeddings a join embeddings b on a.vec_id < b.vec_id
+    where a.vec_id < 60 and b.vec_id < 60
+"""
+
+
+@_register("j1_cosine_pairs", _J1_SQL)
+def q_cosine_pairs(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
+    a, b = e.alias("a"), e.alias("b")
+    cos = V.cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("i"),
+            F.col("b.vec_id").alias("j"),
+            _r6(cos).alias("cos_sim"),
+            _r6(V.additive_scale(cos)).alias("cos_additive"),
+        )
+    )
+
+
+@_register(
+    "j2_minmax_scaling",
+    f"""
+    with edges as (
+      select a.vec_id as i, b.vec_id as j,
+             {V.cosine_sql('a.embedding', 'b.embedding')} as sim
+      from embeddings a join embeddings b on a.vec_id < b.vec_id
+      where a.vec_id < 60 and b.vec_id < 60
+    ), bounds as (select min(sim) as lo, max(sim) as hi from edges)
+    select i, j, round(cast((sim - lo) / (hi - lo) as double), 6) as sim_scaled
+    from edges, bounds
+    """,
+)
+def q_minmax(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
+    a, b = e.alias("a"), e.alias("b")
+    edges = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("i"),
+        F.col("b.vec_id").alias("j"),
+        V.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("sim"),
+    )
+    # global scalar two-pass: agg → broadcast cross join (SURVEY §4.2.4)
+    bounds = edges.agg(F.min("sim").alias("lo"), F.max("sim").alias("hi"))
+    return edges.crossJoin(F.broadcast(bounds)).select(
+        "i", "j", _r6((F.col("sim") - F.col("lo")) / (F.col("hi") - F.col("lo"))).alias("sim_scaled")
+    )
+
+
+@_register(
+    "j3_knn_topk",
+    f"""
+    with edges as (
+      select a.vec_id as i, b.vec_id as j,
+             {V.cosine_sql('a.embedding', 'b.embedding')} as sim
+      from embeddings a join embeddings b on a.vec_id <> b.vec_id
+      where a.vec_id < 80 and b.vec_id < 80
+    ), ranked as (
+      select i, j, sim, row_number() over (partition by i order by sim desc, j asc) as rnk
+      from edges
+    )
+    select i, j, cast(rnk as int) as rnk, round(cast(sim as double), 6) as sim
+    from ranked where rnk <= 5
+    """,
+)
+def q_knn(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 80)
+    a, b = e.alias("a"), e.alias("b")
+    edges = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("i"),
+        F.col("b.vec_id").alias("j"),
+        V.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("sim"),
+    )
+    w = Window.partitionBy("i").orderBy(F.desc("sim"), F.asc("j"))
+    return (
+        edges.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("i", "j", F.col("rnk").cast("int").alias("rnk"), _r6(F.col("sim")).alias("sim"))
+    )
+
+
+@_register(
+    "j4_cluster_assign",
+    f"""
+    with centers as (select vec_id as center_id, embedding as cemb from embeddings where vec_id < 8),
+         scored as (
+      select e.vec_id, c.center_id,
+             ({V.cosine_sql('e.embedding', 'c.cemb')} + 1.0) / 2.0 as sim,
+             row_number() over (partition by e.vec_id
+                                order by ({V.cosine_sql('e.embedding', 'c.cemb')} + 1.0) / 2.0 desc,
+                                         c.center_id asc) as rnk
+      from embeddings e cross join centers c
+    )
+    select vec_id, cast(center_id as int) as cluster_id,
+           round(cast(sim as double), 6) as similarity_to_center
+    from scored where rnk = 1
+    """,
+)
+def q_assign(spark, sf_dir):
+    from .operators.clustering import assign_to_clusters
+
+    e = _t(spark, sf_dir, "embeddings")
+    centers = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("center_id"), F.col("embedding").alias("cemb")
+    )
+    return assign_to_clusters(e, centers, id_col="vec_id", emb_col="embedding").select(
+        "vec_id",
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+        _r6(F.col("similarity_to_center")).alias("similarity_to_center"),
+    )
+
+
+@_register(
+    "j5_semi_join_subset",
+    """
+    select d.doc_id, d.lang, d.n_chars from documents d
+    where exists (select 1 from documents s where s.doc_id = d.doc_id and s.doc_id % 7 = 3)
+    """,
+)
+def q_semi(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    picks = d.filter(F.col("doc_id") % 7 == 3).select("doc_id")
+    return d.join(F.broadcast(picks), "doc_id", "left_semi").select("doc_id", "lang", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# §2.5 aggregations
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "a1_max_diversity",
+    f"""
+    with edges as (
+      select a.vec_id as i,
+             ({V.cosine_sql('a.embedding', 'b.embedding')} + 1.0) / 2.0 as sim
+      from embeddings a join embeddings b on a.vec_id <> b.vec_id
+      where a.vec_id < 100 and b.vec_id < 100
+    ), per_row as (select i, max(sim) as max_sim from edges group by i)
+    select round(cast(avg(1.0 - max_sim) as double), 6) as diversity from per_row
+    """,
+)
+def q_max_div(spark, sf_dir):
+    from .operators.metrics import max_diversity
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return max_diversity(e, id_col="vec_id", emb_col="embedding").select(
+        _r6(F.col("diversity")).alias("diversity")
+    )
+
+
+@_register(
+    "a2_avg_diversity",
+    f"""
+    with edges as (
+      select {V.cosine_sql('a.embedding', 'b.embedding')} as sim
+      from embeddings a cross join embeddings b
+      where a.vec_id < 100 and b.vec_id < 100
+    )
+    select round(cast(sum(1.0 - sim) / (count(*)) as double), 6) as avg_diversity from edges
+    """,
+)
+def q_avg_div(spark, sf_dir):
+    from .operators.metrics import average_diversity
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return average_diversity(e, id_col="vec_id", emb_col="embedding").select(
+        _r6(F.col("avg_diversity")).alias("avg_diversity")
+    )
+
+
+@_register(
+    "a6_counts_by_lang",
+    """
+    select lang, cast(count(*) as bigint) as n_docs,
+           cast(sum(n_chars) as bigint) as total_chars,
+           round(cast(avg(n_chars) as double), 6) as avg_chars
+    from documents group by lang
+    """,
+)
+def q_counts(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            _r6(F.avg("n_chars")).alias("avg_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 top-k
+# ---------------------------------------------------------------------------
+
+_GAIN_SQL = f"(cast({hash32_sql('doc_id', seed='gain')} % 1000 as double) / 1000.0)"
+
+
+@_register(
+    "t1_top_k_gain",
+    f"""
+    with gains as (select doc_id, {_GAIN_SQL} as gain from documents),
+         ranked as (select doc_id, gain,
+                           row_number() over (order by gain desc, doc_id asc) as rnk
+                    from gains)
+    select doc_id, round(cast(gain as double), 6) as gain, cast(rnk as int) as rnk
+    from ranked where rnk <= 50
+    """,
+)
+def q_topk(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    gain = (hash32("doc_id", seed="gain") % 1000).cast("double") / 1000.0
+    gains = d.select("doc_id", gain.alias("gain"))
+    w = Window.orderBy(F.desc("gain"), F.asc("doc_id"))
+    return (
+        gains.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 50)
+        .select("doc_id", _r6(F.col("gain")).alias("gain"), F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+@_register(
+    "t2_per_cluster_sort",
+    f"""
+    with centers as (select vec_id as center_id, embedding as cemb from embeddings where vec_id < 8),
+         scored as (
+      select e.vec_id, c.center_id,
+             ({V.cosine_sql('e.embedding', 'c.cemb')} + 1.0) / 2.0 as sim,
+             row_number() over (partition by e.vec_id
+                                order by ({V.cosine_sql('e.embedding', 'c.cemb')} + 1.0) / 2.0 desc,
+                                         c.center_id asc) as rnk
+      from embeddings e cross join centers c
+    ), assigned as (select vec_id, center_id, sim from scored where rnk = 1)
+    select vec_id, cast(center_id as int) as cluster_id,
+           cast(row_number() over (partition by center_id order by sim desc, vec_id asc) as int)
+             as rank_in_cluster
+    from assigned
+    """,
+)
+def q_cluster_sort(spark, sf_dir):
+    from .operators.clustering import assign_to_clusters
+
+    e = _t(spark, sf_dir, "embeddings")
+    centers = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("center_id"), F.col("embedding").alias("cemb")
+    )
+    assigned = assign_to_clusters(e, centers, id_col="vec_id", emb_col="embedding")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("similarity_to_center"), F.asc("vec_id")
+    )
+    return assigned.select(
+        "vec_id",
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+        F.row_number().over(w).cast("int").alias("rank_in_cluster"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# General analytics over the TPC-H-ish tables (engine breadth: scan → filter →
+# agg → join all pushed down / broadcast by Catalyst)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpch_q1_pricing_summary",
+    """
+    select l_returnflag, l_linestatus,
+           round(cast(sum(l_quantity) as double), 6) as sum_qty,
+           round(cast(sum(l_extendedprice) as double), 6) as sum_base_price,
+           round(cast(sum(l_extendedprice * (1 - l_discount)) as double), 6) as sum_disc_price,
+           round(cast(avg(l_quantity) as double), 6) as avg_qty,
+           cast(count(*) as bigint) as count_order
+    from lineitem
+    where l_shipdate <= date '1998-09-02'
+    group by l_returnflag, l_linestatus
+    """,
+)
+def q_tpch1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r6(F.sum("l_quantity")).alias("sum_qty"),
+            _r6(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+            _r6(F.avg("l_quantity")).alias("avg_qty"),
+            F.count("*").cast("bigint").alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "tpch_q3_shipping_priority",
+    """
+    select o.o_orderkey,
+           round(cast(sum(l.l_extendedprice * (1 - l.l_discount)) as double), 6) as revenue,
+           o.o_orderdate
+    from customer c join orders o on c.c_custkey = o.o_custkey
+    join lineitem l on l.l_orderkey = o.o_orderkey
+    where c.c_mktsegment = 'BUILDING' and o.o_orderdate < date '1995-03-15'
+          and l.l_shipdate > date '1995-03-15'
+    group by o.o_orderkey, o.o_orderdate
+    """,
+)
+def q_tpch3(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("date"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("date"))
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(_r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate")
+    )

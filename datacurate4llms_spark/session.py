@@ -1,0 +1,66 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference is single-machine multi-GPU with hand-rolled batching
+(``data_subset_selection.py:352-373``); here the equivalent knobs are Spark
+conf. Defaults are chosen for the 100 TB design point and scale down fine
+to local[N]:
+
+- AQE on (runtime shuffle coalescing + skew-join splitting) — replaces the
+  reference's equal-size fold construction as the skew defence;
+- Arrow on for every pandas UDF boundary, with a bounded record batch so
+  model-shaped UDFs see steady batch sizes (reference micro-batches per model,
+  ``src/encoders/bge_unified_encoder.py:11-54``);
+- UTC session timezone so results compare bit-for-bit against the DuckDB
+  oracle (duckdb timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # ~model batch size for iterator pandas UDFs (reference uses 8-256
+    # depending on model; 4096 suits the cheap hash encoder / scorers).
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
+    "spark.sql.session.timeZone": "UTC",
+    # parquet scans: default 128m splits are right for the 100 TB target;
+    # local test files are tiny so this never binds there.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+}
+
+
+def get_spark(
+    app_name: str = "datacurate4llms_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, fallback 32)
+    when not already inside a session. ``shuffle_partitions`` defaults to
+    the local core count — on a real cluster leave it to AQE + a caller
+    override sized to the input.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in DEFAULT_CONFS.items():
+        builder = builder.config(k, v)
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    builder = builder.config("spark.ui.enabled", "false")
+    if extra_confs:
+        for k, v in extra_confs.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,80 @@
+"""Multi-format ingest (SURVEY §2.1 S1-S3) and stable row identity (§1.3).
+
+Reference: ``load_and_combine_datasets`` dispatches on file extension with a
+``jsonl → json`` alias (data_subset_selection.py:120-144) and optionally
+concatenates datasets; ``load_data`` reads a whole-file JSON array
+(data_clustering.py:104-112). Row identity there is positional — here every
+ingest attaches an explicit ``doc_id`` (or the caller keys by a natural key)
+because position does not survive a shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_EXT_FORMAT = {
+    ".json": "json",
+    ".jsonl": "json",   # reference alias data_subset_selection.py:127-129
+    ".csv": "csv",
+    ".parquet": "parquet",
+    ".tsv": "csv",
+}
+
+
+def read_any(spark: SparkSession, path: str, multiline_json: bool = False,
+             schema=None) -> DataFrame:
+    """S1/S2: extension-dispatched scan. ``multiline_json=True`` reads a
+    whole-file JSON array (reference json.load path)."""
+    ext = os.path.splitext(path)[1].lower()
+    fmt = _EXT_FORMAT.get(ext)
+    if fmt is None:
+        raise ValueError(f"unsupported input extension: {path}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "json":
+        return reader.option("multiLine", multiline_json).json(path)
+    if fmt == "csv":
+        sep = "\t" if ext == ".tsv" else ","
+        return reader.option("header", True).option("inferSchema", schema is None).option("sep", sep).csv(path)
+    return reader.parquet(path)
+
+
+def union_all(dfs: list[DataFrame]) -> DataFrame:
+    """S3: ``concatenate_datasets`` ≡ UNION ALL by name, duplicates kept
+    (data_subset_selection.py:138-140)."""
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
+
+
+def with_doc_id(df: DataFrame, order_cols: list[str] | None = None,
+                id_col: str = "doc_id") -> DataFrame:
+    """Attach a stable 0-based id. With ``order_cols`` the id is a
+    deterministic dense rank (reproducible across runs — required for the
+    oracle); without, ``monotonically_increasing_id`` (stable within a run,
+    cheap, no global sort — the 100 TB default when a natural key exists
+    downstream).
+
+    NOTE: the ordered variant uses a single-partition window — fine for
+    test-scale ingest, wrong at 100 TB. At scale prefer a natural key
+    (north rule: ``(repo, path, commit)``) or the unordered variant.
+    """
+    if id_col in df.columns:
+        return df
+    if order_cols:
+        w = Window.orderBy(*[F.col(c) for c in order_cols])
+        return df.withColumn(id_col, F.row_number().over(w).cast("bigint") - 1)
+    return df.withColumn(id_col, F.monotonically_increasing_id())
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    """Load the driver's parquet tables from an sf directory."""
+    names = names or [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    return {n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")) for n in names}

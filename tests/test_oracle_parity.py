@@ -1,0 +1,67 @@
+"""Replicates the driver's correctness gate locally: every queries() entry
+with an oracle runs on Spark and DuckDB at sf0.01; row count, column names,
+and values (order-insensitive, exact after the queries' own round-6) must
+match.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from conftest import SF_CORRECT
+
+import __spark_entry__ as entrymod
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].astype(np.float64)
+        elif np.issubdtype(df[c].dtype, np.integer):
+            df[c] = df[c].astype(np.int64)
+        elif str(df[c].dtype) == "bool":
+            df[c] = df[c].astype(bool)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+ORACLE_KEYS = sorted(entrymod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_duckdb_oracle(spark, duck, name):
+    q = entrymod.queries()[name]
+    spark_pd = q(spark, SF_CORRECT).toPandas()
+    duck_pd = duck.execute(entrymod.oracle_sql()[name]).df()
+
+    assert len(spark_pd) == len(duck_pd), f"{name}: row count {len(spark_pd)} vs {len(duck_pd)}"
+    assert sorted(spark_pd.columns) == sorted(duck_pd.columns), (
+        f"{name}: columns {sorted(spark_pd.columns)} vs {sorted(duck_pd.columns)}"
+    )
+
+    a, b = _canon(spark_pd), _canon(duck_pd)
+    for c in a.columns:
+        if np.issubdtype(a[c].dtype, np.floating):
+            np.testing.assert_array_almost_equal(
+                a[c].to_numpy(), b[c].to_numpy(), decimal=6,
+                err_msg=f"{name}: column {c} mismatch",
+            )
+        else:
+            assert a[c].tolist() == b[c].tolist(), f"{name}: column {c} mismatch"
+
+
+def test_all_queries_run_and_return_rows(spark):
+    for name, q in entrymod.queries().items():
+        df = q(spark, SF_CORRECT)
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "doc_id" in df.columns and "gain" in df.columns

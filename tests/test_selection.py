@@ -1,0 +1,142 @@
+"""Selection core vs the numpy oracle (SURVEY §5.2.2).
+
+The Spark ``applyInPandas`` kernel and the oracle share the same numpy code
+(oracle/numpy_fl.py), so pick sets, orders, and gains must match exactly —
+not statistically.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from datacurate4llms_spark.functions.encoders import _hash_vector, embed_dataframe
+from datacurate4llms_spark.oracle.numpy_fl import (
+    cosine_similarity_additive,
+    facility_location_greedy,
+    select_fold,
+)
+from datacurate4llms_spark.operators.selection import (
+    assign_folds,
+    global_top_k,
+    select_per_fold,
+    select_subset,
+)
+
+from conftest import SF_CORRECT
+
+
+def _oracle_selection(docs: pd.DataFrame, num_folds: int, percent: float, seed: int, dim: int):
+    """Pure-python replica of the full selection pipeline."""
+    import hashlib
+
+    def fold_of(doc_id: int) -> int:
+        payload = f"fold{seed}\x01{doc_id}".encode()
+        return int(hashlib.md5(payload).hexdigest()[:8], 16) % num_folds
+
+    docs = docs.copy()
+    docs["fold"] = docs["doc_id"].map(fold_of)
+    docs["vec"] = docs["text"].map(lambda t: _hash_vector(t, dim))
+
+    rows = []
+    for fold, grp in docs.groupby("fold"):
+        ids = grp["doc_id"].to_numpy(dtype=np.int64)
+        emb = np.stack(grp["vec"].to_list())
+        budget = max(1, math.ceil(percent / 100.0 * len(ids)))
+        for doc_id, rank, gain in select_fold(emb, ids, budget):
+            rows.append((doc_id, fold, rank, gain))
+    out = pd.DataFrame(rows, columns=["doc_id", "fold", "pick_order", "gain"])
+    k = max(1, int(percent / 100.0 * len(docs)))
+    out = out.sort_values(["gain", "doc_id"], ascending=[False, True]).head(k)
+    return out.reset_index(drop=True)
+
+
+def test_facility_location_greedy_matches_naive():
+    """Lazy greedy == naive greedy on random matrices (incl. ties)."""
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        n = 30
+        sim = rng.random((n, n))
+        sim = (sim + sim.T) / 2
+        if trial == 3:  # engineered ties
+            sim[:] = np.round(sim, 1)
+        budget = 8
+        lazy = facility_location_greedy(sim, budget)
+
+        covered = np.zeros(n)
+        naive = []
+        chosen = set()
+        for _ in range(budget):
+            gains = np.maximum(sim - covered[:, None], 0.0).sum(axis=0)
+            gains[list(chosen)] = -np.inf
+            j = int(np.argmax(gains))  # lowest index on ties
+            naive.append((j, float(gains[j])))
+            chosen.add(j)
+            covered = np.maximum(covered, sim[:, j])
+
+        assert [p[0] for p in lazy] == [p[0] for p in naive]
+        np.testing.assert_allclose([p[1] for p in lazy], [p[1] for p in naive], rtol=1e-12)
+
+
+def test_greedy_gains_non_increasing():
+    rng = np.random.default_rng(11)
+    sim = cosine_similarity_additive(rng.standard_normal((50, 8)).astype(np.float32))
+    picks = facility_location_greedy(sim, 20)
+    gains = [g for _, g in picks]
+    assert all(gains[i] >= gains[i + 1] - 1e-12 for i in range(len(gains) - 1))
+
+
+def test_fold_assignment_matches_oracle(spark):
+    import hashlib
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").select("doc_id")
+    got = {r.doc_id: r.fold for r in assign_folds(docs, num_folds=5, seed=42).collect()}
+    for doc_id, fold in got.items():
+        payload = f"fold42\x01{doc_id}".encode()
+        assert fold == int(hashlib.md5(payload).hexdigest()[:8], 16) % 5
+
+
+def test_select_subset_matches_numpy_oracle(spark):
+    """Full pipeline parity: pick set, pick order, gains — exact."""
+    docs_pd = pd.read_parquet(f"{SF_CORRECT}/documents.parquet")[["doc_id", "text"]]
+    expected = _oracle_selection(docs_pd, num_folds=4, percent=10.0, seed=42, dim=16)
+
+    sdf = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").select("doc_id", "text")
+    embedded = embed_dataframe(sdf, "text", "embedding", dim=16)
+    got = (
+        select_subset(embedded, num_folds=4, percent=10.0, seed=42)
+        .select("doc_id", "fold", "pick_order", "gain")
+        .toPandas()
+        .sort_values(["gain", "doc_id"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+
+    assert len(got) == len(expected) == 50  # 10% of 500
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "fold", "pick_order"]],
+        expected[["doc_id", "fold", "pick_order"]],
+        check_dtype=False,
+    )
+    np.testing.assert_allclose(got["gain"], expected["gain"], rtol=1e-9)
+
+
+def test_global_top_k_tie_break(spark):
+    df = spark.createDataFrame(
+        [(3, 0, 0, 1.0), (1, 0, 1, 1.0), (2, 1, 0, 2.0)],
+        "doc_id bigint, fold int, pick_order int, gain double",
+    )
+    got = [r.doc_id for r in global_top_k(df, 2).orderBy("doc_id").collect()]
+    assert got == [1, 2]  # gain desc, then doc_id asc on the 1.0 tie
+
+
+def test_selection_is_deterministic_across_partitionings(spark):
+    """Row identity is keyed, not positional — repartitioning must not change
+    the result (the §1.3 invariant the reference lacks)."""
+    sdf = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").select("doc_id", "text")
+    embedded = embed_dataframe(sdf, "text", "embedding", dim=16)
+    a = select_subset(embedded, num_folds=3, percent=5.0).select("doc_id", "gain")
+    b = select_subset(embedded.repartition(17), num_folds=3, percent=5.0).select("doc_id", "gain")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
