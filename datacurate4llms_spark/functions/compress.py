@@ -1,0 +1,172 @@
+"""Compression + model-style scoring UDFs (SURVEY §2.2 P8-P9; north rule's
+fastText-langid / KenLM-perplexity slots).
+
+All are Arrow-batched pandas UDFs — the only Python in the engine's scoring
+path — and follow the reference's model lifecycle: the "model" (bigram table,
+language profiles) is built **once per executor process** in a module-level
+lazy singleton, then reused across Arrow batches
+(src/encoders/bge_unified_encoder.py loads once per process; north rule:
+"model broadcast once per executor, batched inference, no per-row Python").
+
+The real fastText / KenLM binaries are not in this container; the scorers
+below are deterministic, dependency-free stand-ins with the same signature
+and cost shape (table lookup per char/ngram, vectorized over the batch), so
+swapping in the real artifacts is a one-function change shipped via
+``--py-files``/``--archives``.
+"""
+
+from __future__ import annotations
+
+import gzip as _gzip
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# ---------------------------------------------------------------------------
+# P8: gzip compressed length / bits per character
+# (reference: src/compressors/base_compressor.py:71-124, gzip_compressor.py:29-50)
+# ---------------------------------------------------------------------------
+
+
+def gzip_length_udf():
+    """Factory (UDF return types parse lazily — needs an active session)."""
+
+    @pandas_udf("int")
+    def _gzip_len(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            yield s.map(
+                lambda t: len(_gzip.compress((t or "").encode("utf-8"), compresslevel=6))
+            ).astype("int32")
+
+    return _gzip_len
+
+
+def bits_per_char(content: Column | str, gzip_len: Column | str) -> Column:
+    """8 * C(x) / len(x) — text-redundancy signal (base_compressor.py:103-124)."""
+    c = F.col(content) if isinstance(content, str) else content
+    g = F.col(gzip_len) if isinstance(gzip_len, str) else gzip_len
+    return (F.lit(8.0) * g.cast("double")) / F.length(c).cast("double")
+
+
+def ncd(c_a: Column | str, c_b: Column | str, c_ab: Column | str) -> Column:
+    """Normalized compression distance over precomputed lengths
+    (get_compression_distance.py:22-33): (C(ab) − min) / max."""
+    a = F.col(c_a) if isinstance(c_a, str) else c_a
+    b = F.col(c_b) if isinstance(c_b, str) else c_b
+    ab = F.col(c_ab) if isinstance(c_ab, str) else c_ab
+    return (ab.cast("double") - F.least(a, b).cast("double")) / F.greatest(a, b).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# KenLM-style perplexity stand-in: char-bigram LM with Laplace smoothing over
+# a fixed English reference corpus baked into the module (deterministic).
+# ---------------------------------------------------------------------------
+
+_REFERENCE_TEXT = (
+    "the quick brown fox jumps over the lazy dog and then the data pipeline "
+    "reads every file from the table while the query planner pushes filters "
+    "down to the scan so that only the selected columns move across the "
+    "network which keeps the shuffle small and the join fast for all users"
+)
+
+_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
+_LM_CACHE: dict[str, np.ndarray] = {}
+
+
+def _bigram_logprob_table() -> np.ndarray:
+    """27×27 log2 P(next|prev), Laplace-smoothed — built once per process."""
+    if "lm" not in _LM_CACHE:
+        idx = {c: i for i, c in enumerate(_ALPHABET)}
+        counts = np.ones((27, 27), dtype=np.float64)  # Laplace
+        prev = None
+        for ch in _REFERENCE_TEXT:
+            cur = idx.get(ch)
+            if prev is not None and cur is not None:
+                counts[prev, cur] += 1.0
+            prev = cur
+        table = np.log2(counts / counts.sum(axis=1, keepdims=True))
+        _LM_CACHE["lm"] = table
+    return _LM_CACHE["lm"]
+
+
+def _perplexity_one(text: str, table: np.ndarray) -> float:
+    idx = {c: i for i, c in enumerate(_ALPHABET)}
+    seq = [idx[c] for c in text.lower() if c in idx]
+    if len(seq) < 2:
+        return float("nan")
+    a = np.asarray(seq[:-1]), np.asarray(seq[1:])
+    mean_lp = float(table[a[0], a[1]].mean())
+    return 2.0 ** (-mean_lp)
+
+
+def char_perplexity_udf():
+    @pandas_udf("double")
+    def _ppl(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        table = _bigram_logprob_table()  # executor-cached "model"
+        for s in batches:
+            yield s.map(lambda t: _perplexity_one(t or "", table))
+
+    return _ppl
+
+
+# ---------------------------------------------------------------------------
+# fastText-style language ID stand-in: char-trigram profile cosine against
+# per-language profiles baked into the module.
+# ---------------------------------------------------------------------------
+
+_LANG_SAMPLES = {
+    "en": "the quick brown fox jumps over the lazy dog while the people read",
+    "de": "der schnelle braune fuchs springt ueber den faulen hund und die leute",
+    "fr": "le renard brun rapide saute par dessus le chien paresseux et les gens",
+    "es": "el rapido zorro marron salta sobre el perro perezoso y la gente lee",
+}
+
+
+def _trigrams(text: str) -> dict[str, int]:
+    t = "".join(c for c in text.lower() if c.isalpha() or c == " ")
+    out: dict[str, int] = {}
+    for i in range(len(t) - 2):
+        g = t[i : i + 3]
+        out[g] = out.get(g, 0) + 1
+    return out
+
+
+def _lang_profiles() -> dict[str, dict[str, int]]:
+    if "profiles" not in _LM_CACHE:
+        _LM_CACHE["profiles"] = {k: _trigrams(v) for k, v in _LANG_SAMPLES.items()}
+    return _LM_CACHE["profiles"]  # type: ignore[return-value]
+
+
+def _langid_one(text: str) -> tuple[str, float]:
+    profiles = _lang_profiles()
+    tg = _trigrams(text)
+    if not tg:
+        return ("unk", 0.0)
+    tn = math.sqrt(sum(v * v for v in tg.values()))
+    best, best_s = "unk", 0.0
+    for lang in sorted(profiles):  # sorted → deterministic tie-break
+        prof = profiles[lang]
+        dotp = sum(v * prof.get(g, 0) for g, v in tg.items())
+        pn = math.sqrt(sum(v * v for v in prof.values()))
+        s = dotp / (tn * pn) if tn and pn else 0.0
+        if s > best_s:
+            best, best_s = lang, s
+    return (best, best_s)
+
+
+def langid_udf():
+    @pandas_udf("struct<lang_pred:string, lang_conf:double>")
+    def _langid(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        _lang_profiles()  # warm the executor-cached profiles
+        for s in batches:
+            preds = s.map(lambda t: _langid_one(t or ""))
+            yield pd.DataFrame(
+                {"lang_pred": preds.map(lambda p: p[0]), "lang_conf": preds.map(lambda p: p[1])}
+            )
+
+    return _langid

@@ -1,0 +1,154 @@
+"""Heuristic quality rules as pure Spark SQL column expressions (north rule:
+"heuristic quality rules (line-length stats, alphanumeric ratio,
+repetition/boilerplate detection) expressed as Spark SQL column expressions").
+
+Everything here runs JVM-side inside whole-stage codegen — these rules gate
+the corpus *before* any model-shaped pandas UDF (perplexity/langid scorers)
+touches it, which is the single biggest cost lever at 100 TB: cheap SQL
+filters first, Python only on survivors (SURVEY §4.2.1).
+
+Each metric has a DuckDB twin (`*_sql`) so keep/drop decisions are
+oracle-checkable end to end. Thresholds live in QUALITY_THRESHOLDS and are
+shared with the pure-pandas reference labeler (oracle/labels.py) that defines
+the F1 ≥ 0.99 gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+QUALITY_THRESHOLDS = {
+    "min_words": 5,          # too_short
+    "max_line_len": 380,     # long_lines
+    "min_alnum_ratio": 0.5,  # low_alnum
+    "max_dup_line_frac": 0.3,  # repetition
+    "min_langid_score": 0.55,  # langid (latin-letter+space mass)
+}
+
+# rule evaluation order — first match wins the drop_reason
+RULE_ORDER = ["too_short", "long_lines", "low_alnum", "repetition", "langid"]
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def lines(content: Column | str) -> Column:
+    return F.split(_c(content), "\n")
+
+
+def n_lines(content: Column | str) -> Column:
+    return F.size(lines(content)).cast("int")
+
+
+def max_line_len(content: Column | str) -> Column:
+    return F.array_max(F.transform(lines(content), F.length)).cast("int")
+
+
+def avg_line_len(content: Column | str) -> Column:
+    ls = lines(content)
+    total = F.aggregate(ls, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double"))
+    return total / F.size(ls).cast("double")
+
+
+def dup_line_frac(content: Column | str) -> Column:
+    """(n_lines − n_distinct_lines) / n_lines — boilerplate/repetition signal
+    (north-rule analog of the reference's redundancy-by-compression idea,
+    base_compressor.py:71-124)."""
+    ls = lines(content)
+    return (F.size(ls) - F.size(F.array_distinct(ls))).cast("double") / F.size(ls).cast("double")
+
+
+def alnum_ratio(content: Column | str) -> Column:
+    c = _c(content)
+    return F.length(F.regexp_replace(c, "[^a-zA-Z0-9]", "")).cast("double") / F.length(c).cast("double")
+
+
+def word_count(content: Column | str) -> Column:
+    return F.size(F.split(F.trim(_c(content)), r"\s+")).cast("int")
+
+
+def langid_score(content: Column | str) -> Column:
+    """Fraction of characters that are lowercase latin letters or spaces —
+    a cheap SQL-side language/garbage signal (the model-based fastText-style
+    scorer in functions/compress.py refines it; this one gates)."""
+    c = F.lower(_c(content))
+    return F.length(F.regexp_replace(c, "[^a-z ]", "")).cast("double") / F.length(c).cast("double")
+
+
+def with_quality_metrics(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Attach all metric columns in one projection (single pass over content)."""
+    c = F.col(content_col)
+    return df.withColumns(
+        {
+            "n_lines": n_lines(c),
+            "max_line_len": max_line_len(c),
+            "avg_line_len": avg_line_len(c),
+            "dup_line_frac": dup_line_frac(c),
+            "alnum_ratio": alnum_ratio(c),
+            "word_count": word_count(c),
+            "langid_score": langid_score(c),
+        }
+    )
+
+
+def drop_reason(thresholds: dict | None = None) -> Column:
+    """First-matching drop rule over the metric columns; null = keep."""
+    t = thresholds or QUALITY_THRESHOLDS
+    return (
+        F.when(F.col("word_count") < t["min_words"], F.lit("too_short"))
+        .when(F.col("max_line_len") > t["max_line_len"], F.lit("long_lines"))
+        .when(F.col("alnum_ratio") < t["min_alnum_ratio"], F.lit("low_alnum"))
+        .when(F.col("dup_line_frac") > t["max_dup_line_frac"], F.lit("repetition"))
+        .when(F.col("langid_score") < t["min_langid_score"], F.lit("langid"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def with_keep_decision(df: DataFrame, thresholds: dict | None = None) -> DataFrame:
+    reason = drop_reason(thresholds)
+    return df.withColumn("drop_reason", reason).withColumn(
+        "keep", F.col("drop_reason").isNull()
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins
+# ---------------------------------------------------------------------------
+
+
+def metrics_sql(content: str = "content") -> dict[str, str]:
+    ls = f"string_split({content}, chr(10))"
+    return {
+        "n_lines": f"cast(len({ls}) as int)",
+        "max_line_len": f"cast(list_max(list_transform({ls}, x -> length(x))) as int)",
+        "avg_line_len": (
+            f"cast(list_sum(list_transform({ls}, x -> cast(length(x) as double))) as double)"
+            f" / cast(len({ls}) as double)"
+        ),
+        "dup_line_frac": (
+            f"cast(len({ls}) - len(list_distinct({ls})) as double) / cast(len({ls}) as double)"
+        ),
+        "alnum_ratio": (
+            f"cast(length(regexp_replace({content}, '[^a-zA-Z0-9]', '', 'g')) as double)"
+            f" / cast(length({content}) as double)"
+        ),
+        "word_count": f"cast(len(regexp_split_to_array(trim({content}), '\\s+')) as int)",
+        "langid_score": (
+            f"cast(length(regexp_replace(lower({content}), '[^a-z ]', '', 'g')) as double)"
+            f" / cast(length({content}) as double)"
+        ),
+    }
+
+
+def drop_reason_sql(thresholds: dict | None = None) -> str:
+    t = thresholds or QUALITY_THRESHOLDS
+    return f"""
+    case when word_count < {t['min_words']} then 'too_short'
+         when max_line_len > {t['max_line_len']} then 'long_lines'
+         when alnum_ratio < {t['min_alnum_ratio']} then 'low_alnum'
+         when dup_line_frac > {t['max_dup_line_frac']} then 'repetition'
+         when langid_score < {t['min_langid_score']} then 'langid'
+         else null end
+    """

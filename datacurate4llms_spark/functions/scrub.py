@@ -1,0 +1,49 @@
+"""Regex PII/secret scrub pass (north rule: "regex-based PII/toxicity scrub
+pass producing the scrubbed content column").
+
+Patterns are written in the common Java-regex/RE2 subset so Spark and the
+DuckDB oracle produce byte-identical scrubbed text. Order matters (email
+before IP before key) and is part of the contract. The per-row invariant:
+``scrub_applied = (content != content_scrubbed)`` and sha256 equality holds
+whenever ``scrub_applied`` is false (BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (name, pattern, replacement) — applied in order
+SCRUB_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("hexkey", r"[0-9a-f]{32,}", "<KEY>"),
+]
+
+
+def scrub(content: Column | str) -> Column:
+    c = F.col(content) if isinstance(content, str) else content
+    for _name, pattern, repl in SCRUB_RULES:
+        c = F.regexp_replace(c, pattern, repl)
+    return c
+
+
+def with_scrub(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Attach content_scrubbed / scrub_applied / sha256 columns."""
+    scrubbed = scrub(content_col)
+    return df.withColumns(
+        {
+            "content_scrubbed": scrubbed,
+            "scrub_applied": F.col(content_col) != scrubbed,
+            "content_sha256": F.sha2(F.col(content_col), 256),
+            "scrubbed_sha256": F.sha2(scrubbed, 256),
+        }
+    )
+
+
+def scrub_sql(content: str = "content") -> str:
+    c = content
+    for _name, pattern, repl in SCRUB_RULES:
+        p = pattern.replace("\\", "\\\\").replace("'", "''")
+        c = f"regexp_replace({c}, e'{p}', '{repl}', 'g')"
+    return c

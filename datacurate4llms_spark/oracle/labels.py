@@ -1,0 +1,78 @@
+"""Pure-pandas reference labeler — generates the "reference pipeline's
+decisions" the Spark job must match at F1 ≥ 0.99 (BASELINE.json metric).
+
+Independently reimplements the quality rules and scrub with python stdlib
+``re``/string ops (NOT Spark, NOT the engine's SQL) over the same derived
+corpus, using the shared thresholds. Any engine bug — regex dialect drift,
+null mishandling, wrong rule order — shows up as F1 < 1.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pandas as pd
+
+from ..functions.quality import QUALITY_THRESHOLDS
+from ..functions.scrub import SCRUB_RULES
+
+
+def reference_labels(corpus: pd.DataFrame, thresholds: dict | None = None) -> pd.DataFrame:
+    """corpus: (doc_id, repo, path, commit, lang, content) → labels frame."""
+    t = thresholds or QUALITY_THRESHOLDS
+    rows = []
+    for r in corpus.itertuples(index=False):
+        content: str = r.content
+        lines = content.split("\n")
+        n_lines = len(lines)
+        max_line = max(len(x) for x in lines)
+        dup_frac = (n_lines - len(set(lines))) / n_lines
+        alnum = sum(ch.isascii() and ch.isalnum() for ch in content) / len(content)
+        words = len(re.split(r"\s+", content.strip()))
+        lower = content.lower()
+        langid = sum("a" <= ch <= "z" or ch == " " for ch in lower) / len(content)
+
+        if words < t["min_words"]:
+            reason = "too_short"
+        elif max_line > t["max_line_len"]:
+            reason = "long_lines"
+        elif alnum < t["min_alnum_ratio"]:
+            reason = "low_alnum"
+        elif dup_frac > t["max_dup_line_frac"]:
+            reason = "repetition"
+        elif langid < t["min_langid_score"]:
+            reason = "langid"
+        else:
+            reason = None
+
+        scrubbed = content
+        for _name, pattern, repl in SCRUB_RULES:
+            scrubbed = re.sub(pattern, repl, scrubbed)
+
+        rows.append(
+            {
+                "doc_id": r.doc_id,
+                "keep": reason is None,
+                "drop_reason": reason,
+                "content_scrubbed": scrubbed,
+                "scrub_applied": scrubbed != content,
+                "content_sha256": hashlib.sha256(content.encode("utf-8")).hexdigest(),
+                "scrubbed_sha256": hashlib.sha256(scrubbed.encode("utf-8")).hexdigest(),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def f1_keep(reference: pd.Series, predicted: pd.Series) -> float:
+    """F1 of the keep decision (keep = positive class)."""
+    ref = reference.astype(bool)
+    pred = predicted.astype(bool)
+    tp = int((ref & pred).sum())
+    fp = int((~ref & pred).sum())
+    fn = int((ref & ~pred).sum())
+    if tp == 0:
+        return 0.0
+    precision = tp / (tp + fp)
+    recall = tp / (tp + fn)
+    return 2 * precision * recall / (precision + recall)

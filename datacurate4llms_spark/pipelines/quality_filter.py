@@ -1,0 +1,98 @@
+"""The north-rule flagship: language-ID + quality-filter + PII-scrub pipeline.
+
+One declarative DataFrame job over the source-code corpus
+``(repo, path, commit, lang, content)``:
+
+    scan → salt-keyed repartition (skew) → SQL metric projection →
+    keep/drop decision (pure SQL, first-match drop_reason) → regex scrub →
+    [optional] model scorers (perplexity, langid, gzip bits/char) on
+    SURVIVORS only → labels + metrics + lineage
+
+Plan shape (verified in PLANS.md): the metric projection and decision are one
+whole-stage-codegen span over the scan; pandas-UDF scorers run after the keep
+filter so Python never sees dropped rows (SURVEY §4.2.1 — Catalyst will not
+reorder across a Python UDF, so the cheap-rules-first order is built in by
+construction). The only shuffle is the optional salt repartition.
+
+Scale: at 10^12 files the job is embarrassingly parallel per file; skew comes
+from giant repos when downstream writes partition by repo — the salt column
+breaks that deterministically (functions/hashing.salt). Resumability: pair
+with sources/checkpoint.anti_join_resume on (repo, path, commit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.compress import bits_per_char, char_perplexity_udf, gzip_length_udf, langid_udf
+from ..functions.hashing import salt
+from ..functions.quality import with_keep_decision, with_quality_metrics
+from ..functions.scrub import with_scrub
+from .source_files import source_files
+
+LABEL_COLUMNS = [
+    "doc_id", "repo", "path", "commit", "lang",
+    "n_lines", "max_line_len", "avg_line_len", "dup_line_frac",
+    "alnum_ratio", "word_count", "langid_score",
+    "keep", "drop_reason",
+    "content_scrubbed", "scrub_applied", "content_sha256", "scrubbed_sha256",
+]
+
+
+def quality_filter(
+    df: DataFrame,
+    *,
+    content_col: str = "content",
+    thresholds: dict | None = None,
+    salt_buckets: int | None = None,
+    with_model_scores: bool = False,
+) -> DataFrame:
+    """Apply the full filter to a (repo, path, commit, lang, content) frame."""
+    out = df
+    if salt_buckets:
+        out = out.repartition(salt_buckets, salt(["repo", "path"], salt_buckets))
+    out = with_quality_metrics(out, content_col)
+    out = with_keep_decision(out, thresholds)
+    out = with_scrub(out, content_col)
+    if with_model_scores:
+        # Python scorers only on rows that survived the SQL rules: dropped
+        # rows keep null scores and never cross the Arrow boundary.
+        c = F.col(content_col)
+        keep = F.col("keep")
+        out = out.withColumns(
+            {
+                "gzip_len": F.when(keep, gzip_length_udf()(c)),
+                "lang_id": F.when(keep, langid_udf()(c)),
+                "perplexity": F.when(keep, char_perplexity_udf()(c)),
+            }
+        )
+        out = (
+            out.withColumn("bits_per_char", bits_per_char(c, "gzip_len"))
+            .withColumn("lang_pred", F.col("lang_id.lang_pred"))
+            .withColumn("lang_conf", F.col("lang_id.lang_conf"))
+            .drop("lang_id")
+        )
+    return out
+
+
+def run_quality_filter(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    thresholds: dict | None = None,
+    salt_buckets: int | None = None,
+    with_model_scores: bool = False,
+) -> DataFrame:
+    """sf_dir → derived source_files corpus → full filter, label columns."""
+    corpus = source_files(spark, sf_dir)
+    out = quality_filter(
+        corpus,
+        thresholds=thresholds,
+        salt_buckets=salt_buckets,
+        with_model_scores=with_model_scores,
+    )
+    cols = list(LABEL_COLUMNS)
+    if with_model_scores:
+        cols += ["gzip_len", "bits_per_char", "lang_pred", "lang_conf", "perplexity"]
+    return out.select(*cols)

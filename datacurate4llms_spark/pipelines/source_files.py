@@ -1,0 +1,149 @@
+"""Deterministic synthetic source-code corpus (BASELINE.json ``input_hint``).
+
+The north-rule input is an Iceberg table ``(repo, path, commit, lang,
+content)``. This sandbox has no external data, so the corpus is **derived
+deterministically from the driver's ``documents`` table** with pure SQL
+expressions implemented twice — once as Spark columns, once as DuckDB oracle
+SQL — so every quality-filter query stays oracle-checkable end to end.
+
+Derivation (seed-free — pure integer/string functions of ``doc_id``):
+
+- ``repo``: Zipf-ish skew — every third file lands in ``repo_00`` (the "giant
+  repo" that exercises salt-keyed repartition, FIXTURES.md §1), the rest
+  spread over 40 repos;
+- ``path``/``lang``: language mapped from the document's lang column;
+- ``commit``: md5 of the doc id (40-hex via two md5 halves);
+- ``content``: the document text plus injected pathologies on fixed residue
+  classes — PII (emails/IPs), boilerplate repetition, very long lines, hex
+  secrets, low-alnum junk — each triggering exactly one scrub/quality rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LANG_MAP = {"en": "python", "de": "java", "fr": "go", "es": "js", "zh": "c"}
+EXT_MAP = {"python": "py", "java": "java", "go": "go", "js": "js", "c": "c"}
+
+# residue classes for injected pathologies (mutually visible but distinct
+# enough that each rule fires on a known subset)
+MOD_EMAIL = 13   # PII: email + IP appended
+MOD_BOILER = 17  # repeated boilerplate lines
+MOD_LONGLINE = 19  # one 400-char line
+MOD_SECRET = 23  # 64-hex "secret key"
+MOD_JUNK = 29    # low-alnum junk content
+
+
+def source_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → (repo, path, commit, lang, content, doc_id)."""
+    d = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    i = F.col("doc_id")
+
+    repo_id = F.when(i % 3 == 0, F.lit(0)).otherwise(i % 40)
+    repo = F.concat(F.lit("repo_"), F.lpad(repo_id.cast("string"), 2, "0"))
+
+    lang_expr = F.col("lang")
+    code_lang = lang_expr
+    for k, v in LANG_MAP.items():
+        code_lang = F.when(lang_expr == k, F.lit(v)).otherwise(code_lang)
+    ext = code_lang
+    for k, v in EXT_MAP.items():
+        ext = F.when(code_lang == k, F.lit(v)).otherwise(ext)
+
+    path = F.concat(
+        F.lit("src/"), F.col("source"), F.lit("/f_"), i.cast("string"), F.lit("."), ext
+    )
+    commit = F.concat(
+        F.substring(F.md5(F.concat(F.lit("c"), i.cast("string"))), 1, 20),
+        F.substring(F.md5(F.concat(F.lit("d"), i.cast("string"))), 1, 20),
+    )
+
+    nl = F.lit("\n")
+    content = F.col("text")
+    content = F.when(
+        i % MOD_JUNK == 0,
+        F.concat(F.lit("$#@! %^&* ()[]{} "), F.repeat(F.lit("$#@!%^&* "), 30)),
+    ).otherwise(content)
+    content = F.when(
+        i % MOD_EMAIL == 0,
+        F.concat(
+            content, nl,
+            F.lit("contact: user"), i.cast("string"), F.lit("@example.com ip=10.0.0."),
+            (i % 256).cast("string"),
+        ),
+    ).otherwise(content)
+    content = F.when(
+        i % MOD_BOILER == 0,
+        F.concat(content, F.repeat(F.concat(nl, F.lit("# auto-generated boilerplate")), 8)),
+    ).otherwise(content)
+    content = F.when(
+        i % MOD_LONGLINE == 0,
+        F.concat(content, nl, F.repeat(F.lit("x"), 400)),
+    ).otherwise(content)
+    content = F.when(
+        i % MOD_SECRET == 0,
+        F.concat(
+            content, nl, F.lit('secret_key = "'),
+            F.md5(F.concat(F.lit("k"), i.cast("string"))),
+            F.md5(F.concat(F.lit("l"), i.cast("string"))),
+            F.lit('"'),
+        ),
+    ).otherwise(content)
+
+    return d.select(
+        F.col("doc_id"),
+        repo.alias("repo"),
+        path.alias("path"),
+        commit.alias("commit"),
+        code_lang.alias("lang"),
+        content.alias("content"),
+    )
+
+
+def source_files_sql() -> str:
+    """DuckDB CTE body producing the identical table from the ``documents``
+    view. Keep in lockstep with :func:`source_files` — the parity tests and
+    the driver's oracle both diff the two.
+    """
+    lang_case = "case lang " + " ".join(
+        f"when '{k}' then '{v}'" for k, v in LANG_MAP.items()
+    ) + " else lang end"
+    ext_case = "case " + " ".join(
+        f"when {lang_case} = '{k}' then '{v}'" for k, v in EXT_MAP.items()
+    ) + f" else {lang_case} end"
+    return f"""
+    select
+      doc_id,
+      'repo_' || lpad(cast(case when doc_id % 3 = 0 then 0 else doc_id % 40 end as varchar), 2, '0') as repo,
+      'src/' || source || '/f_' || cast(doc_id as varchar) || '.' || ({ext_case}) as path,
+      substr(md5('c' || cast(doc_id as varchar)), 1, 20)
+        || substr(md5('d' || cast(doc_id as varchar)), 1, 20) as "commit",
+      {lang_case} as lang,
+      (
+        (
+          (
+            (
+              (case when doc_id % {MOD_JUNK} = 0
+                    then '$#@! %^&* ()[]{{}} ' || repeat('$#@!%^&* ', 30)
+                    else text end)
+              || (case when doc_id % {MOD_EMAIL} = 0
+                       then chr(10) || 'contact: user' || cast(doc_id as varchar)
+                            || '@example.com ip=10.0.0.' || cast(doc_id % 256 as varchar)
+                       else '' end)
+            )
+            || (case when doc_id % {MOD_BOILER} = 0
+                     then repeat(chr(10) || '# auto-generated boilerplate', 8)
+                     else '' end)
+          )
+          || (case when doc_id % {MOD_LONGLINE} = 0
+                   then chr(10) || repeat('x', 400) else '' end)
+        )
+        || (case when doc_id % {MOD_SECRET} = 0
+                 then chr(10) || 'secret_key = "'
+                      || md5('k' || cast(doc_id as varchar))
+                      || md5('l' || cast(doc_id as varchar)) || '"'
+                 else '' end)
+      ) as content
+    from documents
+    """

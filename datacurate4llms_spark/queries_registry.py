@@ -548,3 +548,133 @@ def q_tpch3(spark, sf_dir):
         .agg(_r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
         .select("o_orderkey", "revenue", "o_orderdate")
     )
+
+
+# ---------------------------------------------------------------------------
+# North-rule quality-filter suite (SURVEY §7.2 phase 5) — over the derived
+# source_files corpus so every stage is oracle-checkable.
+# ---------------------------------------------------------------------------
+
+from .functions.quality import drop_reason_sql, metrics_sql  # noqa: E402
+from .functions.scrub import scrub_sql  # noqa: E402
+from .pipelines.source_files import source_files, source_files_sql  # noqa: E402
+
+_M = metrics_sql("content")
+_QF_METRICS_CTE = f"""
+    with source_files as ({source_files_sql()}),
+    m as (
+      select doc_id, repo, path, "commit", lang, content,
+             {_M['n_lines']} as n_lines,
+             {_M['max_line_len']} as max_line_len,
+             {_M['avg_line_len']} as avg_line_len,
+             {_M['dup_line_frac']} as dup_line_frac,
+             {_M['alnum_ratio']} as alnum_ratio,
+             {_M['word_count']} as word_count,
+             {_M['langid_score']} as langid_score
+      from source_files
+    )
+"""
+
+
+@_register(
+    "qf_source_files",
+    f"with source_files as ({source_files_sql()}) "
+    'select doc_id, repo, path, "commit" as commit_sha, lang, content from source_files',
+)
+def q_qf_corpus(spark, sf_dir):
+    return source_files(spark, sf_dir).select(
+        "doc_id", "repo", "path", F.col("commit").alias("commit_sha"), "lang", "content"
+    )
+
+
+@_register(
+    "qf_metrics",
+    _QF_METRICS_CTE
+    + """
+    select doc_id, n_lines, max_line_len,
+           round(cast(avg_line_len as double), 6) as avg_line_len,
+           round(cast(dup_line_frac as double), 6) as dup_line_frac,
+           round(cast(alnum_ratio as double), 6) as alnum_ratio,
+           word_count,
+           round(cast(langid_score as double), 6) as langid_score
+    from m
+    """,
+)
+def q_qf_metrics(spark, sf_dir):
+    from .functions.quality import with_quality_metrics
+
+    out = with_quality_metrics(source_files(spark, sf_dir), "content")
+    return out.select(
+        "doc_id", "n_lines", "max_line_len",
+        _r6(F.col("avg_line_len")).alias("avg_line_len"),
+        _r6(F.col("dup_line_frac")).alias("dup_line_frac"),
+        _r6(F.col("alnum_ratio")).alias("alnum_ratio"),
+        "word_count",
+        _r6(F.col("langid_score")).alias("langid_score"),
+    )
+
+
+@_register(
+    "qf_keep_drop",
+    _QF_METRICS_CTE
+    + f"""
+    select doc_id, repo, path,
+           ({drop_reason_sql()}) is null as keep,
+           coalesce({drop_reason_sql()}, '') as drop_reason
+    from m
+    """,
+)
+def q_qf_keep(spark, sf_dir):
+    from .functions.quality import with_keep_decision, with_quality_metrics
+
+    out = with_keep_decision(with_quality_metrics(source_files(spark, sf_dir), "content"))
+    return out.select(
+        "doc_id", "repo", "path", "keep",
+        F.coalesce(F.col("drop_reason"), F.lit("")).alias("drop_reason"),
+    )
+
+
+@_register(
+    "qf_scrub",
+    f"""
+    with source_files as ({source_files_sql()})
+    select doc_id,
+           {scrub_sql('content')} as content_scrubbed,
+           content <> {scrub_sql('content')} as scrub_applied,
+           sha256(content) as content_sha256,
+           sha256({scrub_sql('content')}) as scrubbed_sha256
+    from source_files
+    """,
+)
+def q_qf_scrub(spark, sf_dir):
+    from .functions.scrub import with_scrub
+
+    out = with_scrub(source_files(spark, sf_dir), "content")
+    return out.select(
+        "doc_id", "content_scrubbed", "scrub_applied", "content_sha256", "scrubbed_sha256"
+    )
+
+
+@_register(
+    "qf_sha_invariant_violations",
+    f"""
+    with source_files as ({source_files_sql()})
+    select doc_id from source_files
+    where content = {scrub_sql('content')}
+      and sha256(content) <> sha256({scrub_sql('content')})
+    """,
+)
+def q_qf_sha(spark, sf_dir):
+    from .functions.scrub import with_scrub
+
+    out = with_scrub(source_files(spark, sf_dir), "content")
+    return out.filter(
+        (~F.col("scrub_applied")) & (F.col("content_sha256") != F.col("scrubbed_sha256"))
+    ).select("doc_id")
+
+
+@_register("qf_full_pipeline")  # model scorers included → rows-only check
+def q_qf_full(spark, sf_dir):
+    from .pipelines.quality_filter import run_quality_filter
+
+    return run_quality_filter(spark, sf_dir, with_model_scores=True)

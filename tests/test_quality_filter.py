@@ -1,0 +1,97 @@
+"""North-rule gates: keep/drop F1 ≥ 0.99 vs the reference labeler, sha256
+invariant for unscrubbed rows, keep ∪ drop partition property (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from conftest import SF_CORRECT
+
+from datacurate4llms_spark.oracle.labels import f1_keep, reference_labels
+from datacurate4llms_spark.pipelines.quality_filter import run_quality_filter
+from datacurate4llms_spark.pipelines.source_files import source_files
+
+
+@pytest.fixture(scope="module")
+def engine_out(spark):
+    return (
+        run_quality_filter(spark, SF_CORRECT)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def ref_out(spark):
+    corpus = source_files(spark, SF_CORRECT).toPandas()
+    return reference_labels(corpus).sort_values("doc_id").reset_index(drop=True)
+
+
+def test_keep_f1_gate(engine_out, ref_out):
+    f1 = f1_keep(ref_out["keep"], engine_out["keep"])
+    assert f1 >= 0.99, f"keep/drop F1 {f1} below gate"
+    assert f1 == 1.0  # deterministic corpus + shared thresholds ⇒ exact
+
+
+def test_drop_reasons_match_reference(engine_out, ref_out):
+    assert engine_out["drop_reason"].fillna("").tolist() == ref_out["drop_reason"].fillna("").tolist()
+    # the corpus engineers every rule to fire at least once
+    fired = set(engine_out["drop_reason"].dropna())
+    assert {"long_lines", "low_alnum", "repetition"} <= fired
+
+
+def test_scrubbed_text_matches_reference(engine_out, ref_out):
+    assert engine_out["content_scrubbed"].tolist() == ref_out["content_scrubbed"].tolist()
+
+
+def test_sha256_invariant_when_untouched(engine_out):
+    untouched = engine_out[~engine_out["scrub_applied"]]
+    assert len(untouched) > 0
+    assert (untouched["content_sha256"] == untouched["scrubbed_sha256"]).all()
+    touched = engine_out[engine_out["scrub_applied"]]
+    assert len(touched) > 0
+    assert (touched["content_sha256"] != touched["scrubbed_sha256"]).all()
+
+
+def test_keep_drop_partition_property(engine_out):
+    assert (engine_out["keep"] == engine_out["drop_reason"].isna()).all()
+
+
+def test_scrub_markers_present(engine_out):
+    scrubbed_text = " ".join(engine_out["content_scrubbed"])
+    for marker in ["<EMAIL>", "<IP>", "<KEY>"]:
+        assert marker in scrubbed_text
+    # no raw PII survives
+    import re
+
+    assert not re.search(r"@example\.com", scrubbed_text)
+    assert not re.search(r"\b10\.0\.0\.\d+\b", scrubbed_text)
+
+
+def test_salted_run_identical(spark, engine_out):
+    salted = (
+        run_quality_filter(spark, SF_CORRECT, salt_buckets=16)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(salted, engine_out)
+
+
+def test_model_scores_only_on_survivors(spark):
+    out = (
+        run_quality_filter(spark, SF_CORRECT, with_model_scores=True)
+        .select("doc_id", "keep", "gzip_len", "perplexity", "lang_pred", "bits_per_char")
+        .toPandas()
+    )
+    kept = out[out["keep"]]
+    dropped = out[~out["keep"]]
+    assert kept["gzip_len"].notna().all()
+    assert kept["perplexity"].notna().all()
+    assert kept["lang_pred"].notna().all()
+    assert dropped["gzip_len"].isna().all()
+    assert dropped["perplexity"].isna().all()
+    assert (kept["bits_per_char"] > 0).all()
