@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Workload sizes are fixed constants so runs are
+comparable across rounds and parallelism levels (scripts/scaling_bench.py runs
+this same suite at local[8] vs local[32] for the N→4N scaling evidence).
+
+Headline suite:
+  qf_pipeline       north-rule quality filter (metrics+rules+scrub+scorers)
+                    over the corpus replicated x{REPLICATE} (~{REPLICATE}*5k files)
+  selection         flagship facility-location selection, 10% of documents
+  knn_topk          exact top-10 cosine neighbours over all embeddings (n^2 HOF dot)
+  dedup_exact       exact-hash dedup over the replicated corpus
+  tpch_q1 / q3      scan-agg + 3-way broadcast join on lineitem/orders/customer
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "20"))
+
+
+def replicated_corpus(spark, sf_dir: str, factor: int):
+    """Deterministically replicate the derived corpus: copy i remaps
+    doc_id -> doc_id + i*10^7 (content identical -> exercises dedup too)."""
+    from pyspark.sql import functions as F
+
+    from datacurate4llms_spark.functions.hashing import salt
+    from datacurate4llms_spark.pipelines.source_files import source_files
+
+    base = source_files(spark, sf_dir)
+    copies = spark.range(factor).select(F.col("id").alias("copy_id"))
+    out = (
+        base.crossJoin(copies)
+        .withColumn("doc_id", F.col("doc_id") + F.col("copy_id") * 10_000_000)
+        .withColumn("path", F.concat(F.col("path"), F.lit("#"), F.col("copy_id")))
+        .drop("copy_id")
+    )
+    # the sandbox parquet is one tiny file -> one input split; salt-keyed
+    # repartition (north rule) is what spreads the corpus across executors
+    # exactly as it would spread skewed giant repos at 100 TB
+    buckets = CPUS * 3
+    return out.repartition(buckets, salt(["repo", "path"], buckets))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from datacurate4llms_spark.deploy import ensure_workers_can_import
+    from datacurate4llms_spark.session import get_spark
+
+    # sandbox parquet files are tiny (one 128 MB-split each); shrink splits so
+    # scans parallelize the way many-file 100 TB tables do naturally
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+        extra_confs={"spark.sql.files.maxPartitionBytes": str(256 * 1024)},
+    )
+    ensure_workers_can_import(spark)
+
+    timings: dict[str, float] = {}
+    n_files = 0
+
+    def timed(name: str, fn) -> None:
+        nonlocal n_files
+        t0 = time.perf_counter()
+        result = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        if name == "qf_pipeline":
+            n_files = result
+
+    # --- qf_pipeline: the north-rule headline (files/sec basis)
+    def run_qf() -> int:
+        from datacurate4llms_spark.pipelines.quality_filter import quality_filter
+
+        corpus = replicated_corpus(spark, SF_DIR, REPLICATE)
+        out = quality_filter(corpus, with_model_scores=True)
+        # count() forces the full pipeline incl. scrub + scorers on survivors
+        return out.select("doc_id", "keep", "content_scrubbed", "perplexity").count()
+
+    # --- selection: flagship greedy over documents
+    def run_selection():
+        from datacurate4llms_spark.pipelines.selection_pipeline import run_selection
+
+        return run_selection(spark, SF_DIR, percent=10.0, num_folds=CPUS).count()
+
+    # --- knn: exact top-10 cosine neighbours, all embeddings (numpy block
+    # kernel via broadcast_knn — the fast path; the HOF-SQL formulation of the
+    # same query is the oracle-checked j3_knn_topk)
+    def run_knn():
+        from datacurate4llms_spark.operators.similarity import broadcast_knn
+
+        e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        return broadcast_knn(e, e, k=10).count()
+
+    # --- dedup_exact over the replicated corpus (every file has REPLICATE copies)
+    def run_dedup():
+        from datacurate4llms_spark.operators.dedup import exact_dedup
+
+        corpus = replicated_corpus(spark, SF_DIR, REPLICATE)
+        return exact_dedup(corpus, content_col="content", id_col="doc_id").count()
+
+    def run_q1():
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity"), F.avg("l_extendedprice"), F.count("*"))
+            .count()
+        )
+
+    def run_q3():
+        c = spark.read.parquet(f"{SF_DIR}/customer.parquet").filter(F.col("c_mktsegment") == "BUILDING")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_orderdate") < F.lit("1995-03-15").cast("date")
+        )
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").filter(
+            F.col("l_shipdate") > F.lit("1995-03-15").cast("date")
+        )
+        return (
+            c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+            .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderkey", "o_orderdate")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .count()
+        )
+
+    timed("qf_pipeline", run_qf)
+    timed("selection", run_selection)
+    timed("knn_topk", run_knn)
+    timed("dedup_exact", run_dedup)
+    timed("tpch_q1", run_q1)
+    timed("tpch_q3", run_q3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "cpus": CPUS,
+                "qf_files": n_files,
+                "qf_files_per_sec": round(n_files / timings["qf_pipeline"], 1)
+                if timings.get("qf_pipeline")
+                else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -8,6 +8,7 @@ for fully general Jinja2 templates.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -118,7 +119,6 @@ def jinja2_template_udf(template: str, columns: list[str]):
     Only needed when a template can't be expressed with higher-order
     functions; the compiled template is process-cached per executor.
     """
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")

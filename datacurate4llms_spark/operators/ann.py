@@ -1,0 +1,181 @@
+"""Approximate nearest neighbour search over embedding columns (SURVEY §2.4
+J3's FAISS IVFFlat analog, reimplemented Spark-first).
+
+Two paths, same contract (query_id, neighbour_id, sim, rank):
+
+- **brute force** (exact): query × corpus cosine + per-query top-k window.
+  O(|Q|·|C|) — the baseline and the verifier for the approximate path.
+- **multi-table LSH** (scale path): random-hyperplane signatures (Charikar
+  2002, angular LSH) with the classic (B, L) scheme — L independent tables of
+  B sign bits each; candidates = rows sharing the query's bucket in ≥ 1
+  table. Per-plane collision prob is 1−θ/π, so recall = 1−(1−p^B)^L: tune B
+  up for near-duplicate thresholds (tight buckets), down for weak similarity.
+  Shuffle volume is O(n·L) bucket keys — never n².
+
+Planes are *hash-derived* — plane[t,b,d] = hash32('plane', t·B+b, d)/2³¹ − 1
+∈ [−1, 1) — so the DuckDB oracle reproduces bucket assignment bit-for-bit
+with no shipped randomness, and executors need no broadcast.
+
+At 100 TB: bucket keys distribute uniformly by construction; AQE skew-join
+splitting covers pathological buckets (e.g. zero vectors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.hashing import hash32, hash32_sql
+from ..functions.vectors import cosine, cosine_sql
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    *,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbour_id, sim, rank)."""
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(emb_col).alias("_qe"))
+    c = corpus.select(F.col(corpus_id).alias("neighbour_id"), F.col(emb_col).alias("_ce"))
+    edges = q.join(c, F.col("query_id") != F.col("neighbour_id")).select(
+        "query_id", "neighbour_id", cosine(F.col("_qe"), F.col("_ce")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbour_id"))
+    return (
+        edges.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _plane_component(plane_no: int, d_idx: Column) -> Column:
+    """plane[plane_no][d] ∈ [−1, 1), derived from the shared hash."""
+    return (
+        hash32(F.lit(plane_no), d_idx, seed="plane").cast("double") / F.lit(2147483648.0)
+        - F.lit(1.0)
+    )
+
+
+def _dot_with_plane(v: Column, plane_no: int) -> Column:
+    idx = F.sequence(F.lit(0), F.size(v) - 1)
+    terms = F.transform(
+        idx, (lambda p: lambda i: F.get(v, i).cast("double") * _plane_component(p, i))(plane_no)
+    )
+    return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def lsh_bucket(emb: Column | str, table: int, num_planes: int) -> Column:
+    """Sign-bit bucket id for one hash table."""
+    v = F.col(emb) if isinstance(emb, str) else emb
+    bucket = F.lit(0).cast("bigint")
+    for b in range(num_planes):
+        plane_no = table * num_planes + b
+        bucket = bucket + F.when(_dot_with_plane(v, plane_no) > 0, F.lit(1 << b)).otherwise(
+            F.lit(0)
+        )
+    return bucket
+
+
+def lsh_bucket_sql(emb: str, table: int, num_planes: int) -> str:
+    """DuckDB twin of :func:`lsh_bucket` (bit-identical bucket ids)."""
+    bits = []
+    for b in range(num_planes):
+        plane_no = table * num_planes + b
+        comp = f"(cast({hash32_sql(str(plane_no), 'i', seed='plane')} as double) / 2147483648.0 - 1.0)"
+        dot = (
+            f"list_sum(list_transform(range(0, len({emb})), "
+            f"i -> cast({emb}[i+1] as double) * {comp}))"
+        )
+        bits.append(f"(case when {dot} > 0 then {1 << b} else 0 end)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _with_buckets(df: DataFrame, id_alias: str, id_col: str, emb_col: str,
+                  num_planes: int, num_tables: int) -> DataFrame:
+    """(table_no, bucket, id, emb) — one row per hash table (explode by L)."""
+    sig = df.select(
+        F.col(id_col).alias(id_alias),
+        F.col(emb_col).alias(f"_{id_alias}_e"),
+        *[lsh_bucket(emb_col, t, num_planes).alias(f"_b{t}") for t in range(num_tables)],
+    )
+    parts = None
+    for t in range(num_tables):
+        p = sig.select(
+            F.lit(t).alias("table_no"),
+            F.col(f"_b{t}").alias("bucket"),
+            id_alias,
+            f"_{id_alias}_e",
+        )
+        parts = p if parts is None else parts.unionByName(p)
+    return parts
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    *,
+    num_planes: int = 8,
+    num_tables: int = 8,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share a bucket in ≥ 1 of L tables."""
+    q = _with_buckets(queries, "query_id", query_id, emb_col, num_planes, num_tables)
+    c = _with_buckets(corpus, "neighbour_id", corpus_id, emb_col, num_planes, num_tables)
+    cands = (
+        q.join(c, ["table_no", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbour_id"))
+        .select("query_id", "neighbour_id", "_query_id_e", "_neighbour_id_e")
+        .distinct()
+    )
+    edges = cands.select(
+        "query_id",
+        "neighbour_id",
+        cosine(F.col("_query_id_e"), F.col("_neighbour_id_e")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbour_id"))
+    return (
+        edges.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_topk_sql(
+    k: int, num_planes: int = 8, num_tables: int = 8, query_limit: int = 20
+) -> str:
+    """Oracle for :func:`lsh_topk` over the ``embeddings`` view."""
+    tables = " union all ".join(
+        f"select {t} as table_no, {lsh_bucket_sql('embedding', t, num_planes)} as bucket, "
+        f"vec_id, embedding from sig_base"
+        for t in range(num_tables)
+    )
+    return f"""
+    with sig_base as (select vec_id, embedding from embeddings),
+    sig as ({tables}),
+    q as (select * from sig where vec_id < {query_limit}),
+    cands as (
+      select distinct q.vec_id as query_id, c.vec_id as neighbour_id
+      from q join sig c on q.table_no = c.table_no and q.bucket = c.bucket
+      where q.vec_id <> c.vec_id
+    ),
+    edges as (
+      select cd.query_id, cd.neighbour_id,
+             {cosine_sql('a.embedding', 'b.embedding')} as sim
+      from cands cd
+      join sig_base a on a.vec_id = cd.query_id
+      join sig_base b on b.vec_id = cd.neighbour_id
+    ),
+    ranked as (
+      select query_id, neighbour_id, sim,
+             row_number() over (partition by query_id order by sim desc, neighbour_id asc) as rank
+      from edges
+    )
+    select query_id, neighbour_id, round(cast(sim as double), 6) as sim, cast(rank as int) as rank
+    from ranked where rank <= {k}
+    """

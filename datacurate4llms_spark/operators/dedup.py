@@ -1,0 +1,314 @@
+"""Deduplication operators for large-scale training-data curation.
+
+Not in the reference (it dedups implicitly via submodular selection); these
+are the standard web-scale pipeline components (Lee et al. 2022
+"Deduplicating Training Data Makes Language Models Better"; Broder 1997
+resemblance/minhash; Charikar 2002 simhash), built Spark-first:
+
+- **exact**: hash-groupBy, one shuffle on md5(content); keep lowest id.
+- **MinHash + LSH**: shingle → K minhashes → B bands; candidate pairs share a
+  band bucket (equi-join on (band, hash) — a *shuffle hash join on a short
+  key*, never an n² cross join); verify candidates with exact Jaccard.
+- **n-gram Jaccard**: the verify kernel, usable standalone on bounded sets.
+- **SimHash**: 64-bit signature via a pandas UDF; near-pairs by pigeonhole —
+  split the signature into 4 16-bit chunks, pairs within hamming ≤ 3 must
+  share ≥ 1 chunk → equi-join on chunks, then bit_count(xor) filter.
+- **embedding cosine near-dup**: cosine ≥ τ pair table (exact, bounded input;
+  the scalable path is LSH bucketing in operators/ann.py).
+
+All hashes come from the cross-engine md5-hash32 (functions/hashing.py), so
+minhash signatures — and therefore candidate sets — are bit-identical in the
+DuckDB oracle. Dedup semantics: the canonical survivor of a duplicate group
+is the **lowest doc_id** ("keep first" under deterministic order).
+
+Scale notes: LSH candidate generation is the 100 TB-safe path — shuffle
+volume is O(n·B) band keys, and AQE's skew-join splitting handles hot buckets
+(e.g. boilerplate-heavy shingles). The Jaccard verify runs only on candidate
+pairs. Exact dedup's single wide shuffle can be replaced by a two-level
+(hash-prefix bucketed) variant when group-by memory binds.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.hashing import hash32, hash32_sql
+from ..functions.text import normalize_document, normalize_document_sql
+from ..functions.vectors import cosine
+
+NUM_MINHASHES = 12
+NUM_BANDS = 4  # 3 rows per band
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, content_col: str = "content", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per identical content (hash-groupBy dedup)."""
+    w = Window.partitionBy(F.md5(F.col(content_col))).orderBy(F.asc(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def duplicate_groups(df: DataFrame, content_col: str = "content", id_col: str = "doc_id") -> DataFrame:
+    """(content_hash, group_size, canonical_id) for groups with >1 member."""
+    return (
+        df.groupBy(F.md5(F.col(content_col)).alias("content_hash"))
+        .agg(
+            F.count("*").cast("bigint").alias("group_size"),
+            F.min(id_col).alias("canonical_id"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + jaccard (shared by minhash verify and standalone n-gram dedup)
+# ---------------------------------------------------------------------------
+
+
+def shingles(content: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text."""
+    c = F.col(content) if isinstance(content, str) else content
+    tokens = F.split(normalize_document(c), " ")
+    k = F.size(tokens) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(" ", *[F.get(tokens, i + j) for j in range(n)]),
+    )
+    return F.when(k >= 1, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_sql(content: str, n: int = 3) -> str:
+    toks = f"string_split({normalize_document_sql(content)}, ' ')"
+    parts = " || ' ' || ".join(f"__t[i+{j}]" for j in range(n))
+    return (
+        f"(case when len({toks}) >= {n} then "
+        f"list_distinct(list_transform(range(1, len({toks}) - {n - 1} + 1), "
+        f"i -> ({parts.replace('__t', toks)}))) "
+        f"else [] end)"
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """|A∩B| / |A∪B| over distinct-element arrays; 0 when the union is empty."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    uni = F.size(F.array_union(a, b)).cast("double")
+    return F.when(uni == 0.0, F.lit(0.0)).otherwise(inter / uni)
+
+
+def jaccard_sql(a: str, b: str) -> str:
+    return (
+        f"case when len(list_distinct(list_concat({a}, {b}))) = 0 then 0.0 "
+        f"else cast(len(list_intersect({a}, {b})) as double) "
+        f"/ cast(len(list_distinct(list_concat({a}, {b}))) as double) end"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_columns(sh: Column, num_hashes: int = NUM_MINHASHES) -> list[Column]:
+    """K independent minhashes: min over shingles of hash32(seed_k, shingle).
+    Empty shingle set → sentinel 2^32 (never collides with a real hash)."""
+    def hasher(k: int):
+        # NB: must be a 1-arg lambda — pyspark treats 2-arg transform lambdas
+        # as (element, index), which would silently rebind a default arg.
+        return lambda s: hash32(s, seed=f"mh{k}")
+
+    out = []
+    for k in range(num_hashes):
+        mh = F.array_min(F.transform(sh, hasher(k)))
+        out.append(F.coalesce(mh, F.lit(1 << 32)).alias(f"mh_{k}"))
+    return out
+
+
+def minhash_sql(shingle_expr: str, k: int) -> str:
+    return (
+        f"coalesce(list_min(list_transform({shingle_expr}, "
+        f"s -> {hash32_sql('s', seed=f'mh{k}')})), 4294967296)"
+    )
+
+
+def with_minhash(df: DataFrame, content_col: str = "content", n: int = 3) -> DataFrame:
+    sh = shingles(content_col, n)
+    return df.withColumn("_sh", sh).select("*", *minhash_columns(F.col("_sh"))).drop("_sh")
+
+
+def band_hashes(num_bands: int = NUM_BANDS, num_hashes: int = NUM_MINHASHES) -> list[Column]:
+    """Band key = hash32 over the band's minhash rows."""
+    rows = num_hashes // num_bands
+    return [
+        hash32(
+            *[F.col(f"mh_{b * rows + r}") for r in range(rows)], seed=f"band{b}"
+        ).alias(f"band_{b}")
+        for b in range(num_bands)
+    ]
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, content_col: str = "content", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct (i, j) pairs (i < j) sharing at least one LSH band bucket."""
+    sigs = with_minhash(df.select(id_col, content_col), content_col, n).select(
+        F.col(id_col).alias("_id"), *band_hashes()
+    )
+    # unpivot bands → (band_no, band_hash, id); equi-join per bucket
+    bands = None
+    for b in range(NUM_BANDS):
+        part = sigs.select(
+            F.lit(b).alias("band_no"), F.col(f"band_{b}").alias("band_hash"), F.col("_id")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    left = bands.select("band_no", "band_hash", F.col("_id").alias("i"))
+    right = bands.select("band_no", "band_hash", F.col("_id").alias("j"))
+    return (
+        left.join(right, ["band_no", "band_hash"])
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j")
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    n: int = 3,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard ≥ threshold."""
+    cands = lsh_candidate_pairs(df, content_col, id_col, n)
+    sh = df.select(F.col(id_col).alias("_id"), shingles(content_col, n).alias("_sh"))
+    a = sh.select(F.col("_id").alias("i"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col("_id").alias("j"), F.col("_sh").alias("_shb"))
+    return (
+        cands.join(a, "i")
+        .join(b, "j")
+        .withColumn("jaccard", jaccard(F.col("_sha"), F.col("_shb")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("i", "j", "jaccard")
+    )
+
+
+def near_dedup_minhash(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Drop every row that has a verified near-duplicate with a smaller id
+    ("keep first"). Transitive chains collapse to their minimum over repeated
+    application; single-pass matches the common one-shot dedup used in corpus
+    curation."""
+    dups = minhash_near_dup_pairs(df, content_col, id_col, threshold).select(
+        F.col("j").alias(id_col)
+    ).distinct()
+    return df.join(dups, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash (pandas UDF signature; near-pairs via chunk pigeonhole)
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    """64-bit simhash over whitespace tokens (Charikar 2002). Deterministic:
+    token hashes from md5. Shared by the UDF and the pytest oracle."""
+    import hashlib
+
+    acc = [0] * 64
+    for tok in text.split():
+        h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+        for b in range(64):
+            acc[b] += 1 if (h >> b) & 1 else -1
+    out = 0
+    for b in range(64):
+        if acc[b] > 0:
+            out |= 1 << b
+    return out - (1 << 64) if out >= (1 << 63) else out  # signed bigint
+
+
+def simhash_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def _simhash(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            yield s.map(lambda t: simhash64(t or ""))
+
+    return _simhash
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs within hamming ≤ max_hamming of each other's simhash.
+
+    Pigeonhole: with 4 chunks of 16 bits, hamming ≤ 3 ⇒ ≥ 1 identical chunk →
+    candidates come from 4 equi-joins (shuffle on 16-bit keys), then the exact
+    ``bit_count(xor)`` filter. No cross join at any scale.
+    """
+    sig = df.select(
+        F.col(id_col).alias("_id"), simhash_udf()(F.col(content_col)).alias("sig")
+    )
+    chunks = sig.select(
+        "_id",
+        "sig",
+        *[
+            F.shiftrightunsigned(F.col("sig"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c{c}")
+            for c in range(4)
+        ],
+    )
+    parts = None
+    for c in range(4):
+        p = chunks.select(F.lit(c).alias("chunk_no"), F.col(f"c{c}").alias("chunk"), "_id", "sig")
+        parts = p if parts is None else parts.unionByName(p)
+    left = parts.select("chunk_no", "chunk", F.col("_id").alias("i"), F.col("sig").alias("sig_i"))
+    right = parts.select("chunk_no", "chunk", F.col("_id").alias("j"), F.col("sig").alias("sig_j"))
+    ham = F.bit_count(F.col("sig_i").bitwiseXOR(F.col("sig_j")))
+    return (
+        left.join(right, ["chunk_no", "chunk"])
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact cosine ≥ τ pairs. Bounded-input variant; at scale route through
+    the LSH bucketing in operators/ann.py first."""
+    a = df.select(F.col(id_col).alias("i"), F.col(emb_col).alias("_ea"))
+    b = df.select(F.col(id_col).alias("j"), F.col(emb_col).alias("_eb"))
+    return (
+        a.join(b, F.col("i") < F.col("j"))
+        .withColumn("cos_sim", cosine(F.col("_ea"), F.col("_eb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("i", "j", "cos_sim")
+    )

@@ -1,0 +1,123 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed metadata.
+
+Net-new vs the reference (text-only), required by a 100 TB training-data
+pipeline. The Spark-side plumbing — schema, partition-friendly batching,
+``mapInPandas`` UDF signatures, Arrow batch shapes — is real and tested; the
+codec step itself is STUBBED (this container ships no PIL/ffmpeg/soundfile):
+``decode_stub=True`` substitutes a deterministic fake decoder so the
+distributed path is exercised end to end, and ``decode_stub=False`` raises a
+clearly-marked NotImplementedError at the exact seam where the real library
+call goes (shipped to executors via --archives in production).
+
+Media-table schema:
+
+    media(media_id bigint, media_type string,   -- 'image'|'audio'|'video'
+          payload binary,
+          meta struct<width:int, height:int, sample_rate:int,
+                      n_frames:int, codec:string>)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id bigint, media_type string, payload binary, "
+    "meta struct<width:int, height:int, sample_rate:int, n_frames:int, codec:string>"
+)
+
+
+def synthesize_media(spark: SparkSession, sf_dir: str, limit: int = 200) -> DataFrame:
+    """Deterministic fake media table derived from documents: payload =
+    utf-8 bytes of the text (opaque to the engine, as real media bytes are)."""
+    d = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").filter(
+        F.col("doc_id") < limit
+    )
+    mt = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    meta = F.struct(
+        ((F.col("doc_id") % 16 + 1) * 64).cast("int").alias("width"),
+        ((F.col("doc_id") % 9 + 1) * 64).cast("int").alias("height"),
+        F.lit(16000).cast("int").alias("sample_rate"),
+        ((F.col("doc_id") % 100) + 1).cast("int").alias("n_frames"),
+        F.lit("fake/v1").alias("codec"),
+    )
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        mt.alias("media_type"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+def _fake_decode_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for decode → feature-extract: seeded byte-level
+    statistics (the real path: PIL/torchvision decode → CNN features)."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal(dim).astype(np.float32).tolist()
+
+
+FEATURES_SCHEMA = "media_id bigint, media_type string, n_bytes int, features array<float>"
+
+
+def extract_features(media: DataFrame, dim: int = 8, decode_stub: bool = True) -> DataFrame:
+    """decode + feature-extract over Arrow batches (``mapInPandas``: one
+    python process per partition, batch-at-a-time — the right shape for a
+    codec that wants contiguous buffers)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not decode_stub:
+            raise NotImplementedError(
+                "real media decode requires PIL/soundfile/ffmpeg on executors "
+                "(ship via spark-submit --archives); set decode_stub=True for the "
+                "deterministic fake path"
+            )
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["payload"].map(len).astype("int32"),
+                    "features": pdf["payload"].map(lambda b: _fake_decode_features(bytes(b), dim)),
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id bigint, frame_no int, frame_payload binary"
+
+
+def sample_frames(media: DataFrame, every_n: int = 10, decode_stub: bool = True) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame (1→N flatMap
+    via mapInPandas). Frame payloads are deterministic byte slices in stub
+    mode; the real path seeks keyframes with ffmpeg."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not decode_stub:
+            raise NotImplementedError("real frame extraction requires ffmpeg on executors")
+        for pdf in batches:
+            rows: dict[str, list] = {"media_id": [], "frame_no": [], "frame_payload": []}
+            for _, r in pdf.iterrows():
+                if r["media_type"] != "video":
+                    continue
+                n = int(r["meta"]["n_frames"])
+                payload = bytes(r["payload"])
+                for f in range(0, n, every_n):
+                    rows["media_id"].append(r["media_id"])
+                    rows["frame_no"].append(f)
+                    start = (f * 7) % max(1, len(payload))
+                    rows["frame_payload"].append(payload[start : start + 16])
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

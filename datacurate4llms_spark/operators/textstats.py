@@ -1,0 +1,133 @@
+"""Text-analysis operators: token counting, fingerprinting, quality scoring,
+stopword-based language ID — all pure SQL expressions (JVM-side), each with a
+DuckDB twin.
+
+These extend the reference's text utilities (SURVEY §2.2) with the standard
+corpus-analysis columns a curation pipeline wants next to keep/drop labels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash32, hash32_sql
+
+# BPE-ish pre-tokenizer: word pieces or single non-space symbols (the common
+# GPT-2-style pre-split regex family, simplified to the RE2/Java common set).
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "de", "des", "un", "une", "dans"],
+    "es": ["el", "la", "los", "y", "es", "de", "un", "una", "en", "por"],
+}
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def token_count_ws(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(_c(text)), r"\s+")).cast("int")
+
+
+def token_count_ws_sql(expr: str) -> str:
+    return f"cast(len(regexp_split_to_array(trim({expr}), '\\s+')) as int)"
+
+
+def token_count_bpe(text: Column | str) -> Column:
+    """BPE-ish token count via the pre-split regex (proxy for LLM token cost)."""
+    return F.regexp_count(_c(text), F.lit(BPE_TOKEN_RE)).cast("int")
+
+
+def token_count_bpe_sql(expr: str) -> str:
+    return f"cast(len(regexp_extract_all({expr}, '{BPE_TOKEN_RE}')) as int)"
+
+
+def fingerprint(text: Column | str, mod: int = 2147483648) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash over
+    token hashes — acc = (acc*31 + hash32(token)) mod 2³¹."""
+    tokens = F.split(F.trim(F.lower(_c(text))), r"\s+")
+    hashed = F.transform(tokens, lambda t: hash32(t, seed="fp"))
+    return F.aggregate(
+        hashed,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: F.pmod(acc * 31 + x, F.lit(mod)),
+    )
+
+
+def fingerprint_sql(expr: str, mod: int = 2147483648) -> str:
+    toks = f"regexp_split_to_array(trim(lower({expr})), '\\s+')"
+    hashed = f"list_transform({toks}, t -> {hash32_sql('t', seed='fp')})"
+    return (
+        f"list_reduce(list_prepend(cast(0 as bigint), {hashed}), "
+        f"(acc, x) -> (acc * 31 + x) % {mod})"
+    )
+
+
+def stopword_fraction(text: Column | str, lang: str) -> Column:
+    """Fraction of whitespace tokens that are stopwords of ``lang``."""
+    words = STOPWORDS[lang]
+    tokens = F.split(F.trim(F.lower(_c(text))), r"\s+")
+    hits = F.size(F.filter(tokens, lambda t: t.isin(words)))
+    return hits.cast("double") / F.size(tokens).cast("double")
+
+
+def stopword_fraction_sql(expr: str, lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    toks = f"regexp_split_to_array(trim(lower({expr})), '\\s+')"
+    return (
+        f"cast(len(list_filter({toks}, t -> t in ({words}))) as double)"
+        f" / cast(len({toks}) as double)"
+    )
+
+
+def langid_stopwords(text: Column | str) -> Column:
+    """argmax-stopword-fraction language; 'unk' when all fractions are 0.
+    Ties break alphabetically (deterministic)."""
+    fracs = [(lang, stopword_fraction(text, lang)) for lang in sorted(STOPWORDS)]
+    best_lang = F.lit("unk")
+    best_frac = F.lit(0.0)
+    for lang, frac in fracs:
+        is_better = frac > best_frac
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_frac = F.when(is_better, frac).otherwise(best_frac)
+    return best_lang
+
+
+def langid_stopwords_sql(expr: str) -> str:
+    # same sequential argmax: later langs must beat strictly
+    out = "'unk'"
+    best = "0.0"
+    for lang in sorted(STOPWORDS):
+        frac = stopword_fraction_sql(expr, lang)
+        out = f"(case when {frac} > {best} then '{lang}' else {out} end)"
+        best = f"greatest({best}, {frac})"
+    return out
+
+
+def quality_score(
+    langid_score: Column | str,
+    alnum_ratio: Column | str,
+    dup_line_frac: Column | str,
+    word_count: Column | str,
+) -> Column:
+    """Composite [0,1] quality score over the SQL metrics:
+    0.3·langid + 0.3·alnum + 0.2·(1−dup) + 0.2·min(1, words/100)."""
+    return (
+        _c(langid_score) * 0.3
+        + _c(alnum_ratio) * 0.3
+        + (F.lit(1.0) - _c(dup_line_frac)) * 0.2
+        + F.least(F.lit(1.0), _c(word_count).cast("double") / 100.0) * 0.2
+    )
+
+
+def quality_score_sql(langid="langid_score", alnum="alnum_ratio",
+                      dup="dup_line_frac", words="word_count") -> str:
+    return (
+        f"({langid} * 0.3 + {alnum} * 0.3 + (1.0 - {dup}) * 0.2 "
+        f"+ least(1.0, cast({words} as double) / 100.0) * 0.2)"
+    )

@@ -1,0 +1,64 @@
+"""End-to-end clustering pipeline (reference entry point 2,
+data_clustering.py:227-281 / SURVEY §3.2):
+
+    load → template text → encode → diversity metrics → facility-location
+    full greedy curve → knee-detect k → centers = first-k picks → argmax
+    assignment → per-cluster rank → nested sink shape
+
+Spark layout: the greedy curve runs per-fold exactly like selection (here one
+"fold" because the curve must be global to pick centers — bounded input by
+contract, same as the reference's single-process clustering); everything
+before and after is distributed. The collected gain curve is n floats — the
+only driver-side data (knee detection, O2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.encoders import embed_dataframe
+from ..operators.clustering import assign_to_clusters, detect_optimal_clusters, group_clusters
+from ..operators.selection import select_per_fold
+
+
+def run_clustering(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    num_clusters: int | None = None,
+    dim: int = 16,
+    limit: int | None = None,
+) -> DataFrame:
+    """documents → (doc_id, cluster_id, similarity_to_center, rank_in_cluster).
+
+    ``num_clusters=None`` → knee of the greedy gain curve (reference
+    detect_optimal_clusters, data_clustering.py:171-186).
+    """
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    if limit:
+        docs = docs.filter(F.col("doc_id") < limit)
+    embedded = embed_dataframe(docs.select("doc_id", "text"), "text", "embedding", dim=dim)
+
+    # full greedy curve: budget = n-1 (data_clustering.py:249-250), one fold
+    curve = select_per_fold(
+        embedded, id_col="doc_id", emb_col="embedding", num_folds=1, percent=100.0
+    ).orderBy("pick_order")
+
+    picks = curve.select("doc_id", "pick_order", "gain").collect()
+    gains = [r.gain for r in picks]
+    k = num_clusters or detect_optimal_clusters(gains)
+    k = max(1, min(k, len(picks)))
+
+    center_map = spark.createDataFrame(
+        [(r.doc_id, r.pick_order) for r in picks[:k]], "doc_id bigint, center_id int"
+    )
+    centers = embedded.join(F.broadcast(center_map), "doc_id").select(
+        "center_id", F.col("embedding").alias("cemb")
+    )
+    # J4 assignment: centers are the first-k greedy picks, identified by their
+    # pick order (reference uses positional indices[:k], data_clustering.py:160)
+    assigned = assign_to_clusters(embedded, centers, id_col="doc_id", emb_col="embedding")
+    return group_clusters(assigned, docs.select("doc_id", "lang", "source"), "doc_id").select(
+        "doc_id", "cluster_id", "similarity_to_center", "rank_in_cluster", "lang", "source"
+    )

@@ -678,3 +678,403 @@ def q_qf_full(spark, sf_dir):
     from .pipelines.quality_filter import run_quality_filter
 
     return run_quality_filter(spark, sf_dir, with_model_scores=True)
+
+
+# ---------------------------------------------------------------------------
+# Dedup suite (exact / minhash-LSH / n-gram jaccard / simhash / embedding)
+# ---------------------------------------------------------------------------
+
+from .operators import ann as ANN  # noqa: E402
+from .operators import dedup as DD  # noqa: E402
+from .operators import textstats as TS  # noqa: E402
+
+# corpus with injected duplicates: every doc_id % 10 == 0 gets an exact copy
+# (id + 100000) and a near copy with one extra token (id + 200000)
+_DUP_CORPUS_SQL = """
+    select doc_id, text from documents
+    union all
+    select doc_id + 100000 as doc_id, text from documents where doc_id % 10 = 0
+    union all
+    select doc_id + 200000 as doc_id, text || ' extratoken' as text
+    from documents where doc_id % 10 = 0
+"""
+
+
+def _dup_corpus(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    near = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extratoken")).alias("text"),
+        )
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+@_register(
+    "dedup_exact_groups",
+    f"""
+    with corpus as ({_DUP_CORPUS_SQL})
+    select md5(text) as content_hash, cast(count(*) as bigint) as group_size,
+           min(doc_id) as canonical_id
+    from corpus group by md5(text) having count(*) > 1
+    """,
+)
+def q_dedup_groups(spark, sf_dir):
+    return DD.duplicate_groups(_dup_corpus(spark, sf_dir), content_col="text")
+
+
+@_register(
+    "dedup_exact_survivors",
+    f"""
+    with corpus as ({_DUP_CORPUS_SQL}),
+    ranked as (select doc_id, row_number() over (partition by md5(text) order by doc_id) rn
+               from corpus)
+    select doc_id from ranked where rn = 1
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    return DD.exact_dedup(_dup_corpus(spark, sf_dir), content_col="text").select("doc_id")
+
+
+@_register(
+    "dedup_minhash_signatures",
+    f"""
+    with corpus as (select doc_id, text from documents where doc_id < 100)
+    select doc_id,
+           {DD.minhash_sql(DD.shingles_sql('text'), 0)} as mh_0,
+           {DD.minhash_sql(DD.shingles_sql('text'), 1)} as mh_1,
+           {DD.minhash_sql(DD.shingles_sql('text'), 2)} as mh_2,
+           {DD.minhash_sql(DD.shingles_sql('text'), 3)} as mh_3
+    from corpus
+    """,
+)
+def q_minhash_sigs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select("doc_id", "text")
+    return DD.with_minhash(d, "text").select("doc_id", "mh_0", "mh_1", "mh_2", "mh_3")
+
+
+def _band_sql(b: int, rows: int = 3) -> str:
+    mh = [DD.minhash_sql(DD.shingles_sql("text"), b * rows + r) for r in range(rows)]
+    return hash32_sql(*mh, seed=f"band{b}")
+
+
+@_register(
+    "dedup_lsh_candidates",
+    f"""
+    with corpus as ({_DUP_CORPUS_SQL}),
+    small as (select * from corpus where doc_id % 10 = 0),
+    bands as (
+      {" union all ".join(
+          f"select {b} as band_no, {_band_sql(b)} as band_hash, doc_id from small"
+          for b in range(DD.NUM_BANDS))}
+    )
+    select distinct a.doc_id as i, b.doc_id as j
+    from bands a join bands b on a.band_no = b.band_no and a.band_hash = b.band_hash
+    where a.doc_id < b.doc_id
+    """,
+)
+def q_lsh_candidates(spark, sf_dir):
+    corpus = _dup_corpus(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    return DD.lsh_candidate_pairs(corpus, content_col="text")
+
+
+@_register(
+    "dedup_minhash_verified",
+    f"""
+    with corpus as ({_DUP_CORPUS_SQL}),
+    small as (select * from corpus where doc_id % 10 = 0),
+    bands as (
+      {" union all ".join(
+          f"select {b} as band_no, {_band_sql(b)} as band_hash, doc_id from small"
+          for b in range(DD.NUM_BANDS))}
+    ),
+    cands as (
+      select distinct a.doc_id as i, b.doc_id as j
+      from bands a join bands b on a.band_no = b.band_no and a.band_hash = b.band_hash
+      where a.doc_id < b.doc_id
+    ),
+    verified as (
+      select c.i, c.j,
+             {DD.jaccard_sql(DD.shingles_sql('x.text'), DD.shingles_sql('y.text'))} as jaccard
+      from cands c join small x on c.i = x.doc_id join small y on c.j = y.doc_id
+    )
+    select i, j, round(cast(jaccard as double), 6) as jaccard
+    from verified where jaccard >= 0.7
+    """,
+)
+def q_minhash_verified(spark, sf_dir):
+    corpus = _dup_corpus(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    out = DD.minhash_near_dup_pairs(corpus, content_col="text", threshold=0.7)
+    return out.select("i", "j", _r6(F.col("jaccard")).alias("jaccard"))
+
+
+@_register("dedup_simhash_pairs")  # python-oracle tested in tests/test_dedup.py
+def q_simhash_pairs(spark, sf_dir):
+    corpus = _dup_corpus(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    return DD.simhash_near_pairs(corpus, content_col="text", max_hamming=3)
+
+
+@_register(
+    "dedup_embedding_near",
+    f"""
+    select a.vec_id as i, b.vec_id as j,
+           round(cast({V.cosine_sql('a.embedding', 'b.embedding')} as double), 6) as cos_sim
+    from embeddings a join embeddings b on a.vec_id < b.vec_id
+    where {V.cosine_sql('a.embedding', 'b.embedding')} >= 0.3
+    """,
+)
+def q_embedding_near(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    out = DD.embedding_near_dup_pairs(e, threshold=0.3)
+    return out.select("i", "j", _r6(F.col("cos_sim")).alias("cos_sim"))
+
+
+# ---------------------------------------------------------------------------
+# ANN / similarity search
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ann_bruteforce_topk",
+    f"""
+    with q as (select * from embeddings where vec_id < 20),
+    edges as (
+      select q.vec_id as query_id, c.vec_id as neighbour_id,
+             {V.cosine_sql('q.embedding', 'c.embedding')} as sim
+      from q join embeddings c on q.vec_id <> c.vec_id
+    ),
+    ranked as (
+      select query_id, neighbour_id, sim,
+             row_number() over (partition by query_id order by sim desc, neighbour_id asc) as rank
+      from edges
+    )
+    select query_id, neighbour_id, round(cast(sim as double), 6) as sim, cast(rank as int) as rank
+    from ranked where rank <= 5
+    """,
+)
+def q_ann_brute(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    out = ANN.brute_force_topk(e.filter(F.col("vec_id") < 20), e, k=5)
+    return out.select("query_id", "neighbour_id", _r6(F.col("sim")).alias("sim"), "rank")
+
+
+@_register("ann_lsh_topk", ANN.lsh_topk_sql(k=5, num_planes=3, num_tables=6, query_limit=20))
+def q_ann_lsh(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    out = ANN.lsh_topk(e.filter(F.col("vec_id") < 20), e, k=5, num_planes=3, num_tables=6)
+    return out.select("query_id", "neighbour_id", _r6(F.col("sim")).alias("sim"), "rank")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ts_token_counts",
+    f"""
+    select doc_id,
+           {TS.token_count_ws_sql('text')} as tokens_ws,
+           {TS.token_count_bpe_sql('text')} as tokens_bpe
+    from documents
+    """,
+)
+def q_token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TS.token_count_ws("text").alias("tokens_ws"),
+        TS.token_count_bpe("text").alias("tokens_bpe"),
+    )
+
+
+@_register(
+    "ts_fingerprint",
+    f"select doc_id, {TS.fingerprint_sql('text')} as fingerprint from documents",
+)
+def q_fingerprint(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", TS.fingerprint("text").alias("fingerprint")
+    )
+
+
+@_register(
+    "ts_langid_stopwords",
+    f"""
+    select doc_id,
+           {TS.langid_stopwords_sql('text')} as lang_pred,
+           round(cast({TS.stopword_fraction_sql('text', 'en')} as double), 6) as en_frac
+    from documents
+    """,
+)
+def q_langid_sw(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TS.langid_stopwords("text").alias("lang_pred"),
+        _r6(TS.stopword_fraction("text", "en")).alias("en_frac"),
+    )
+
+
+@_register(
+    "ts_quality_score",
+    _QF_METRICS_CTE
+    + f"""
+    select doc_id, round(cast({TS.quality_score_sql()} as double), 6) as quality_score
+    from m
+    """,
+)
+def q_quality_score(spark, sf_dir):
+    from .functions.quality import with_quality_metrics
+
+    m = with_quality_metrics(source_files(spark, sf_dir), "content")
+    score = TS.quality_score("langid_score", "alnum_ratio", "dup_line_frac", "word_count")
+    return m.select("doc_id", _r6(score).alias("quality_score"))
+
+
+# ---------------------------------------------------------------------------
+# Event-time analytics over the events table (batch form of the streaming ops)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ev_windowed_agg",
+    """
+    select cast(floor(epoch(ts) / 300) as bigint) as win,
+           event_type,
+           cast(count(*) as bigint) as n_events,
+           round(cast(sum(value) as double), 6) as total_value
+    from events
+    group by 1, 2
+    """,
+)
+def q_ev_window(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.floor(F.unix_timestamp("ts") / 300).cast("bigint").alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            _r6(F.sum("value")).alias("total_value"),
+        )
+    )
+
+
+@_register(
+    "ev_sessionization",
+    """
+    with gaps as (
+      select user_id, ts,
+             case when epoch(ts) - epoch(lag(ts) over (partition by user_id order by ts, event_id))
+                       > 1800 or lag(ts) over (partition by user_id order by ts, event_id) is null
+                  then 1 else 0 end as new_session
+      from events
+    ),
+    sess as (
+      select user_id,
+             sum(new_session) over (partition by user_id order by ts
+                                    rows between unbounded preceding and current row) as session_id
+      from gaps
+    )
+    select user_id, cast(session_id as bigint) as session_id,
+           cast(count(*) as bigint) as n_events
+    from sess group by user_id, session_id
+    """,
+)
+def q_ev_sessions(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, 0)
+    sess = gaps.withColumn("session_id", F.sum("new_session").over(w2))
+    return (
+        sess.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id"))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 metric variants + block-kernel fast path (same oracle shape as j1)
+# ---------------------------------------------------------------------------
+
+from .operators import similarity as SIM  # noqa: E402
+
+
+@_register(
+    "j1_euclidean_rbf",
+    f"""
+    with edges as (
+      select a.vec_id as i, b.vec_id as j,
+             {V.sqdist_sql('a.embedding', 'b.embedding')} as d2
+      from embeddings a join embeddings b on a.vec_id <> b.vec_id
+      where a.vec_id < 40 and b.vec_id < 40
+    ), stats as (select avg(d2) as mean_d2 from edges)
+    select i, j,
+           round(cast(1.0 / (1.0 + d2) as double), 6) as euclid_sim,
+           round(cast(exp(-d2 / (0.5 * mean_d2)) as double), 6) as rbf_sim
+    from edges, stats
+    """,
+)
+def q_j1_variants(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
+    eu = SIM.edge_table(e, metric="euclidean").withColumnRenamed("sim", "euclid_sim")
+    rb = SIM.edge_table(e, metric="rbf", rbf_kw=0.5).withColumnRenamed("sim", "rbf_sim")
+    return eu.join(rb, ["i", "j"]).select(
+        "i", "j", _r6(F.col("euclid_sim")).alias("euclid_sim"), _r6(F.col("rbf_sim")).alias("rbf_sim")
+    )
+
+
+@_register(
+    "j1_block_kernel",
+    f"""
+    select a.vec_id as i, b.vec_id as j,
+           round(cast({V.cosine_sql('a.embedding', 'b.embedding')} as double), 6) as sim
+    from embeddings a join embeddings b on a.vec_id <> b.vec_id
+    where a.vec_id < 60 and b.vec_id < 60
+    """,
+)
+def q_j1_block(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
+    out = SIM.block_edge_table(e, num_blocks=4, metric="cosine")
+    return out.select("i", "j", _r6(F.col("sim")).alias("sim"))
+
+
+@_register(
+    "j3_broadcast_knn",
+    f"""
+    with q as (select * from embeddings where vec_id < 25),
+    edges as (
+      select q.vec_id as query_id, c.vec_id as neighbour_id,
+             {V.cosine_sql('q.embedding', 'c.embedding')} as sim
+      from q join embeddings c on q.vec_id <> c.vec_id
+    ),
+    ranked as (
+      select query_id, neighbour_id, sim,
+             row_number() over (partition by query_id order by sim desc, neighbour_id asc) as rank
+      from edges
+    )
+    select query_id, neighbour_id, round(cast(sim as double), 6) as sim, cast(rank as int) as rank
+    from ranked where rank <= 7
+    """,
+)
+def q_j3_broadcast(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    out = SIM.broadcast_knn(e.filter(F.col("vec_id") < 25), e, k=7)
+    return out.select("query_id", "neighbour_id", _r6(F.col("sim")).alias("sim"), "rank")

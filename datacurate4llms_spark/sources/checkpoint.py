@@ -1,0 +1,87 @@
+"""Checkpoint / resume (SURVEY §2.1 S4-S6; north rule: "per-partition
+checkpointing ... with lineage + metrics tables so the run is resumable
+mid-corpus").
+
+The reference checkpoints embeddings as ``batch_<n>.h5`` files and resumes by
+skipping the first ``total_processed`` rows (data_subset_selection.py:162-173,
+209-221) — positional resume that cannot survive a shuffle. The Spark-native
+contract is **keyed** resume:
+
+    done  = checkpoint table (keys already processed)
+    todo  = input LEFT ANTI JOIN done ON key
+
+Writes are idempotent by partition directory; a killed run leaves complete
+parquet partitions that the anti-join skips on restart. On Iceberg the same
+flow uses snapshot isolation + MERGE; parquet-dir mode is the sandbox
+stand-in with identical semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def remaining(input_df: DataFrame, done_df: DataFrame, keys: list[str]) -> DataFrame:
+    """S5: rows of input not yet in the checkpoint (left anti join)."""
+    return input_df.join(done_df.select(*keys), keys, "left_anti")
+
+
+def checkpoint_exists(spark: SparkSession, path: str) -> bool:
+    try:
+        spark.read.parquet(path).limit(1).collect()
+        return True
+    except Exception:
+        return False
+
+
+def run_with_checkpoint(
+    spark: SparkSession,
+    input_df: DataFrame,
+    transform,
+    checkpoint_path: str,
+    keys: list[str],
+    batch_col: str = "batch_id",
+    num_batches: int = 8,
+) -> DataFrame:
+    """S4+S5: process input in deterministic key-hashed batches, appending
+    each completed batch to the checkpoint table; on restart only missing
+    keys are recomputed. Returns the full checkpointed result.
+
+    ``transform: DataFrame -> DataFrame`` must preserve the key columns.
+    Batch = hash32(keys) % num_batches — the reference's sequential
+    100k-row batches (:175-197) become content-addressed partitions that
+    are stable under any row order.
+    """
+    from ..functions.hashing import hash32
+
+    todo = input_df
+    if checkpoint_exists(spark, checkpoint_path):
+        done = spark.read.parquet(checkpoint_path)
+        todo = remaining(input_df, done, keys)
+
+    if not todo.isEmpty():
+        batched = todo.withColumn(
+            batch_col, (hash32(*keys, seed="ckpt") % F.lit(num_batches)).cast("int")
+        )
+        result = transform(batched)
+        (
+            result.write.mode("append")
+            .partitionBy(batch_col)
+            .parquet(checkpoint_path)
+        )
+    return spark.read.parquet(checkpoint_path)
+
+
+def compact(spark: SparkSession, path: str, target_partitions: int) -> None:
+    """S6: the reference's batch-file merge ≡ parquet compaction."""
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact"
+    df.coalesce(target_partitions).write.mode("overwrite").parquet(tmp)
+    # atomic-enough swap for local fs; Iceberg rewrite_data_files in prod
+    import shutil
+
+    shutil.rmtree(path)
+    os.rename(tmp, path)

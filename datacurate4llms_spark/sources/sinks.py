@@ -1,0 +1,64 @@
+"""Format-preserving sinks + metadata/lineage tables (SURVEY §2.1 S7-S9).
+
+Reference: ``_save_subset`` writes json/jsonl/csv/parquet matched to the
+input extension (data_subset_selection.py:495-505); selection metadata goes
+to npz (:400-411); clusters to a nested JSON dict (data_clustering.py:203-209).
+Here every sink is a DataFrame write; the npz becomes a queryable lineage
+table (north rule: "lineage + metrics tables").
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_EXT_FORMAT = {".json": "json", ".jsonl": "json", ".csv": "csv", ".parquet": "parquet"}
+
+
+def save_matching_format(df: DataFrame, output_path: str, single_file: bool = False) -> None:
+    """S7: write in the format implied by the output extension."""
+    ext = os.path.splitext(output_path)[1].lower()
+    fmt = _EXT_FORMAT.get(ext)
+    if fmt is None:
+        raise ValueError(f"unsupported output extension: {output_path}")
+    out = df.coalesce(1) if single_file else df
+    writer = out.write.mode("overwrite")
+    if fmt == "json":
+        writer.json(output_path)
+    elif fmt == "csv":
+        writer.option("header", True).csv(output_path)
+    else:
+        writer.parquet(output_path)
+
+
+def write_selection_metadata(selected: DataFrame, path: str, size_spec: str) -> None:
+    """S8: (size_spec, doc_id, fold, pick_order, gain) lineage table —
+    replaces np.savez(indices=…, gains=…)."""
+    (
+        selected.select(
+            F.lit(size_spec).alias("size_spec"), "doc_id", "fold", "pick_order", "gain"
+        )
+        .write.mode("append")
+        .partitionBy("size_spec")
+        .parquet(path)
+    )
+
+
+def write_metrics_table(df: DataFrame, path: str, run_id: str) -> None:
+    """North-rule metrics table: per-run row counts by decision."""
+    (
+        df.groupBy("keep", "drop_reason")
+        .agg(F.count("*").alias("n_files"))
+        .select(F.lit(run_id).alias("run_id"), "keep", "drop_reason", "n_files")
+        .write.mode("append")
+        .partitionBy("run_id")
+        .parquet(path)
+    )
+
+
+def write_clusters_json(grouped: DataFrame, path: str) -> None:
+    """S9: nested clusters sink (one JSON object per cluster, members sorted
+    by similarity desc — produced by operators.clustering.grouped_clusters_nested)."""
+    grouped.write.mode("overwrite").json(path)

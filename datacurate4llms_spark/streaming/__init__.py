@@ -1,0 +1,2 @@
+"""Structured Streaming variants of the batch operators (net-new scope —
+the reference is batch-only, SURVEY §2.10)."""

@@ -1,0 +1,75 @@
+"""Streaming event analytics + incremental curation (net-new vs the
+reference, which is batch-only — SURVEY §2.10; the driver's ``events`` table
+is the substrate).
+
+Design: every streaming op has a batch twin in queries_registry
+(ev_windowed_agg / ev_sessionization) with a DuckDB oracle; the streaming
+form is the same aggregation under a watermark, tested with
+``trigger(availableNow=True)`` against the batch answer — the standard
+"stream-batch equivalence" contract.
+
+At scale: file-source streams over an Iceberg/parquet landing zone give
+exactly-once incremental curation — the streaming analog of the
+checkpoint/anti-join resume in sources/checkpoint.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over the events parquet (schema pinned — streams
+    cannot infer)."""
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+
+
+def windowed_counts(events: DataFrame, window: str = "5 minutes",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling-window count+sum per event_type with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_quality_filter(files_stream: DataFrame) -> DataFrame:
+    """Incremental curation: the batch quality filter applied to a stream of
+    new files — stateless projection, so it runs unchanged under streaming."""
+    from ..functions.quality import with_keep_decision, with_quality_metrics
+    from ..functions.scrub import with_scrub
+
+    return with_scrub(with_keep_decision(with_quality_metrics(files_stream)))
+
+
+def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
+                      output_mode: str = "append") -> list:
+    """Drain a stream with availableNow into memory and return the rows —
+    used by tests to assert stream-batch equivalence. Pass
+    ``output_mode='complete'`` for windowed aggregations."""
+    import uuid
+
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"select * from {name}").collect()

@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence (BASELINE.json north rule: ≥ 0.8 throughput
+scaling efficiency from N to 4N executors).
+
+No real cluster exists in this sandbox, so per the driver protocol the same
+bench suite runs at two parallelism levels — local[8] (N) and local[32] (4N)
+— on identical input and configs; efficiency = T_N / (4 · T_4N). Results are
+written to BENCH.md.
+
+Run:  python scripts/scaling_bench.py [--replicate 60] [--runs 1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run_bench(cpus: int, replicate: int) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(cpus)
+    env["BENCH_REPLICATE"] = str(replicate)
+    out = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        capture_output=True, text=True, env=env, timeout=3600,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicate", type=int, default=60,
+                    help="corpus replication factor (bigger -> compute-dominated)")
+    ap.add_argument("--runs", type=int, default=1)
+    args = ap.parse_args()
+
+    results: dict[int, list[dict]] = {8: [], 32: []}
+    for _ in range(args.runs):
+        for cpus in (8, 32):
+            results[cpus].append(run_bench(cpus, args.replicate))
+
+    def med(cpus: int, key: str) -> float:
+        return statistics.median(r["queries"][key] for r in results[cpus])
+
+    queries = list(results[8][0]["queries"])
+    lines = [
+        "# BENCH — scaling evidence (N → 4N)",
+        "",
+        f"Same suite, same input (sf0.1, corpus ×{args.replicate} = "
+        f"{results[8][0]['qf_files']} files), identical configs except parallelism: "
+        f"`local[8]` (N) vs `local[32]` (4N). Median of {args.runs} run(s).",
+        "",
+        "| query | T_8 (s) | T_32 (s) | speedup | efficiency T8/(4·T32) |",
+        "|---|---|---|---|---|",
+    ]
+    t8_total = t32_total = 0.0
+    for q in queries:
+        t8, t32 = med(8, q), med(32, q)
+        t8_total += t8
+        t32_total += t32
+        lines.append(f"| {q} | {t8:.2f} | {t32:.2f} | {t8 / t32:.2f}× | {t8 / (4 * t32):.2f} |")
+    eff = t8_total / (4 * t32_total)
+    fps8 = statistics.median(r["qf_files"] / r["queries"]["qf_pipeline"] for r in results[8])
+    fps32 = statistics.median(r["qf_files"] / r["queries"]["qf_pipeline"] for r in results[32])
+    qf_eff = (fps32 / fps8) / 4
+    lines += [
+        f"| **total** | {t8_total:.2f} | {t32_total:.2f} | {t8_total / t32_total:.2f}× | **{eff:.2f}** |",
+        "",
+        f"qf_pipeline throughput: {fps8:,.0f} files/s at local[8] → {fps32:,.0f} files/s "
+        f"at local[32]; scaling efficiency **{qf_eff:.2f}** (gate: ≥ 0.8).",
+        "",
+        "Raw JSON:",
+        "```json",
+        *(json.dumps(r) for cpus in (8, 32) for r in results[cpus]),
+        "```",
+        "",
+    ]
+    (REPO / "BENCH.md").write_text("\n".join(lines))
+    print("\n".join(lines[:14]))
+    print(f"\nTOTAL efficiency: {eff:.3f}   qf files/sec efficiency: {qf_eff:.3f}")
+
+
+if __name__ == "__main__":
+    main()

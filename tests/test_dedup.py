@@ -1,0 +1,111 @@
+"""Dedup + ANN operators: python-oracle checks and semantic properties."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_CORRECT
+
+from datacurate4llms_spark.operators import ann as ANN
+from datacurate4llms_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    return spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat today"),
+            (1, "the cat sat on the mat today"),
+            (2, "the cat sat on the mat yesterday"),
+            (3, "completely different words entirely over here now"),
+            (4, "tiny"),
+        ],
+        "doc_id bigint, content string",
+    )
+
+
+def test_exact_dedup_keeps_lowest_id(toy):
+    assert sorted(r.doc_id for r in D.exact_dedup(toy).collect()) == [0, 2, 3, 4]
+    groups = D.duplicate_groups(toy).collect()
+    assert len(groups) == 1 and groups[0].canonical_id == 0 and groups[0].group_size == 2
+
+
+def test_minhash_near_dup_and_dedup(toy):
+    # identical docs share every band -> guaranteed candidate + jaccard 1.0
+    pairs = {(r.i, r.j): r.jaccard for r in D.minhash_near_dup_pairs(toy, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert all(i < j for i, j in pairs)
+    survivors = sorted(r.doc_id for r in D.near_dedup_minhash(toy, threshold=0.5).collect())
+    assert 1 not in survivors and 0 in survivors and 3 in survivors
+
+    # near-pair (0,2) has jaccard 2/3: collision is probabilistic per band —
+    # verify the *kernel* finds it when it is a candidate
+    sh = toy.select("doc_id", D.shingles("content").alias("sh")).toPandas()
+    s0 = set(sh[sh.doc_id == 0]["sh"].iloc[0])
+    s2 = set(sh[sh.doc_id == 2]["sh"].iloc[0])
+    assert abs(len(s0 & s2) / len(s0 | s2) - 2 / 3) < 1e-12
+
+
+def test_simhash_matches_python_oracle(toy):
+    got = {
+        r.doc_id: r.sig
+        for r in toy.select("doc_id", D.simhash_udf()(F.col("content")).alias("sig")).collect()
+    }
+    texts = {r.doc_id: r.content for r in toy.collect()}
+    for doc_id, text in texts.items():
+        assert got[doc_id] == D.simhash64(text)
+
+
+def test_simhash_near_pairs_pigeonhole(toy):
+    # exact duplicates -> hamming 0; must be found
+    pairs = {(r.i, r.j): r.hamming for r in D.simhash_near_pairs(toy, max_hamming=3).collect()}
+    assert pairs.get((0, 1)) == 0
+    # brute-force hamming vs operator output over all pairs <= 3
+    texts = {r.doc_id: r.content for r in toy.collect()}
+    sigs = {k: D.simhash64(v) for k, v in texts.items()}
+    ids = sorted(sigs)
+    expected = {
+        (i, j): bin((sigs[i] ^ sigs[j]) & ((1 << 64) - 1)).count("1")
+        for i in ids
+        for j in ids
+        if i < j
+    }
+    expected = {k: v for k, v in expected.items() if v <= 3}
+    # pigeonhole guarantees recall for hamming<=3 with 4 chunks
+    assert pairs == expected
+
+
+def test_jaccard_zip_properties(spark):
+    df = spark.createDataFrame([(1,)], "x int").select(
+        D.jaccard(F.array(F.lit("a"), F.lit("b")), F.array(F.lit("b"), F.lit("c"))).alias("j"),
+        D.jaccard(F.array().cast("array<string>"), F.array().cast("array<string>")).alias("empty"),
+    )
+    r = df.collect()[0]
+    assert abs(r.j - 1.0 / 3.0) < 1e-12
+    assert r.empty == 0.0
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    """LSH top-k must contain the true top-1 for most queries (recall check)
+    and every returned pair must be in the same bucket by construction."""
+    e = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 30)
+    brute = ANN.brute_force_topk(q, e, k=1).toPandas().set_index("query_id")
+    lsh = ANN.lsh_topk(q, e, k=5, num_planes=3, num_tables=8).toPandas()
+    found = 0
+    for qid, row in brute.iterrows():
+        hits = set(lsh[lsh["query_id"] == qid]["neighbour_id"])
+        if row["neighbour_id"] in hits:
+            found += 1
+    # B=3, L=8 at p~0.62: recall = 1-(1-p^3)^8 ~ 0.88 -> expect >= 20/30
+    assert found >= 20, f"LSH recall@top1 too low: {found}/30"
+
+
+def test_embedding_near_dup_threshold(spark):
+    e = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").filter(F.col("vec_id") < 100)
+    out = D.embedding_near_dup_pairs(e, threshold=0.3).toPandas()
+    assert (out["cos_sim"] >= 0.3).all()
+    assert (out["i"] < out["j"]).all()

@@ -1,0 +1,131 @@
+"""End-to-end tests: clustering pipeline, checkpoint/resume, streaming
+equivalence, multimodal plumbing, sinks."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_CORRECT, SF_SMOKE
+
+
+def test_clustering_pipeline_e2e(spark):
+    from datacurate4llms_spark.pipelines.clustering_pipeline import run_clustering
+
+    out = run_clustering(spark, SF_CORRECT, num_clusters=8, limit=200).toPandas()
+    assert len(out) == 200
+    assert out["cluster_id"].nunique() == 8
+    # centers are their own clusters with similarity exactly 1 (cosine self + additive)
+    per_cluster_max = out.groupby("cluster_id")["similarity_to_center"].max()
+    assert np.allclose(per_cluster_max, 1.0)
+    # rank 1 within each cluster is the most-similar member
+    r1 = out[out["rank_in_cluster"] == 1].set_index("cluster_id")["similarity_to_center"]
+    assert np.allclose(r1.sort_index(), per_cluster_max.sort_index())
+    assert (out["similarity_to_center"] >= 0).all() and (out["similarity_to_center"] <= 1.0 + 1e-12).all()
+
+
+def test_clustering_knee_detection_runs(spark):
+    from datacurate4llms_spark.operators.clustering import detect_optimal_clusters
+
+    # convex decreasing curve with an obvious knee at ~5
+    gains = [100.0, 50.0, 25.0, 12.0, 6.0, 5.5, 5.2, 5.1, 5.05, 5.0]
+    k = detect_optimal_clusters(gains)
+    assert 3 <= k <= 8
+    assert detect_optimal_clusters([1.0, 1.0]) == 50  # degenerate → default
+
+
+def test_checkpoint_resume_idempotent(spark, tmp_path):
+    from datacurate4llms_spark.sources.checkpoint import run_with_checkpoint
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").select("doc_id", "text")
+    ckpt = str(tmp_path / "ckpt")
+
+    def transform(df):
+        return df.withColumn("text_len", F.length("text"))
+
+    # first run: half the input (simulates a killed run that completed a subset)
+    first = run_with_checkpoint(
+        spark, docs.filter(F.col("doc_id") < 250), transform, ckpt, ["doc_id"]
+    )
+    assert first.count() == 250
+    # resume over the full input: only the missing 250 recompute
+    full = run_with_checkpoint(spark, docs, transform, ckpt, ["doc_id"])
+    assert full.count() == 500
+    # re-run is a no-op (idempotence)
+    again = run_with_checkpoint(spark, docs, transform, ckpt, ["doc_id"])
+    assert again.count() == 500
+    assert again.select("doc_id").distinct().count() == 500
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    import shutil
+
+    from datacurate4llms_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        windowed_counts,
+    )
+
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", src / "part-0.parquet")
+
+    stream = read_events_stream(spark, str(src))
+    assert stream.isStreaming
+    got = run_available_now(
+        windowed_counts(stream), str(tmp_path / "ck"), output_mode="complete"
+    )
+
+    batch = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n_events", "total_value")
+        .collect()
+    )
+    canon = lambda rows: sorted((r.win_start, r.event_type, r.n_events, round(r.total_value, 6)) for r in rows)
+    assert canon(got) == canon(batch)
+
+
+def test_multimodal_plumbing(spark):
+    from datacurate4llms_spark.operators.multimodal import (
+        extract_features,
+        sample_frames,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, SF_CORRECT, limit=60)
+    feats = extract_features(media, dim=8).toPandas()
+    assert len(feats) == 60
+    assert feats["features"].map(len).eq(8).all()
+    assert (feats["n_bytes"] > 0).all()
+    # determinism: same payload → same features
+    again = extract_features(media, dim=8).toPandas()
+    a = feats.sort_values("media_id").reset_index(drop=True)
+    b = again.sort_values("media_id").reset_index(drop=True)
+    assert all(np.allclose(x, y) for x, y in zip(a["features"], b["features"]))
+
+    frames = sample_frames(media, every_n=10).toPandas()
+    videos = media.filter(F.col("media_type") == "video").count()
+    assert frames["media_id"].nunique() == videos
+    assert (frames["frame_no"] % 10 == 0).all()
+
+    # the real-codec seam is a clearly-marked NotImplementedError
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        extract_features(media, decode_stub=False).collect()
+
+
+def test_sinks_roundtrip(spark, tmp_path):
+    from datacurate4llms_spark.sources.sinks import save_matching_format
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").limit(50)
+    for ext in ["json", "csv", "parquet"]:
+        path = str(tmp_path / f"out.{ext}")
+        save_matching_format(docs.select("doc_id", "lang"), path)
+        back = (
+            spark.read.option("header", True).csv(path)
+            if ext == "csv"
+            else getattr(spark.read, ext)(path)
+        )
+        assert back.count() == 50

@@ -1,0 +1,81 @@
+"""Similarity operators: SQL edge table vs numpy block kernels must agree;
+broadcast kNN vs window kNN must agree exactly."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from conftest import SF_CORRECT
+
+from datacurate4llms_spark.operators import ann as ANN
+from datacurate4llms_spark.operators import similarity as S
+
+
+def _emb(spark, n=80):
+    return spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").filter(F.col("vec_id") < n)
+
+
+def test_block_kernel_matches_sql_edge_table(spark):
+    e = _emb(spark, 80)
+    sql_edges = S.edge_table(e, metric="cosine").toPandas()
+    blk_edges = S.block_edge_table(e, num_blocks=4, metric="cosine").toPandas()
+    a = sql_edges.sort_values(["i", "j"]).reset_index(drop=True)
+    b = blk_edges.sort_values(["i", "j"]).reset_index(drop=True)
+    assert len(a) == len(b) == 80 * 79
+    pd.testing.assert_frame_equal(a[["i", "j"]], b[["i", "j"]], check_dtype=False)
+    np.testing.assert_allclose(a["sim"], b["sim"], rtol=1e-9, atol=1e-12)
+
+
+def test_broadcast_knn_matches_window_knn(spark):
+    e = _emb(spark, 200)
+    q = e.filter(F.col("vec_id") < 25)
+    brute = ANN.brute_force_topk(q, e, k=7).toPandas()
+    fast = S.broadcast_knn(q, e, k=7).toPandas()
+    a = brute.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = fast.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[["query_id", "neighbour_id", "rank"]],
+        b[["query_id", "neighbour_id", "rank"]],
+        check_dtype=False,
+    )
+    np.testing.assert_allclose(a["sim"], b["sim"], rtol=1e-9)
+
+
+def test_metrics_euclidean_rbf_additive(spark):
+    e = _emb(spark, 40)
+    eu = S.edge_table(e, metric="euclidean").toPandas()
+    assert ((eu["sim"] > 0) & (eu["sim"] <= 1.0)).all()  # 1/(1+d²) ∈ (0, 1]
+    rbf = S.edge_table(e, metric="rbf", rbf_kw=0.5).toPandas()
+    assert ((rbf["sim"] > 0) & (rbf["sim"] <= 1.0)).all()
+    add = S.edge_table(e, metric="cosine", scaling="additive").toPandas()
+    assert ((add["sim"] >= 0) & (add["sim"] <= 1.0)).all()  # additive ∈ [0,1]
+    mm = S.edge_table(e, metric="cosine", scaling="min-max").toPandas()
+    assert abs(mm["sim"].min()) < 1e-12 and abs(mm["sim"].max() - 1.0) < 1e-12
+
+
+def test_rbf_global_mean_semantics(spark):
+    """rbf mean(d²) is global (dense-path semantics): verify against numpy."""
+    e = _emb(spark, 30).toPandas().sort_values("vec_id")
+    m = np.stack([np.asarray(v, dtype=np.float32) for v in e["embedding"]]).astype(np.float64)
+    d2 = ((m[:, None, :] - m[None, :, :]) ** 2).sum(-1)
+    off = d2[~np.eye(len(m), dtype=bool)]
+    expected = np.exp(-off / (0.1 * off.mean()))
+
+    got = (
+        S.edge_table(_emb(spark, 30), metric="rbf", rbf_kw=0.1)
+        .toPandas()
+        .sort_values(["i", "j"])["sim"]
+        .to_numpy()
+    )
+    ids = e["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    # rebuild expected in (i, j) sorted order
+    pairs = [(ids[a], ids[b]) for a in order for b in order if ids[a] != ids[b]]
+    exp_map = {}
+    idx_of = {v: k for k, v in enumerate(ids)}
+    for i, j in pairs:
+        exp_map[(i, j)] = np.exp(-d2[idx_of[i], idx_of[j]] / (0.1 * off.mean()))
+    exp_sorted = [exp_map[k] for k in sorted(exp_map)]
+    np.testing.assert_allclose(got, exp_sorted, rtol=1e-9)

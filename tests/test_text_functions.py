@@ -1,0 +1,115 @@
+"""Scalar text functions vs python semantics (SURVEY §2.2), incl. the
+reference's exact template strings and zip-truncation quirk."""
+
+from __future__ import annotations
+
+import re
+import string
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from datacurate4llms_spark.functions import text as T
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0].v
+
+
+def py_normalize(doc: str) -> str:
+    """Reference normalize_document (aggregations.py:5-21) in pure python."""
+    d = doc.lower()
+    d = d.translate(str.maketrans("", "", string.punctuation))
+    d = re.sub(r"\d", "", d)
+    d = re.sub(r"\s+", " ", d)
+    return d.strip()
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "Hello, World! 123",
+        "  a\t\nb  c  ",
+        "ALL.CAPS...AND___underscores",
+        "no-change needed",
+        "42",
+        "",
+    ],
+)
+def test_normalize_matches_python(spark, text):
+    got = _one(spark, T.normalize_document(F.lit(text)))
+    assert got == py_normalize(text)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.text(alphabet=string.printable, max_size=60))
+def test_normalize_property(spark, text):
+    assert _one(spark, T.normalize_document(F.lit(text))) == py_normalize(text)
+
+
+def test_interleave_zip_truncation(spark):
+    # python zip truncates to the shorter list (aggregations.py:37-60)
+    got = _one(spark, T.interleave_words(F.lit("a b c d"), F.lit("x y")))
+    assert got == "a x b y"
+    got_char = _one(
+        spark,
+        T.interleave_words(F.lit("ab cd"), F.lit("xy zw qq"), by_character=True),
+    )
+    assert got_char == "abxycdzw"
+
+
+def test_render_conversation_template(spark):
+    df = spark.createDataFrame(
+        [([("human", "hi"), ("gpt", "hello")],)],
+        "conversations array<struct<from:string, value:string>>",
+    )
+    got = df.select(T.render_conversation("conversations").alias("v")).collect()[0].v
+    # jinja2 reference template output, including trailing newline
+    assert got == "human: hi\ngpt: hello\n"
+
+
+def test_render_chatml(spark):
+    df = spark.createDataFrame(
+        [([("user", "q"), ("assistant", "a")],)],
+        "messages array<struct<role:string, content:string>>",
+    )
+    got = df.select(T.render_chatml("messages").alias("v")).collect()[0].v
+    assert got == "<|im_start|>user\nq<|im_end|>\n<|im_start|>assistant\na<|im_end|>\n"
+
+
+def test_qa_template(spark):
+    got = _one(spark, T.qa_template(F.lit("Q?"), F.lit("A.")))
+    assert got == "Question: Q?\nAnswer: A."
+
+
+def test_subset_name_formats(spark):
+    got = _one(spark, T.subset_name(F.lit(12.5), F.lit(True)))
+    assert got == "percent_12.5"
+    got = _one(spark, T.subset_name(F.lit(100), F.lit(False)))
+    assert got == "samples_100"
+
+
+def test_calculate_subset_size_semantics(spark):
+    # percent: max(1, int(spec/100 * total)); absolute: min(spec, total)
+    cases = [
+        (1000, 10.0, True, 100),
+        (7, 1.0, True, 1),       # floor clamps to 1
+        (1000, 99999, False, 1000),
+        (1000, 50, False, 50),
+    ]
+    for total, spec, is_pct, want in cases:
+        got = _one(
+            spark,
+            T.calculate_subset_size(F.lit(total), F.lit(spec), F.lit(is_pct)),
+        )
+        assert got == want, (total, spec, is_pct)
+
+
+def test_jinja2_fallback_udf(spark):
+    pytest.importorskip("jinja2")
+    df = spark.createDataFrame([("world", 3)], "name string, n int")
+    udf = T.jinja2_template_udf("hello {{ name }} x{{ n }}", ["name", "n"])
+    got = df.select(udf(F.col("name"), F.col("n")).alias("v")).collect()[0].v
+    assert got == "hello world x3"
