@@ -170,3 +170,45 @@ def langid_udf():
             )
 
     return _langid
+
+
+# ---------------------------------------------------------------------------
+# Combined scorer: ONE python runner per task instead of three (three chained
+# pandas UDFs each get their own python process per task — measured 1.7-4x
+# slowdown from process oversubscription at high core counts). Null input →
+# null struct, so callers mask the input column (when(keep, content)) instead
+# of wrapping the UDF in CASE WHEN — Spark extracts UDFs *before* the CASE,
+# so output-masking would still score every dropped row.
+# ---------------------------------------------------------------------------
+
+MODEL_SCORES_TYPE = (
+    "struct<gzip_len:int, perplexity:double, lang_pred:string, lang_conf:double>"
+)
+
+
+def model_scores_udf():
+    @pandas_udf(MODEL_SCORES_TYPE)
+    def _scores(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        table = _bigram_logprob_table()
+        _lang_profiles()
+
+        def one(t):
+            if t is None:
+                return (None, None, None, None)
+            gz = len(_gzip.compress(t.encode("utf-8"), compresslevel=6))
+            ppl = _perplexity_one(t, table)
+            lang, conf = _langid_one(t)
+            return (gz, ppl, lang, conf)
+
+        for s in batches:
+            vals = s.map(one)
+            yield pd.DataFrame(
+                {
+                    "gzip_len": vals.map(lambda v: v[0]).astype("Int32"),
+                    "perplexity": vals.map(lambda v: v[1]),
+                    "lang_pred": vals.map(lambda v: v[2]),
+                    "lang_conf": vals.map(lambda v: v[3]),
+                }
+            )
+
+    return _scores

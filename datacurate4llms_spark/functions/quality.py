@@ -60,9 +60,17 @@ def dup_line_frac(content: Column | str) -> Column:
     return (F.size(ls) - F.size(F.array_distinct(ls))).cast("double") / F.size(ls).cast("double")
 
 
+_ALNUM = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+_LOWER_SPACE = "abcdefghijklmnopqrstuvwxyz "
+
+
 def alnum_ratio(content: Column | str) -> Column:
+    # counted via translate-delete (char map), NOT regexp_replace: java regex
+    # cost is per-match and this pattern matches on most characters — measured
+    # 24.8s vs 2.2s over 500k docs, and regex anti-scales with threads
     c = _c(content)
-    return F.length(F.regexp_replace(c, "[^a-zA-Z0-9]", "")).cast("double") / F.length(c).cast("double")
+    non_alnum = F.length(F.translate(c, _ALNUM, ""))
+    return (F.length(c) - non_alnum).cast("double") / F.length(c).cast("double")
 
 
 def word_count(content: Column | str) -> Column:
@@ -74,7 +82,8 @@ def langid_score(content: Column | str) -> Column:
     a cheap SQL-side language/garbage signal (the model-based fastText-style
     scorer in functions/compress.py refines it; this one gates)."""
     c = F.lower(_c(content))
-    return F.length(F.regexp_replace(c, "[^a-z ]", "")).cast("double") / F.length(c).cast("double")
+    non_latin = F.length(F.translate(c, _LOWER_SPACE, ""))
+    return (F.length(c) - non_latin).cast("double") / F.length(c).cast("double")
 
 
 def with_quality_metrics(df: DataFrame, content_col: str = "content") -> DataFrame:
@@ -131,12 +140,12 @@ def metrics_sql(content: str = "content") -> dict[str, str]:
             f"cast(len({ls}) - len(list_distinct({ls})) as double) / cast(len({ls}) as double)"
         ),
         "alnum_ratio": (
-            f"cast(length(regexp_replace({content}, '[^a-zA-Z0-9]', '', 'g')) as double)"
+            f"cast(length({content}) - length(translate({content}, '{_ALNUM}', '')) as double)"
             f" / cast(length({content}) as double)"
         ),
         "word_count": f"cast(len(regexp_split_to_array(trim({content}), '\\s+')) as int)",
         "langid_score": (
-            f"cast(length(regexp_replace(lower({content}), '[^a-z ]', '', 'g')) as double)"
+            f"cast(length({content}) - length(translate(lower({content}), '{_LOWER_SPACE}', '')) as double)"
             f" / cast(length({content}) as double)"
         ),
     }

@@ -1,0 +1,120 @@
+"""ICL utility kernels (SURVEY §2.3 E10-E11) — the reference's
+``ModelDependentICLUtility`` / ``ModelIndependentUtility`` re-expressed as
+relational plans.
+
+Reference shape (src/utils/dist_utils/get_model_dependent_utility_kernel.py:74-128):
+enumerate the (valid × (train+1)) prompt set — ``train_idx = -1`` is the
+no-ICL baseline — score each pair with the LM, then
+
+    utility(v, t) = d_no_icl(v) − d_icl(v, t)
+
+followed by min-max or additive ('− min') scaling. In Spark that is:
+
+    cross join (valid × train)  ∪  baseline rows
+    → scoring UDF (LM forward — the pandas-UDF slot)
+    → join baseline distances back on valid_id
+    → column arithmetic + global-agg scaling (two-pass broadcast)
+
+The LM scorer here is a deterministic hash-derived stand-in (the container
+has no torch); because it is hash32-based, the *entire* kernel — including
+the "model" — is reproducible in the DuckDB oracle, which checks the plan's
+relational skeleton exactly. Swapping in a real LM = replacing
+``fake_distance`` with an iterator pandas UDF (functions/encoders.py seam).
+
+The model-independent variant (E11, get_model_independent_kernel.py:55-91)
+is ChatML render (functions/text.render_chatml) → encode → pairwise cosine
+(operators/similarity.edge_table) — a composition, not a new operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash32, hash32_sql
+
+
+def fake_distance(valid_id: Column, train_id: Column) -> Column:
+    """Deterministic stand-in for ‖p_pred − 1‖/√n_tokens (reference :52-72):
+    uniform in [0, 1) from the shared hash. train_id = -1 ⇒ baseline row."""
+    return hash32(valid_id, train_id, seed="icl").cast("double") / F.lit(4294967296.0)
+
+
+def fake_distance_sql(valid_expr: str, train_expr: str) -> str:
+    return (
+        f"(cast({hash32_sql(valid_expr, train_expr, seed='icl')} as double) / 4294967296.0)"
+    )
+
+
+def icl_utility(
+    valid: DataFrame,
+    train: DataFrame,
+    *,
+    valid_id: str = "valid_id",
+    train_id: str = "train_id",
+    scaling: str = "minmax",
+) -> DataFrame:
+    """(valid_id, train_id, utility) — the reference's dense utility kernel
+    as an edge table. ``scaling``: 'minmax' (global, :121-124) or 'additive'
+    (− global min, :125-127)."""
+    v = valid.select(F.col(valid_id).alias("valid_id"))
+    t = train.select(F.col(train_id).alias("train_id"))
+
+    pairs = v.crossJoin(t).withColumn(
+        "d_icl", fake_distance(F.col("valid_id"), F.col("train_id"))
+    )
+    baseline = v.withColumn("d_base", fake_distance(F.col("valid_id"), F.lit(-1)))
+
+    # baseline is one row per valid id — broadcast join back (two-phase order
+    # dependency of the reference :116-119 becomes an explicit join)
+    edges = pairs.join(F.broadcast(baseline), "valid_id").withColumn(
+        "utility", F.col("d_base") - F.col("d_icl")
+    )
+
+    if scaling == "minmax":
+        bounds = edges.agg(F.min("utility").alias("_lo"), F.max("utility").alias("_hi"))
+        edges = edges.crossJoin(F.broadcast(bounds)).withColumn(
+            "utility",
+            F.when(F.col("_hi") == F.col("_lo"), F.lit(0.0)).otherwise(
+                (F.col("utility") - F.col("_lo")) / (F.col("_hi") - F.col("_lo"))
+            ),
+        )
+    elif scaling == "additive":
+        lo = edges.agg(F.min("utility").alias("_lo"))
+        edges = edges.crossJoin(F.broadcast(lo)).withColumn(
+            "utility", F.col("utility") - F.col("_lo")
+        )
+    else:
+        raise ValueError(f"unknown scaling {scaling}")
+
+    return edges.select("valid_id", "train_id", "utility")
+
+
+def icl_utility_sql(valid_limit: int, train_limit: int, scaling: str = "minmax") -> str:
+    """DuckDB oracle over the documents view: valid = doc_id < valid_limit,
+    train = doc_id in [1000, 1000+train_limit) via modular shift."""
+    d = fake_distance_sql("v.valid_id", "t.train_id")
+    b = fake_distance_sql("v2.valid_id", "-1")
+    base = f"""
+    with v as (select doc_id as valid_id from documents where doc_id < {valid_limit}),
+         t as (select doc_id + 100000 as train_id from documents where doc_id < {train_limit}),
+         pairs as (select v.valid_id, t.train_id, {d} as d_icl from v cross join t),
+         baseline as (select v2.valid_id, {b} as d_base
+                      from (select valid_id from v) v2),
+         edges as (select p.valid_id, p.train_id, b2.d_base - p.d_icl as utility
+                   from pairs p join baseline b2 on p.valid_id = b2.valid_id)
+    """
+    if scaling == "minmax":
+        return base + """
+        , bounds as (select min(utility) lo, max(utility) hi from edges)
+        select valid_id, train_id,
+               round(cast(case when hi = lo then 0.0
+                          else (utility - lo) / (hi - lo) end as double), 6) as utility
+        from edges, bounds
+        """
+    return base + """
+    , lo as (select min(utility) as lo from edges)
+    select valid_id, train_id,
+           round(cast(utility - lo as double), 6) as utility
+    from edges, lo
+    """

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.compress import bits_per_char, char_perplexity_udf, gzip_length_udf, langid_udf
+from ..functions.compress import bits_per_char, model_scores_udf
 from ..functions.hashing import salt
 from ..functions.quality import with_keep_decision, with_quality_metrics
 from ..functions.scrub import with_scrub
@@ -56,22 +56,21 @@ def quality_filter(
     out = with_keep_decision(out, thresholds)
     out = with_scrub(out, content_col)
     if with_model_scores:
-        # Python scorers only on rows that survived the SQL rules: dropped
-        # rows keep null scores and never cross the Arrow boundary.
+        # Python scorers only on survivors: the INPUT is null-masked (dropped
+        # rows reach the UDF as null and short-circuit). One combined UDF =
+        # one python runner per task; masking the output with CASE WHEN would
+        # not help because Spark extracts UDFs before the CASE, and chaining
+        # three separate UDFs triples the python processes per task.
         c = F.col(content_col)
-        keep = F.col("keep")
-        out = out.withColumns(
-            {
-                "gzip_len": F.when(keep, gzip_length_udf()(c)),
-                "lang_id": F.when(keep, langid_udf()(c)),
-                "perplexity": F.when(keep, char_perplexity_udf()(c)),
-            }
-        )
+        masked = F.when(F.col("keep"), c)
+        out = out.withColumn("_scores", model_scores_udf()(masked))
         out = (
-            out.withColumn("bits_per_char", bits_per_char(c, "gzip_len"))
-            .withColumn("lang_pred", F.col("lang_id.lang_pred"))
-            .withColumn("lang_conf", F.col("lang_id.lang_conf"))
-            .drop("lang_id")
+            out.withColumn("gzip_len", F.col("_scores.gzip_len"))
+            .withColumn("perplexity", F.col("_scores.perplexity"))
+            .withColumn("lang_pred", F.col("_scores.lang_pred"))
+            .withColumn("lang_conf", F.col("_scores.lang_conf"))
+            .withColumn("bits_per_char", bits_per_char(c, "gzip_len"))
+            .drop("_scores")
         )
     return out
 

@@ -37,7 +37,17 @@ MOD_JUNK = 29    # low-alnum junk content
 
 def source_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet → (repo, path, commit, lang, content, doc_id)."""
-    d = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    return source_files_from(spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet"))
+
+
+def source_files_from(d: DataFrame) -> DataFrame:
+    """Derivation over any documents-shaped frame (doc_id, text, lang, source).
+
+    Kept separate from the scan so callers can repartition the cheap base
+    rows BEFORE this projection — the derivation (md5s, repeats, CASEs)
+    multiplies bytes ~2× and should run after the shuffle, spread across the
+    cluster, not inside a handful of scan tasks.
+    """
     i = F.col("doc_id")
 
     repo_id = F.when(i % 3 == 0, F.lit(0)).otherwise(i % 40)

@@ -1078,3 +1078,101 @@ def q_j3_broadcast(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     out = SIM.broadcast_knn(e.filter(F.col("vec_id") < 25), e, k=7)
     return out.select("query_id", "neighbour_id", _r6(F.col("sim")).alias("sim"), "rank")
+
+
+# ---------------------------------------------------------------------------
+# E10 ICL utility kernel + remaining template/agg/partition operators
+# ---------------------------------------------------------------------------
+
+from .operators import utility as U  # noqa: E402
+
+
+def _icl_frames(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    valid = d.filter(F.col("doc_id") < 30).select(F.col("doc_id").alias("valid_id"))
+    train = d.filter(F.col("doc_id") < 40).select((F.col("doc_id") + 100000).alias("train_id"))
+    return valid, train
+
+
+@_register("e10_icl_utility_minmax", U.icl_utility_sql(30, 40, "minmax"))
+def q_icl_minmax(spark, sf_dir):
+    valid, train = _icl_frames(spark, sf_dir)
+    out = U.icl_utility(valid, train, scaling="minmax")
+    return out.select("valid_id", "train_id", _r6(F.col("utility")).alias("utility"))
+
+
+@_register("e10_icl_utility_additive", U.icl_utility_sql(30, 40, "additive"))
+def q_icl_additive(spark, sf_dir):
+    valid, train = _icl_frames(spark, sf_dir)
+    out = U.icl_utility(valid, train, scaling="additive")
+    return out.select("valid_id", "train_id", _r6(F.col("utility")).alias("utility"))
+
+
+@_register(
+    "p1_render_conversation",
+    """
+    select doc_id,
+           'human: ' || text || chr(10) || 'gpt: ' || lang || chr(10) as rendered
+    from documents
+    """,
+)
+def q_render_conv(spark, sf_dir):
+    from .functions.text import render_conversation
+
+    d = _t(spark, sf_dir, "documents")
+    conv = F.array(
+        F.struct(F.lit("human").alias("from"), F.col("text").alias("value")),
+        F.struct(F.lit("gpt").alias("from"), F.col("lang").alias("value")),
+    )
+    return d.select("doc_id", render_conversation(conv).alias("rendered"))
+
+
+@_register(
+    "p10_render_chatml",
+    """
+    select doc_id,
+           '<|im_start|>user' || chr(10) || text || '<|im_end|>' || chr(10)
+           || '<|im_start|>assistant' || chr(10) || source || '<|im_end|>' || chr(10) as rendered
+    from documents
+    """,
+)
+def q_render_chatml(spark, sf_dir):
+    from .functions.text import render_chatml
+
+    d = _t(spark, sf_dir, "documents")
+    msgs = F.array(
+        F.struct(F.lit("user").alias("role"), F.col("text").alias("content")),
+        F.struct(F.lit("assistant").alias("role"), F.col("source").alias("content")),
+    )
+    return d.select("doc_id", render_chatml(msgs).alias("rendered"))
+
+
+@_register(
+    "a5_perplexity_agg",
+    "select round(cast(exp(avg(value / 100.0)) as double), 6) as perplexity from events",
+)
+def q_a5(spark, sf_dir):
+    # A5: exp(mean(losses)) (instruction_tuner.py:601-606); events.value
+    # stands in for per-batch losses
+    e = _t(spark, sf_dir, "events")
+    return e.agg(_r6(F.exp(F.avg(F.col("value") / 100.0))).alias("perplexity"))
+
+
+@_register(
+    "d6_salt_distribution",
+    f"""
+    with salted as (
+      select cast({hash32_sql('doc_id', 'lang', seed='salt0')} % 16 as int) as salt_bucket
+      from documents
+    )
+    select salt_bucket, cast(count(*) as bigint) as n
+    from salted group by salt_bucket
+    """,
+)
+def q_d6_salt(spark, sf_dir):
+    from .functions.hashing import salt as salt_col
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(salt_col(["doc_id", "lang"], 16, seed=0).alias("salt_bucket")).groupBy(
+        "salt_bucket"
+    ).agg(F.count("*").cast("bigint").alias("n"))

@@ -21,6 +21,11 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_CONFS: dict[str, str] = {
+    # local mode runs every task inside the driver JVM; the 1 GB default heap
+    # GC-thrashes under 32 concurrent tasks over wide string rows (measured:
+    # 32 cores *slower* than 8 until this was raised). On a real cluster this
+    # maps to executor memory instead.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
