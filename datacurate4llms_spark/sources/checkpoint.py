@@ -30,11 +30,12 @@ def remaining(input_df: DataFrame, done_df: DataFrame, keys: list[str]) -> DataF
 
 
 def checkpoint_exists(spark: SparkSession, path: str) -> bool:
-    try:
-        spark.read.parquet(path).limit(1).collect()
-        return True
-    except Exception:
-        return False
+    """Quiet existence probe through the Hadoop FileSystem API (works for any
+    supported fs scheme; a read-probe would log an AnalysisException)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
 
 
 def run_with_checkpoint(

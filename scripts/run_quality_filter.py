@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for the quality-filter curation job (north rule:
+"Deployed via spark-submit --py-files bundling the model artifacts").
+
+    spark-submit --py-files dist/datacurate4llms_spark.zip \
+        scripts/run_quality_filter.py \
+        --input  /data/source_files/            (parquet/Iceberg dir, columns
+                                                 repo,path,commit,lang,content)
+        --output /data/curated/                 (labels + scrubbed content)
+        --checkpoint /data/curated_ckpt/        (resumable: keyed anti-join)
+        --metrics /data/curation_metrics/
+        --salt-buckets 4096                     (skew: giant repos)
+        --with-model-scores
+
+Resumable: re-running after a kill recomputes only files whose
+(repo, path, commit) is missing from the checkpoint table — per-partition
+idempotent parquet appends (sources/checkpoint.py). Build the --py-files zip
+with ``python -c "from datacurate4llms_spark.deploy import build_pyfiles_zip;
+print(build_pyfiles_zip('dist/datacurate4llms_spark.zip'))"``.
+
+Sandbox smoke (no spark-submit needed — the script builds its own session):
+    python scripts/run_quality_filter.py --sf-dir /root/testdata/sf0.01 \
+        --output /tmp/qf_out --checkpoint /tmp/qf_ckpt --metrics /tmp/qf_metrics
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import uuid
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="parquet dir with (repo,path,commit,lang,content)")
+    src.add_argument("--sf-dir", help="driver testdata dir (derives the synthetic corpus)")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--metrics", required=True)
+    ap.add_argument("--salt-buckets", type=int, default=0)
+    ap.add_argument("--with-model-scores", action="store_true")
+    ap.add_argument("--run-id", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from datacurate4llms_spark.deploy import ensure_workers_can_import
+    from datacurate4llms_spark.pipelines.quality_filter import quality_filter
+    from datacurate4llms_spark.pipelines.source_files import source_files
+    from datacurate4llms_spark.session import get_spark
+    from datacurate4llms_spark.sources.checkpoint import run_with_checkpoint
+    from datacurate4llms_spark.sources.sinks import write_metrics_table
+
+    spark = get_spark(app_name="quality_filter")
+    ensure_workers_can_import(spark)
+    run_id = args.run_id or uuid.uuid4().hex[:12]
+
+    if args.input:
+        corpus = spark.read.parquet(args.input)
+        keys = ["repo", "path", "commit"]
+    else:
+        corpus = source_files(spark, args.sf_dir)
+        keys = ["doc_id"]
+
+    def transform(df):
+        out = quality_filter(
+            df,
+            salt_buckets=args.salt_buckets or None,
+            with_model_scores=args.with_model_scores,
+        )
+        return out.drop("content")  # scrubbed column is the output text
+
+    result = run_with_checkpoint(spark, corpus, transform, args.checkpoint, keys)
+    result.write.mode("overwrite").parquet(args.output)
+    write_metrics_table(result, args.metrics, run_id)
+
+    counts = {r["keep"]: r["n"] for r in result.groupBy("keep").agg(F.count("*").alias("n")).collect()}
+    print(f"run_id={run_id} kept={counts.get(True, 0)} dropped={counts.get(False, 0)}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
