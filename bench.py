@@ -45,9 +45,12 @@ def replicated_corpus(spark, sf_dir: str, factor: int):
     # all range partitions. This mirrors the 100 TB reality — a many-file
     # scan parallelizes naturally and the quality filter needs no shuffle
     # at all (see PLANS.md §2); the measured pipeline is the pipeline.
-    buckets = CPUS * 3
+    # size partitions to ~25k rows so task overhead never dominates, but
+    # always give every core work (at 100 TB the scan does this naturally)
+    total_rows = factor * n_docs
+    buckets = max(CPUS, min(CPUS * 3, total_rows // 25_000 or 1))
     base = (
-        spark.range(factor * n_docs, numPartitions=buckets)
+        spark.range(total_rows, numPartitions=buckets)
         .withColumn("base_id", F.col("id") % n_docs)
         .join(F.broadcast(docs.withColumnRenamed("doc_id", "base_id")), "base_id")
         .withColumn("doc_id", F.col("id"))

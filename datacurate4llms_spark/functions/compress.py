@@ -18,7 +18,6 @@ swapping in the real artifacts is a one-function change shipped via
 from __future__ import annotations
 
 import gzip as _gzip
-import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -94,13 +93,27 @@ def _bigram_logprob_table() -> np.ndarray:
     return _LM_CACHE["lm"]
 
 
+# byte → alphabet-index lookup (a-z after ascii-lower, space); -1 = invalid.
+# Vectorized path: char-at-a-time python loops were the UDF's hot spot.
+_BYTE_LUT = np.full(256, -1, dtype=np.int16)
+for _i, _ch in enumerate(_ALPHABET):
+    _BYTE_LUT[ord(_ch)] = _i
+    if _ch.isalpha():
+        _BYTE_LUT[ord(_ch.upper())] = _i
+
+
+def _codes(text: str) -> np.ndarray:
+    """Valid-alphabet index sequence of a string (ascii path, vectorized)."""
+    raw = np.frombuffer(text.encode("utf-8", errors="ignore"), dtype=np.uint8)
+    codes = _BYTE_LUT[raw]
+    return codes[codes >= 0]
+
+
 def _perplexity_one(text: str, table: np.ndarray) -> float:
-    idx = {c: i for i, c in enumerate(_ALPHABET)}
-    seq = [idx[c] for c in text.lower() if c in idx]
+    seq = _codes(text)
     if len(seq) < 2:
         return float("nan")
-    a = np.asarray(seq[:-1]), np.asarray(seq[1:])
-    mean_lp = float(table[a[0], a[1]].mean())
+    mean_lp = float(table[seq[:-1], seq[1:]].mean())
     return 2.0 ** (-mean_lp)
 
 
@@ -127,33 +140,39 @@ _LANG_SAMPLES = {
 }
 
 
-def _trigrams(text: str) -> dict[str, int]:
-    t = "".join(c for c in text.lower() if c.isalpha() or c == " ")
-    out: dict[str, int] = {}
-    for i in range(len(t) - 2):
-        g = t[i : i + 3]
-        out[g] = out.get(g, 0) + 1
-    return out
+_TRI_DIM = 27 ** 3
 
 
-def _lang_profiles() -> dict[str, dict[str, int]]:
+def _trigram_counts(text: str) -> np.ndarray:
+    """Vector of char-trigram counts over the 27-symbol alphabet (vectorized:
+    map bytes → indices, drop invalid, polynomial trigram codes, bincount)."""
+    seq = _codes(text).astype(np.int32)
+    if len(seq) < 3:
+        return np.zeros(0, dtype=np.int64)
+    codes = seq[:-2] * 729 + seq[1:-1] * 27 + seq[2:]
+    return np.bincount(codes, minlength=_TRI_DIM)
+
+
+def _lang_profiles() -> dict[str, np.ndarray]:
     if "profiles" not in _LM_CACHE:
-        _LM_CACHE["profiles"] = {k: _trigrams(v) for k, v in _LANG_SAMPLES.items()}
+        profs = {}
+        for k, v in _LANG_SAMPLES.items():
+            c = _trigram_counts(v).astype(np.float64)
+            profs[k] = c / np.linalg.norm(c)
+        _LM_CACHE["profiles"] = profs
     return _LM_CACHE["profiles"]  # type: ignore[return-value]
 
 
 def _langid_one(text: str) -> tuple[str, float]:
     profiles = _lang_profiles()
-    tg = _trigrams(text)
-    if not tg:
+    tg = _trigram_counts(text)
+    if tg.size == 0 or not tg.any():
         return ("unk", 0.0)
-    tn = math.sqrt(sum(v * v for v in tg.values()))
+    tg = tg.astype(np.float64)
+    tg /= np.linalg.norm(tg)
     best, best_s = "unk", 0.0
     for lang in sorted(profiles):  # sorted → deterministic tie-break
-        prof = profiles[lang]
-        dotp = sum(v * prof.get(g, 0) for g, v in tg.items())
-        pn = math.sqrt(sum(v * v for v in prof.values()))
-        s = dotp / (tn * pn) if tn and pn else 0.0
+        s = float(tg @ profiles[lang])
         if s > best_s:
             best, best_s = lang, s
     return (best, best_s)

@@ -1,0 +1,113 @@
+"""Streaming curation, nested cluster sink, lineage tables, scorer sanity."""
+
+from __future__ import annotations
+
+import shutil
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from conftest import SF_CORRECT, SF_SMOKE
+
+
+def test_streaming_quality_filter_matches_batch(spark, tmp_path):
+    """Incremental curation: the stateless filter over a file stream emits
+    exactly the batch pipeline's decisions."""
+    from datacurate4llms_spark.functions.quality import with_keep_decision, with_quality_metrics
+    from datacurate4llms_spark.functions.scrub import with_scrub
+    from datacurate4llms_spark.pipelines.source_files import source_files
+    from datacurate4llms_spark.streaming.events import run_available_now, streaming_quality_filter
+
+    src = tmp_path / "files_stream"
+    corpus = source_files(spark, SF_CORRECT)
+    corpus.write.parquet(str(src))
+
+    stream = spark.readStream.schema(corpus.schema).parquet(str(src))
+    got = run_available_now(
+        streaming_quality_filter(stream).select("doc_id", "keep", "drop_reason", "scrub_applied"),
+        str(tmp_path / "ck"),
+    )
+    batch = (
+        with_scrub(with_keep_decision(with_quality_metrics(corpus)))
+        .select("doc_id", "keep", "drop_reason", "scrub_applied")
+        .collect()
+    )
+    canon = lambda rows: sorted((r.doc_id, r.keep, r.drop_reason, r.scrub_applied) for r in rows)
+    assert canon(got) == canon(batch)
+
+
+def test_nested_clusters_sink(spark, tmp_path):
+    from datacurate4llms_spark.functions.encoders import embed_dataframe
+    from datacurate4llms_spark.operators.clustering import assign_to_clusters, grouped_clusters_nested
+    from datacurate4llms_spark.sources.sinks import write_clusters_json
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").filter(F.col("doc_id") < 100)
+    emb = embed_dataframe(docs.select("doc_id", "text"), "text", "embedding", dim=16)
+    centers = emb.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").cast("int").alias("center_id"), F.col("embedding").alias("cemb")
+    )
+    assigned = assign_to_clusters(emb, centers)
+    nested = grouped_clusters_nested(assigned, docs.select("doc_id", "lang"))
+    rows = nested.collect()
+    assert {r.cluster_id for r in rows} <= {0, 1, 2, 3, 4}
+    total = sum(len(r.members) for r in rows)
+    assert total == 100
+    for r in rows:
+        sims = [m.similarity_to_center for m in r.members]
+        assert sims == sorted(sims, reverse=True)  # members sorted desc (S9)
+
+    write_clusters_json(nested, str(tmp_path / "clusters.json"))
+    back = spark.read.json(str(tmp_path / "clusters.json"))
+    assert back.count() == len(rows)
+
+
+def test_selection_metadata_sink(spark, tmp_path):
+    from datacurate4llms_spark.functions.encoders import embed_dataframe
+    from datacurate4llms_spark.operators.selection import select_subset
+    from datacurate4llms_spark.sources.sinks import write_selection_metadata
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+    emb = embed_dataframe(docs, "text", "embedding", dim=16)
+    sel = select_subset(emb, percent=5.0, num_folds=2)
+    path = str(tmp_path / "lineage")
+    write_selection_metadata(sel, path, "percent_5.0")
+    back = spark.read.parquet(path)
+    assert back.count() == sel.count()
+    assert set(back.columns) >= {"size_spec", "doc_id", "fold", "pick_order", "gain"}
+    assert back.filter(F.col("size_spec") == "percent_5.0").count() == back.count()
+
+
+def test_perplexity_orders_text_quality(spark):
+    """English-like text must score lower perplexity than shuffled junk —
+    the property a KenLM filter relies on."""
+    from datacurate4llms_spark.functions.compress import (
+        _bigram_logprob_table,
+        _langid_one,
+        _perplexity_one,
+    )
+
+    table = _bigram_logprob_table()
+    good = _perplexity_one("the data table reads the files and the query is fast", table)
+    junk = _perplexity_one("zqx jkw vvv qqq zzz xxx jjj kkk qzx wjk", table)
+    assert good < junk
+    assert np.isnan(_perplexity_one("1", table))
+
+    lang, conf = _langid_one("the quick brown fox jumps over the lazy dog while people read the files")
+    assert lang == "en" and conf > 0.3
+    assert _langid_one("")[0] == "unk"
+
+
+def test_gzip_bits_per_char_detects_repetition(spark):
+    from datacurate4llms_spark.functions.compress import bits_per_char, gzip_length_udf
+
+    df = spark.createDataFrame(
+        [(1, "abc " * 200), (2, "the quick brown fox jumps over a lazy dog and more words " * 14)],
+        "id int, content string",
+    )
+    out = (
+        df.withColumn("g", gzip_length_udf()(F.col("content")))
+        .withColumn("bpc", bits_per_char("content", "g"))
+        .collect()
+    )
+    bpc = {r.id: r.bpc for r in out}
+    assert bpc[1] < bpc[2]  # pure repetition compresses far better
