@@ -92,3 +92,43 @@ def embed_dataframe(df, text_col: str = "text", out_col: str = "embedding",
     embedding column. Keyed, so order survives any downstream shuffle —
     unlike the reference's positional h5 rows (§1.3)."""
     return df.withColumn(out_col, hash_encoder_udf(dim, instruction)(F.col(text_col)))
+
+
+def api_encoder_udf(dim: int = 16, fail_every: int | None = None,
+                    max_retries: int = 3):
+    """API-backed encoder seam (reference OpenAI encoder,
+    src/encoders/openai_encoder.py:29-57): retry with backoff inside the UDF,
+    and on terminal failure emit a **zero vector** plus ``fallback=true`` —
+    the reference silently zero-fills (:57); surfacing the flag column is the
+    documented deviation (SURVEY §2.3 E5).
+
+    No network exists in this sandbox, so the transport is a deterministic
+    stand-in: ``fail_every=n`` makes every n-th row's "call" raise until
+    retries are exhausted (rows where hash32 % n == 0 fail terminally),
+    exercising the retry/fallback machinery end to end.
+    """
+
+    @pandas_udf("struct<embedding:array<float>, fallback:boolean>")
+    def _encode(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        def call(text: str) -> np.ndarray:
+            if fail_every:
+                h = int.from_bytes(hashlib.md5(text.encode()).digest()[:4], "big")
+                if h % fail_every == 0:
+                    raise ConnectionError("simulated API failure")
+            return _hash_vector(text, dim)
+
+        def encode_one(text: str):
+            for _attempt in range(max_retries):
+                try:
+                    return (call(text or "").tolist(), False)
+                except ConnectionError:
+                    continue  # reference: tenacity wait_random_exponential(1, 60)
+            return ([0.0] * dim, True)  # zero-vector fallback (:57)
+
+        for s in batches:
+            vals = s.map(encode_one)
+            yield pd.DataFrame(
+                {"embedding": vals.map(lambda v: v[0]), "fallback": vals.map(lambda v: v[1])}
+            )
+
+    return _encode

@@ -1,0 +1,42 @@
+"""Retry policy (SURVEY §2.8 O3) — the reference wraps whole pipeline stages
+in ``retry_on_exception`` (data_subset_selection.py:66-85: max_retries ×
+[log, sleep, gc]). In Spark, task-level retries are the platform's job
+(``spark.task.maxFailures``); this helper covers the two places python-side
+retries still matter: driver-side actions and in-UDF external calls.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from collections.abc import Callable
+from typing import TypeVar
+
+T = TypeVar("T")
+log = logging.getLogger(__name__)
+
+
+def retry_on_exception(
+    fn: Callable[[], T],
+    *,
+    max_retries: int = 3,
+    retry_delay: float = 1.0,
+    exceptions: tuple[type[BaseException], ...] = (Exception,),
+    cleanup: Callable[[], None] | None = None,
+) -> T:
+    """Run ``fn`` with up to ``max_retries`` attempts (reference defaults:
+    3 × 30 s in selection, 3 × 10 s in clustering). ``cleanup`` runs between
+    attempts (the reference does gc + cuda cache clear there)."""
+    last: BaseException | None = None
+    for attempt in range(1, max_retries + 1):
+        try:
+            return fn()
+        except exceptions as exc:
+            last = exc
+            log.warning("attempt %d/%d failed: %s", attempt, max_retries, exc)
+            if cleanup is not None:
+                cleanup()
+            if attempt < max_retries:
+                time.sleep(retry_delay)
+    assert last is not None
+    raise last

@@ -118,3 +118,45 @@ def icl_utility_sql(valid_limit: int, train_limit: int, scaling: str = "minmax")
            round(cast(utility - lo as double), 6) as utility
     from edges, lo
     """
+
+
+def model_independent_utility(
+    df,
+    *,
+    id_col: str = "pair_id",
+    prompt_col: str = "prompt",
+    response_col: str = "response",
+    dim: int = 16,
+    sparse_k: int | None = None,
+):
+    """E11 (get_model_independent_kernel.py:55-124): ChatML-render the
+    (prompt, response) conversation, encode, self pairwise cosine with
+    additive scaling — dense edge table, or top-k per row when ``sparse_k``
+    is set (the reference's dense/sparse dispatch at n > threshold).
+
+    Pure composition of P10 + E1 + J1/J3 — no new operator machinery.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.encoders import embed_dataframe
+    from ..functions.text import render_chatml
+    from .similarity import edge_table
+
+    msgs = F.array(
+        F.struct(F.lit("user").alias("role"), F.col(prompt_col).alias("content")),
+        F.struct(F.lit("assistant").alias("role"), F.col(response_col).alias("content")),
+    )
+    rendered = df.select(F.col(id_col), render_chatml(msgs).alias("_text"))
+    embedded = embed_dataframe(rendered, "_text", "embedding", dim=dim)
+    edges = edge_table(
+        embedded, id_col=id_col, emb_col="embedding",
+        metric="cosine", scaling="additive",
+    )
+    if sparse_k is not None:
+        w = Window.partitionBy("i").orderBy(F.desc("sim"), F.asc("j"))
+        edges = (
+            edges.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= sparse_k)
+            .drop("_r")
+        )
+    return edges

@@ -129,3 +129,20 @@ def test_sinks_roundtrip(spark, tmp_path):
             else getattr(spark.read, ext)(path)
         )
         assert back.count() == 50
+
+
+def test_model_independent_utility(spark):
+    from datacurate4llms_spark.operators.utility import model_independent_utility
+
+    qa = spark.createDataFrame(
+        [(i, f"question {i}", f"answer {i % 3}") for i in range(20)],
+        "pair_id bigint, prompt string, response string",
+    )
+    dense = model_independent_utility(qa).toPandas()
+    assert len(dense) == 20 * 19
+    assert ((dense["sim"] >= 0) & (dense["sim"] <= 1.0)).all()  # additive scaled
+    sparse = model_independent_utility(qa, sparse_k=3).toPandas()
+    assert (sparse.groupby("i").size() == 3).all()
+    # identical responses cluster: same (i%3) pairs must outscore random pairs on average
+    dense["same"] = (dense["i"] % 3) == (dense["j"] % 3)
+    assert dense[dense["same"]]["sim"].mean() > dense[~dense["same"]]["sim"].mean()

@@ -1,0 +1,134 @@
+"""Ingest (S1/S2/S6), encoder seams (E5 fallback, E9), NCD with real gzip
+lengths (P8+P9), retry wrapper (O3)."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_CORRECT
+
+
+def test_read_any_dispatch(spark, tmp_path):
+    from datacurate4llms_spark.sources.readers import read_any, union_all, with_doc_id
+
+    rows = [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}, {"a": 3, "b": "z"}]
+
+    jsonl = tmp_path / "data.jsonl"
+    jsonl.write_text("\n".join(json.dumps(r) for r in rows))
+    whole = tmp_path / "data.json"
+    whole.write_text(json.dumps(rows))  # whole-file JSON array (S2)
+    csv = tmp_path / "data.csv"
+    csv.write_text("a,b\n1,x\n2,y\n3,z\n")
+
+    d_jsonl = read_any(spark, str(jsonl))
+    d_whole = read_any(spark, str(whole), multiline_json=True)
+    d_csv = read_any(spark, str(csv))
+    for df in (d_jsonl, d_whole, d_csv):
+        got = sorted((int(r.a), r.b) for r in df.collect())
+        assert got == [(1, "x"), (2, "y"), (3, "z")]
+
+    # S3 union keeps duplicates; with_doc_id attaches stable keys
+    u = union_all([d_jsonl, d_jsonl])
+    assert u.count() == 6
+    keyed = with_doc_id(d_jsonl, order_cols=["a"])
+    assert [r.doc_id for r in keyed.orderBy("a").collect()] == [0, 1, 2]
+
+    with pytest.raises(ValueError):
+        read_any(spark, str(tmp_path / "data.xlsx"))
+
+
+def test_compaction(spark, tmp_path):
+    from datacurate4llms_spark.sources.checkpoint import compact
+
+    path = str(tmp_path / "many_parts")
+    spark.range(1000).repartition(16).write.parquet(path)
+    import glob
+
+    before = len(glob.glob(f"{path}/part-*"))
+    compact(spark, path, 2)
+    after = len(glob.glob(f"{path}/part-*"))
+    assert before >= 16 and after <= 2
+    assert spark.read.parquet(path).count() == 1000
+
+
+def test_api_encoder_retry_and_zero_fallback(spark):
+    from datacurate4llms_spark.functions.encoders import api_encoder_udf
+
+    d = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").filter(F.col("doc_id") < 100)
+    out = d.select(
+        "doc_id", api_encoder_udf(dim=8, fail_every=5)(F.col("text")).alias("r")
+    ).select("doc_id", "r.embedding", "r.fallback").collect()
+    fallbacks = [r for r in out if r.fallback]
+    ok = [r for r in out if not r.fallback]
+    assert len(fallbacks) > 0 and len(ok) > 0
+    for r in fallbacks:  # zero-vector fallback (openai_encoder.py:57)
+        assert all(v == 0.0 for v in r.embedding)
+    for r in ok:
+        assert abs(float(np.linalg.norm(r.embedding)) - 1.0) < 1e-5
+
+    # fail_every=None → no fallbacks at all
+    clean = d.select(api_encoder_udf(dim=8)(F.col("text")).alias("r")).select("r.fallback")
+    assert clean.filter(F.col("fallback")).count() == 0
+
+
+def test_ncd_with_real_gzip(spark):
+    """NCD over real gzip lengths: identical docs ≈ 0-ish, unrelated docs
+    closer to 1 (get_compression_distance.py:22-33)."""
+    from datacurate4llms_spark.functions.compress import gzip_length_udf, ncd
+
+    a = "the quick brown fox jumps over the lazy dog " * 20
+    b = "entirely different content with other words here " * 20
+    df = spark.createDataFrame(
+        [("aa", a, a), ("ab", a, b)], "pair string, x string, y string"
+    )
+    g = gzip_length_udf()
+    out = (
+        df.withColumn("c_x", g(F.col("x")))
+        .withColumn("c_y", g(F.col("y")))
+        .withColumn("c_xy", g(F.concat(F.col("x"), F.col("y"))))
+        .withColumn("ncd", ncd("c_x", "c_y", "c_xy"))
+        .collect()
+    )
+    vals = {r.pair: r.ncd for r in out}
+    assert vals["aa"] < 0.2
+    assert vals["ab"] > 0.5
+    assert vals["aa"] < vals["ab"]
+
+
+def test_retry_wrapper():
+    from datacurate4llms_spark.functions.retry import retry_on_exception
+
+    calls = {"n": 0, "cleanups": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ValueError("boom")
+        return "ok"
+
+    got = retry_on_exception(
+        flaky, max_retries=3, retry_delay=0.01,
+        cleanup=lambda: calls.__setitem__("cleanups", calls["cleanups"] + 1),
+    )
+    assert got == "ok" and calls["n"] == 3 and calls["cleanups"] == 2
+
+    with pytest.raises(ValueError):
+        retry_on_exception(lambda: (_ for _ in ()).throw(ValueError("always")),
+                           max_retries=2, retry_delay=0.01)
+
+
+def test_instruction_prefix_changes_embedding(spark):
+    from datacurate4llms_spark.functions.encoders import embed_dataframe
+    from datacurate4llms_spark.functions.text import instruction_prefix
+
+    d = spark.createDataFrame([(0, "hello world")], "doc_id bigint, text string")
+    plain = embed_dataframe(d, "text", "e", dim=8).collect()[0].e
+    instructed = embed_dataframe(d, "text", "e", dim=8, instruction="Represent this").collect()[0].e
+    assert plain != instructed
+    # P2: the prefix expression itself
+    got = d.select(instruction_prefix("text", "Query:").alias("v")).collect()[0].v
+    assert got == "Query: hello world"
