@@ -1,0 +1,89 @@
+"""Physical-plan regression guards: the scale-critical plan properties from
+PLANS.md must survive refactors — broadcast joins stay broadcast, pushdown
+reaches scans, the quality filter stays shuffle-free, column pruning holds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_CORRECT
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_quality_filter_plan_is_shuffle_free(spark):
+    from datacurate4llms_spark.pipelines.quality_filter import run_quality_filter
+
+    plan = _plan(run_quality_filter(spark, SF_CORRECT, with_model_scores=True))
+    assert "Exchange" not in plan, "quality filter must not shuffle (PLANS.md §2)"
+    assert plan.count("ArrowEvalPython") == 1, "scorers must be ONE python runner"
+
+
+def test_quality_filter_salted_has_exactly_one_exchange(spark):
+    from datacurate4llms_spark.pipelines.quality_filter import run_quality_filter
+
+    plan = _plan(run_quality_filter(spark, SF_CORRECT, salt_buckets=16))
+    assert plan.count("Exchange") == 1, "salted path = exactly the salt shuffle"
+
+
+def test_tpch_q3_uses_broadcast_joins_and_pushdown(spark):
+    from datacurate4llms_spark import queries_registry as QR
+
+    df = QR.QUERIES["tpch_q3_shipping_priority"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "dimension joins must broadcast at this scale"
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_encoder_scan_prunes_columns(spark):
+    """The encode path must read only (doc_id, text) from the 5-column table."""
+    from datacurate4llms_spark.functions.encoders import embed_dataframe
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    emb = embed_dataframe(docs.select("doc_id", "text"), "text", "embedding", dim=8)
+    plan = _plan(emb.select("doc_id", "embedding"))
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    assert "n_chars" not in plan and "source" not in plan
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    df = docs.filter(F.col("n_chars") > 300).select("doc_id")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,300)]" in plan
+
+
+def test_selection_materialization_broadcasts(spark):
+    from datacurate4llms_spark.pipelines.selection_pipeline import run_selection
+
+    plan = _plan(run_selection(spark, SF_CORRECT, percent=5.0, num_folds=2))
+    assert "BroadcastHashJoin" in plan  # J5 semi-join side is ≤ k rows
+    assert "FlatMapGroupsInPandas" in plan  # O1 per-fold greedy
+    # exactly one fold shuffle feeding the greedy (pre-AQE plan may add the
+    # top-k + final-sort exchanges; the greedy input must be hash(fold))
+    assert "hashpartitioning(fold" in plan
+
+
+def test_cluster_assignment_broadcasts_centers(spark):
+    from datacurate4llms_spark import queries_registry as QR
+
+    plan = _plan(QR.QUERIES["j4_cluster_assign"](spark, SF_CORRECT))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_scorer_input_masking_survives_optimizer(spark):
+    """The null-mask on the scorer input (when(keep, content)) must still be
+    *inside* the python-eval input after optimization — i.e. the UDF argument
+    is the CASE expression, not raw content."""
+    from datacurate4llms_spark.pipelines.quality_filter import run_quality_filter
+
+    opt = _optimized(run_quality_filter(spark, SF_CORRECT, with_model_scores=True))
+    assert "CASE WHEN" in opt

@@ -1,0 +1,98 @@
+"""Property-based tests (SURVEY §5.2.5): bounds, idempotence, determinism."""
+
+from __future__ import annotations
+
+import re
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from conftest import SF_CORRECT
+
+
+def test_quality_metric_bounds(spark):
+    from datacurate4llms_spark.functions.quality import with_quality_metrics
+    from datacurate4llms_spark.pipelines.source_files import source_files
+
+    m = with_quality_metrics(source_files(spark, SF_CORRECT)).toPandas()
+    for col in ["dup_line_frac", "alnum_ratio", "langid_score"]:
+        assert (m[col] >= 0).all() and (m[col] <= 1).all(), col
+    assert (m["n_lines"] >= 1).all()
+    assert (m["max_line_len"] >= 0).all()
+    assert (m["avg_line_len"] <= m["max_line_len"] + 1e-9).all()
+    assert (m["word_count"] >= 1).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(alphabet=string.printable, min_size=1, max_size=120))
+def test_scrub_python_parity_and_idempotence(text):
+    """The scrub regexes behave identically in python `re` (the labeler) and
+    are idempotent (replacement tokens never re-match)."""
+    from datacurate4llms_spark.functions.scrub import SCRUB_RULES
+
+    once = text
+    for _n, pat, repl in SCRUB_RULES:
+        once = re.sub(pat, repl, once)
+    twice = once
+    for _n, pat, repl in SCRUB_RULES:
+        twice = re.sub(pat, repl, twice)
+    assert once == twice
+
+
+def test_scrub_spark_matches_python_on_adversarial_inputs(spark):
+    from datacurate4llms_spark.functions.scrub import SCRUB_RULES, scrub
+
+    cases = [
+        "plain text no pii",
+        "a@b.co x@y.io two emails",
+        "ip 1.2.3.4 and 255.255.255.255 and not 1.2.3",
+        "deadbeef" * 4 + " exactly 32 hex",
+        "deadbeef" * 3 + " only 24 hex (no match)",
+        "mixed: u@example.com at 10.0.0.1 key " + "ab" * 20,
+        "email@sub.domain.example.org trailing",
+        "UPPER@EXAMPLE.COM caps",
+        "",
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i int, t string")
+    got = {r.i: r.s for r in df.select("i", scrub("t").alias("s")).collect()}
+    for i, c in enumerate(cases):
+        expected = c
+        for _n, pat, repl in SCRUB_RULES:
+            expected = re.sub(pat, repl, expected)
+        assert got[i] == expected, f"case {i}: {c!r}"
+
+
+def test_hash32_range_and_determinism(spark):
+    from datacurate4llms_spark.functions.hashing import hash32
+
+    df = spark.range(2000).select(hash32("id", seed="x").alias("h"))
+    stats = df.agg(F.min("h"), F.max("h"), F.count_distinct("h")).collect()[0]
+    assert stats[0] >= 0 and stats[1] < (1 << 32)
+    assert stats[2] > 1990  # near-unique over 2000 ids
+    again = spark.range(2000).select(hash32("id", seed="x").alias("h"))
+    assert df.collect() == again.collect()
+
+
+def test_additive_scaling_bounds_and_diversity_range(spark):
+    from datacurate4llms_spark.operators.metrics import max_diversity
+    from datacurate4llms_spark.operators.similarity import edge_table
+
+    e = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").filter(F.col("vec_id") < 50)
+    edges = edge_table(e, metric="cosine", scaling="additive").toPandas()
+    assert (edges["sim"] >= 0).all() and (edges["sim"] <= 1).all()
+    d = max_diversity(e, id_col="vec_id").collect()[0].diversity
+    assert 0.0 <= d <= 1.0  # A1 ∈ [0,1]
+
+
+def test_fold_sizes_are_balanced(spark):
+    from datacurate4llms_spark.operators.selection import assign_folds
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").select("doc_id")
+    sizes = (
+        assign_folds(docs, num_folds=8).groupBy("fold").count().toPandas()["count"]
+    )
+    assert len(sizes) == 8
+    # uniform hash: no fold more than 2x the smallest at n=500
+    assert sizes.max() < 2 * sizes.min()
