@@ -1,0 +1,61 @@
+"""Stateful streaming dedup — a custom arbitrary-state operator
+(``applyInPandasWithState``) for incremental corpus curation.
+
+Batch dedup (operators/dedup.exact_dedup) answers "which rows survive within
+this dataset"; the streaming form answers "have we *ever* seen this content"
+across micro-batches: state is keyed by content hash, the first arrival is
+emitted with its canonical (lowest) id, every later duplicate — same batch or
+any later batch — is dropped.
+
+At scale the state store shards by the group key (content hash — uniform by
+construction), so state size is O(distinct contents) spread across
+executors; pair with a TTL timeout when the dedup window is bounded.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "content_hash string, doc_id bigint, batch_first boolean"
+STATE_SCHEMA = "seen boolean, canonical_id bigint"
+
+
+def _dedup_group(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    min_id: Any = None
+    for pdf in pdfs:
+        if len(pdf):
+            batch_min = int(pdf["doc_id"].min())
+            min_id = batch_min if min_id is None else min(min_id, batch_min)
+    if min_id is None:
+        return
+    if state.exists:
+        return  # content already emitted in an earlier micro-batch
+    state.update((True, min_id))
+    yield pd.DataFrame(
+        {"content_hash": [key[0]], "doc_id": [min_id], "batch_first": [True]}
+    )
+
+
+def streaming_exact_dedup(
+    files_stream: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """First-ever occurrence per content hash across all micro-batches."""
+    hashed = files_stream.select(
+        F.md5(F.col(content_col)).alias("content_hash"),
+        F.col(id_col).alias("doc_id"),
+    )
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        _dedup_group,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

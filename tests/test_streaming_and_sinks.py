@@ -111,3 +111,33 @@ def test_gzip_bits_per_char_detects_repetition(spark):
     )
     bpc = {r.id: r.bpc for r in out}
     assert bpc[1] < bpc[2]  # pure repetition compresses far better
+
+
+def test_streaming_stateful_dedup_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: a duplicate arriving in a LATER micro-batch
+    must be suppressed by state (batch dedup can't see across batches)."""
+    from datacurate4llms_spark.streaming.dedup import streaming_exact_dedup
+    from datacurate4llms_spark.streaming.events import run_available_now
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    schema = "doc_id bigint, content string"
+    # batch 1: A, B (+ in-batch dup of A); batch 2: dup of A, dup of B, new C
+    spark.createDataFrame(
+        [(0, "content A"), (1, "content B"), (2, "content A")], schema
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(
+        [(10, "content A"), (11, "content B"), (12, "content C")], schema
+    ).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # -> one micro-batch per file
+        .parquet(str(src / "*"))
+    )
+    rows = run_available_now(
+        streaming_exact_dedup(stream), str(tmp_path / "ck"), output_mode="update"
+    )
+    got = {r.content_hash: r.doc_id for r in rows}
+    assert len(rows) == 3, f"one emission per distinct content, got {rows}"
+    assert sorted(got.values()) == [0, 1, 12]  # canonical = lowest id at first sight
