@@ -1,0 +1,65 @@
+"""As-of join — an operator Spark lacks natively (guide: "range key +
+equi-join on bucket + filter, or applyInPandas with pd.merge_asof").
+
+``asof_join(left, right, …)`` attaches, to every left row, the most recent
+right row with ``right.ts <= left.ts`` within the same key — the standard
+time-series enrichment join (trades→quotes, events→sessions).
+
+Implementation is the union-tag-window pattern, which is *better* than a
+range join at scale: one shuffle on the key, one ordered window pass, no
+range-bucket explosion:
+
+    union(left tagged 0, right tagged 1)
+    → window last(right_value, ignoreNulls) over
+        (partition by key order by ts, tag asc rows unbounded preceding..current)
+    → keep left rows
+
+Tie semantics: a right row at exactly left.ts matches (``<=``), implemented
+by ordering right rows (tag 1) — wait, ordering *right before left* at equal
+ts — via tag desc in the window order. Matches DuckDB ``ASOF JOIN`` (>=)
+semantics, which the oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: latest right row with right_ts <= left_ts per key.
+
+    ``value_cols`` are the right columns carried over (null when no prior
+    right row exists). Left columns pass through unchanged.
+    """
+    lt = left.withColumn("_tag", F.lit(1)).withColumn("_ats", F.col(left_ts))
+    rt = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("_ats"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+    ).withColumn("_tag", F.lit(0))
+
+    carried = [f"{c}{suffix}" for c in value_cols]
+    merged = lt.unionByName(rt, allowMissingColumns=True)
+
+    # right rows (tag 0) sort before left rows at equal _ats → a right row at
+    # exactly left_ts is visible to that left row (<= semantics)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_ats").asc(), F.col("_tag").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in carried:
+        merged = merged.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+
+    return merged.filter(F.col("_tag") == 1).drop("_tag", "_ats")

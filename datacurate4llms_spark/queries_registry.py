@@ -1176,3 +1176,50 @@ def q_d6_salt(spark, sf_dir):
     return d.select(salt_col(["doc_id", "lang"], 16, seed=0).alias("salt_bucket")).groupBy(
         "salt_bucket"
     ).agg(F.count("*").cast("bigint").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# As-of join (time-series enrichment) — oracle is DuckDB's native ASOF JOIN
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "asof_join_events",
+    """
+    with views as (
+      select user_id, ts, event_id from events where event_type = 'view'
+      qualify row_number() over (partition by user_id, ts order by event_id desc) = 1
+    ),
+    clicks as (select event_id, user_id, ts, value from events where event_type = 'click')
+    select c.event_id, c.user_id,
+           round(cast(c.value as double), 6) as click_value,
+           v.event_id as view_event_id
+    from clicks c asof left join views v
+      on c.user_id = v.user_id and c.ts >= v.ts
+    """,
+)
+def q_asof(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    from .operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    # right side unique per (user_id, ts): keep max event_id (ASOF JOIN
+    # expects unique timestamps per key)
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .withColumn(
+            "_rn",
+            F.row_number().over(W.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ts", "event_id")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts", "value")
+    out = asof_join(clicks, views, on=["user_id"], value_cols=["event_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        _r6(F.col("value")).alias("click_value"),
+        F.col("event_id_asof").alias("view_event_id"),
+    )

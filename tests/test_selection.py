@@ -140,3 +140,13 @@ def test_selection_is_deterministic_across_partitionings(spark):
     a = select_subset(embedded, num_folds=3, percent=5.0).select("doc_id", "gain")
     b = select_subset(embedded.repartition(17), num_folds=3, percent=5.0).select("doc_id", "gain")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_select_subset_absolute_size(spark):
+    """Absolute spec: min(spec, total) rows, same machinery as percent."""
+    sdf = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").select("doc_id", "text")
+    embedded = embed_dataframe(sdf, "text", "embedding", dim=16)
+    out = select_subset(embedded, percent=None, absolute=25, num_folds=3)
+    assert out.count() == 25
+    big = select_subset(embedded, percent=None, absolute=10_000, num_folds=3)
+    assert big.count() == 500  # clamped to total (data_subset_selection.py:151)
