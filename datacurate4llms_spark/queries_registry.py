@@ -1223,3 +1223,80 @@ def q_asof(spark, sf_dir):
         _r6(F.col("value")).alias("click_value"),
         F.col("event_id_asof").alias("view_event_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational breadth: rollup, pivot (conditional agg), window analytics
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "rel_rollup_counts",
+    """
+    select coalesce(lang, '<all>') as lang, coalesce(source, '<all>') as source,
+           cast(count(*) as bigint) as n,
+           cast(sum(n_chars) as bigint) as total_chars
+    from documents group by rollup(lang, source)
+    """,
+)
+def q_rollup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.rollup("lang", "source")
+        .agg(F.count("*").cast("bigint").alias("n"), F.sum("n_chars").cast("bigint").alias("total_chars"))
+        .select(
+            F.coalesce(F.col("lang"), F.lit("<all>")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("<all>")).alias("source"),
+            "n",
+            "total_chars",
+        )
+    )
+
+
+@_register(
+    "rel_pivot_lang_counts",
+    """
+    select source,
+           cast(count(case when lang = 'en' then 1 end) as bigint) as n_en,
+           cast(count(case when lang = 'de' then 1 end) as bigint) as n_de,
+           cast(count(case when lang = 'fr' then 1 end) as bigint) as n_fr,
+           cast(count(case when lang = 'es' then 1 end) as bigint) as n_es,
+           cast(count(case when lang = 'zh' then 1 end) as bigint) as n_zh
+    from documents group by source
+    """,
+)
+def q_pivot(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    aggs = [
+        F.count(F.when(F.col("lang") == lang, 1)).cast("bigint").alias(f"n_{lang}")
+        for lang in ["en", "de", "fr", "es", "zh"]
+    ]
+    return d.groupBy("source").agg(*aggs)
+
+
+@_register(
+    "rel_window_analytics",
+    """
+    select event_id, user_id,
+           round(cast(value - lag(value) over w as double), 6) as delta_value,
+           round(cast(avg(value) over (partition by user_id order by ts, event_id
+                 rows between 4 preceding and current row) as double), 6) as moving_avg5,
+           cast(row_number() over w as int) as seq_no
+    from events
+    where user_id < 10
+    window w as (partition by user_id order by ts, event_id)
+    """,
+)
+def q_window_analytics(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w5 = w.rowsBetween(-4, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        _r6(F.col("value") - F.lag("value").over(w)).alias("delta_value"),
+        _r6(F.avg("value").over(w5)).alias("moving_avg5"),
+        F.row_number().over(w).cast("int").alias("seq_no"),
+    )
