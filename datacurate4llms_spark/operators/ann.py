@@ -179,3 +179,118 @@ def lsh_topk_sql(
     select query_id, neighbour_id, round(cast(sim as double), 6) as sim, cast(rank as int) as rank
     from ranked where rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# IVF variant: inverted file over centroid cells (FAISS IVFFlat analog —
+# the reference's use_inverse_index path, compute_pairwise_similarity.py:140-168)
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    *,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    centroid_id: str = "cell_id",
+    centroid_emb: str = "cemb",
+) -> DataFrame:
+    """(id, cell_id, cell_rank): each row's nprobe nearest centroid cells by
+    cosine (broadcast argmax — centroids are small by construction).
+    nprobe=1 builds the inverted file; nprobe>1 is the query-side probe set.
+    """
+    sim = cosine(F.col(emb_col), F.col(centroid_emb))
+    scored = df.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col), F.col(centroid_id), sim.alias("_csim")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc(centroid_id))
+    return (
+        scored.withColumn("cell_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select(id_col, centroid_id, "cell_rank")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    *,
+    nprobe: int = 2,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via inverted file: corpus rows live in their nearest
+    cell; each query searches its ``nprobe`` nearest cells and reranks
+    exactly. Shuffle = equi-join on cell_id (O(n)); recall is tuned by
+    centroid count (cell size) and nprobe — exactly FAISS IVFFlat's knobs.
+    ``centroids``: (cell_id int, cemb array<float>) — e.g. the first-K
+    facility-location picks (operators/selection) or a uniform id sample.
+    """
+    inv = ivf_assign_cells(
+        corpus, centroids, nprobe=1, id_col=corpus_id, emb_col=emb_col
+    ).select(F.col(corpus_id).alias("neighbour_id"), "cell_id")
+    probes = ivf_assign_cells(
+        queries, centroids, nprobe=nprobe, id_col=query_id, emb_col=emb_col
+    ).select(F.col(query_id).alias("query_id"), "cell_id")
+
+    q_emb = queries.select(F.col(query_id).alias("query_id"), F.col(emb_col).alias("_qe"))
+    c_emb = corpus.select(F.col(corpus_id).alias("neighbour_id"), F.col(emb_col).alias("_ce"))
+    cands = (
+        probes.join(inv, "cell_id")
+        .filter(F.col("query_id") != F.col("neighbour_id"))
+        .select("query_id", "neighbour_id")
+        .distinct()
+        .join(q_emb, "query_id")
+        .join(c_emb, "neighbour_id")
+    )
+    edges = cands.select(
+        "query_id", "neighbour_id", cosine(F.col("_qe"), F.col("_ce")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbour_id"))
+    return (
+        edges.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_topk_sql(k: int, n_centroids: int, nprobe: int, query_limit: int) -> str:
+    """DuckDB oracle: centroids = vec_id < n_centroids over embeddings."""
+    cs = cosine_sql("e.embedding", "c.embedding")
+    return f"""
+    with centroids as (
+      select vec_id as cell_id, embedding from embeddings where vec_id < {n_centroids}
+    ),
+    assign as (
+      select e.vec_id, c.cell_id,
+             row_number() over (partition by e.vec_id
+                                order by {cs} desc, c.cell_id asc) as cell_rank
+      from embeddings e cross join centroids c
+    ),
+    inv as (select vec_id as neighbour_id, cell_id from assign where cell_rank = 1),
+    probes as (select vec_id as query_id, cell_id from assign
+               where cell_rank <= {nprobe} and vec_id < {query_limit}),
+    cands as (
+      select distinct p.query_id, i.neighbour_id
+      from probes p join inv i on p.cell_id = i.cell_id
+      where p.query_id <> i.neighbour_id
+    ),
+    edges as (
+      select cd.query_id, cd.neighbour_id,
+             {cosine_sql('a.embedding', 'b.embedding')} as sim
+      from cands cd
+      join embeddings a on a.vec_id = cd.query_id
+      join embeddings b on b.vec_id = cd.neighbour_id
+    ),
+    ranked as (
+      select query_id, neighbour_id, sim,
+             row_number() over (partition by query_id order by sim desc, neighbour_id asc) as rank
+      from edges
+    )
+    select query_id, neighbour_id, round(cast(sim as double), 6) as sim, cast(rank as int) as rank
+    from ranked where rank <= {k}
+    """

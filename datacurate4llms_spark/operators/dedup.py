@@ -312,3 +312,76 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("i", "j", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-group closure: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def duplicate_components(
+    pairs: DataFrame, max_iterations: int = 12
+) -> DataFrame:
+    """(node, component) — transitive closure of near-duplicate pairs by
+    iterative min-label propagation: every node's label converges to the
+    smallest id reachable from it, so ``component`` doubles as the canonical
+    survivor id ("keep first" across whole chains, not just direct pairs).
+
+    Converges in O(component diameter) rounds — near-dup clusters are
+    shallow in practice (boilerplate families), so ``max_iterations`` is a
+    backstop, with an early-exit when a round changes nothing.
+    ``localCheckpoint`` truncates the iterative lineage (the standard Spark
+    pattern for loops; on a cluster prefer reliable checkpointing).
+    """
+    edges = pairs.select("i", "j").unionByName(
+        pairs.select(F.col("j").alias("i"), F.col("i").alias("j"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("i").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["j"] == labels["node"])
+            .groupBy("i")
+            .agg(F.min("component").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["i"], "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce(F.col("_nmin"), F.col("component"))).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dedup_transitive(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-dedup with full transitive closure: keep exactly one row (the
+    minimum id) per connected component of verified near-dup pairs."""
+    pairs = minhash_near_dup_pairs(df, content_col, id_col, threshold)
+    comps = duplicate_components(pairs)
+    drop = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

@@ -1300,3 +1300,13 @@ def q_window_analytics(spark, sf_dir):
         _r6(F.avg("value").over(w5)).alias("moving_avg5"),
         F.row_number().over(w).cast("int").alias("seq_no"),
     )
+
+
+@_register("ann_ivf_topk", ANN.ivf_topk_sql(k=5, n_centroids=12, nprobe=2, query_limit=20))
+def q_ann_ivf(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 12).select(
+        F.col("vec_id").cast("int").alias("cell_id"), F.col("embedding").alias("cemb")
+    )
+    out = ANN.ivf_topk(e.filter(F.col("vec_id") < 20), e, centroids, k=5, nprobe=2)
+    return out.select("query_id", "neighbour_id", _r6(F.col("sim")).alias("sim"), "rank")

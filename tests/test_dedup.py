@@ -109,3 +109,32 @@ def test_embedding_near_dup_threshold(spark):
     out = D.embedding_near_dup_pairs(e, threshold=0.3).toPandas()
     assert (out["cos_sim"] >= 0.3).all()
     assert (out["i"] < out["j"]).all()
+
+
+def test_duplicate_components_transitive_chain(spark):
+    """A-B and B-C pairs (no direct A-C) must collapse into one component
+    labelled by the minimum id."""
+    from datacurate4llms_spark.operators.dedup import duplicate_components
+
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (20, 21), (9, 30)], "i bigint, j bigint"
+    )
+    comps = {r.node: r.component for r in duplicate_components(pairs).collect()}
+    assert comps == {1: 1, 5: 1, 9: 1, 30: 1, 20: 20, 21: 20}
+
+
+def test_near_dedup_transitive_keeps_one_per_chain(spark):
+    from datacurate4llms_spark.operators.dedup import near_dedup_transitive
+
+    # 0==1 and 1==2 are exact dups (identical text); 3 unrelated
+    df = spark.createDataFrame(
+        [
+            (0, "the same exact content here today"),
+            (1, "the same exact content here today"),
+            (2, "the same exact content here today"),
+            (3, "completely different words entirely over here"),
+        ],
+        "doc_id bigint, content string",
+    )
+    survivors = sorted(r.doc_id for r in near_dedup_transitive(df, threshold=0.9).collect())
+    assert survivors == [0, 3]
