@@ -11,7 +11,6 @@ import math
 
 import numpy as np
 import pandas as pd
-import pytest
 
 from datacurate4llms_spark.functions.encoders import _hash_vector, embed_dataframe
 from datacurate4llms_spark.oracle.numpy_fl import (
@@ -22,7 +21,6 @@ from datacurate4llms_spark.oracle.numpy_fl import (
 from datacurate4llms_spark.operators.selection import (
     assign_folds,
     global_top_k,
-    select_per_fold,
     select_subset,
 )
 
