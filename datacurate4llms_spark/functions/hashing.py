@@ -31,14 +31,25 @@ def hash32(*cols: Column | str, seed: str = "") -> Column:
     payload so independent hash families (minhash permutations, fold seeds,
     salts) come from the same primitive.
     """
-    parts = [F.lit(seed)] + [F.col(c).cast("string") if isinstance(c, str) else c.cast("string") for c in cols]
+    parts = [F.lit(seed)] + [
+        F.coalesce(
+            (F.col(c) if isinstance(c, str) else c).cast("string"),
+            F.lit("\x02null"),
+        )
+        for c in cols
+    ]
     payload = F.concat_ws("\x01", *parts)
     return F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("bigint")
 
 
 def hash32_sql(*exprs: str, seed: str = "") -> str:
     """DuckDB SQL text computing the identical hash32 over SQL expressions."""
-    parts = [f"'{seed}'"] + [f"cast(({e}) as varchar)" for e in exprs]
+    # NULL columns coalesce to a reserved sentinel in BOTH engines — without
+    # it concat_ws silently drops NULLs, so hash32('a', NULL) == hash32('a')
+    # and NULL-keyed rows collapse into shared fold/salt buckets (ADVICE r1).
+    parts = [f"'{seed}'"] + [
+        f"coalesce(cast(({e}) as varchar), chr(2) || 'null')" for e in exprs
+    ]
     payload = "concat_ws(chr(1), " + ", ".join(parts) + ")"
     return f"(('0x' || substr(md5({payload}), 1, 8))::bigint)"
 

@@ -110,4 +110,6 @@ def detect_optimal_clusters(gains: list[float], default: int = 50) -> int:
     knee_idx = int(np.argmax(diff))
     if diff[knee_idx] <= 0:
         return default
-    return int(x[knee_idx]) + 1  # reference's "+1 buffer" (data_clustering.py:180)
+    # reference's "+1 buffer" then clamp to the curve length
+    # (data_clustering.py:180-181: optimal += 1; min(optimal, len(gains)))
+    return min(int(x[knee_idx]) + 1, len(gains))

@@ -327,9 +327,12 @@ def duplicate_components(
     smallest id reachable from it, so ``component`` doubles as the canonical
     survivor id ("keep first" across whole chains, not just direct pairs).
 
-    Converges in O(component diameter) rounds — near-dup clusters are
-    shallow in practice (boilerplate families), so ``max_iterations`` is a
-    backstop, with an early-exit when a round changes nothing.
+    Each round does one-hop min-label propagation followed by pointer
+    doubling (component ← label(component)), so convergence is
+    O(log diameter) rounds — ``max_iterations=12`` covers diameters up to
+    ~2^12. If the loop exhausts without converging it RAISES rather than
+    silently returning partial closure (ADVICE r1: a long chain would
+    otherwise keep >1 survivor with no signal).
     ``localCheckpoint`` truncates the iterative lineage (the standard Spark
     pattern for loops; on a cluster prefer reliable checkpointing).
     """
@@ -342,17 +345,32 @@ def duplicate_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["j"] == labels["node"])
             .groupBy("i")
             .agg(F.min("component").alias("_nmin"))
         )
-        new_labels = (
+        hopped = (
             labels.join(neighbor_min, labels["node"] == neighbor_min["i"], "left")
             .select(
                 "node",
                 F.least(F.col("component"), F.coalesce(F.col("_nmin"), F.col("component"))).alias(
+                    "component"
+                ),
+            )
+        )
+        # pointer doubling: jump component → label(component), halving the
+        # remaining distance to the component minimum each round
+        parent = hopped.select(
+            F.col("node").alias("_p"), F.col("component").alias("_pc")
+        )
+        new_labels = (
+            hopped.join(parent, hopped["component"] == parent["_p"], "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce(F.col("_pc"), F.col("component"))).alias(
                     "component"
                 ),
             )
@@ -367,7 +385,13 @@ def duplicate_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_components did not converge in {max_iterations} "
+            "rounds (component diameter > 2^rounds); raise max_iterations"
+        )
     return labels
 
 

@@ -33,7 +33,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..functions.hashing import fold_assign
 from ..oracle.numpy_fl import select_fold
@@ -99,13 +98,14 @@ def select_per_fold(
 def global_top_k(selected: DataFrame, k: int) -> DataFrame:
     """T1: keep the k best gains across folds, deterministic tie-break
     (gain desc, doc_id asc) — reference sorts then slices
-    (data_subset_selection.py:389-398)."""
-    w = Window.orderBy(F.desc("gain"), F.asc("doc_id"))
-    return (
-        selected.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .drop("rank")
-    )
+    (data_subset_selection.py:389-398).
+
+    orderBy().limit(k) plans TakeOrderedAndProject: each partition keeps a
+    local top-k heap and only k rows per partition reach the final merge —
+    no single-partition global window (which funnels percent·N rows through
+    one task at 100 TB). Same deterministic result.
+    """
+    return selected.orderBy(F.desc("gain"), F.asc("doc_id")).limit(k)
 
 
 def materialize_subset(df: DataFrame, selected: DataFrame, id_col: str = "doc_id") -> DataFrame:

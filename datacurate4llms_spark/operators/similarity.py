@@ -92,6 +92,7 @@ def broadcast_knn(
     corpus_id: str = "vec_id",
     emb_col: str = "embedding",
     metric: str = "cosine",
+    max_query_cells: int = 50_000_000,
 ) -> DataFrame:
     """Exact top-k via broadcast-queries + streamed-corpus block matmul.
 
@@ -100,7 +101,19 @@ def broadcast_knn(
     numpy and emits only its local top-k per query — the shuffle carries
     |Q|·k·n_batches candidate rows into one final window. This is the
     reference's tiled GEMM (:65-74) with Spark partitions as the outer tile.
+
+    ``max_query_cells`` guards the driver collect: |Q|·dim above the bound
+    raises instead of silently OOMing the driver (misuse → error, not crash).
     """
+    n_q = queries.count()
+    dim_row = queries.select(F.size(emb_col).alias("d")).first()
+    dim = int(dim_row["d"]) if dim_row and dim_row["d"] is not None else 0
+    if n_q * max(dim, 1) > max_query_cells:
+        raise ValueError(
+            f"broadcast_knn: query side too large to collect "
+            f"(|Q|={n_q} × dim={dim} > max_query_cells={max_query_cells}); "
+            "use lsh_topk/ivf_topk from operators.ann for large query sets"
+        )
     q_pd = queries.select(query_id, emb_col).toPandas()
     q_ids = q_pd[query_id].to_numpy(dtype=np.int64)
     q_mat = np.stack([np.asarray(v, dtype=np.float32) for v in q_pd[emb_col]]).astype(np.float64)

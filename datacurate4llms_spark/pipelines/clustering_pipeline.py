@@ -29,20 +29,45 @@ def run_clustering(
     num_clusters: int | None = None,
     dim: int = 16,
     limit: int | None = None,
+    max_curve_rows: int = 50_000,
 ) -> DataFrame:
     """documents → (doc_id, cluster_id, similarity_to_center, rank_in_cluster).
 
     ``num_clusters=None`` → knee of the greedy gain curve (reference
     detect_optimal_clusters, data_clustering.py:171-186).
+
+    Scale note: the greedy gain curve must be global to pick centers, which
+    is the reference's own single-process design (data_clustering.py:249-250)
+    and the engine's hardest scale ceiling. When the corpus exceeds
+    ``max_curve_rows``, the curve is computed on a deterministic hash-ordered
+    sample of that size (orderBy(hash32).limit — TakeOrderedAndProject,
+    distributed): knee k and center picks come from the sample, while the
+    argmax assignment of the FULL corpus stays distributed. Fidelity trade:
+    centers are the greedy picks of the sample, not the corpus — same class
+    of approximation as the reference's fold-parallel selection; documented
+    in SURVEY §7.4.3.
     """
+    from ..functions.hashing import hash32
+
     docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
     if limit:
         docs = docs.filter(F.col("doc_id") < limit)
     embedded = embed_dataframe(docs.select("doc_id", "text"), "text", "embedding", dim=dim)
 
+    # Bound the single-task greedy + driver collect to max_curve_rows.
+    curve_input = embedded
+    n = embedded.count()
+    if n > max_curve_rows:
+        curve_input = (
+            embedded.orderBy(hash32("doc_id", seed="knee_sample"), F.col("doc_id"))
+            .limit(max_curve_rows)
+        )
+        n = max_curve_rows
+
     # full greedy curve: budget = n-1 (data_clustering.py:249-250), one fold
     curve = select_per_fold(
-        embedded, id_col="doc_id", emb_col="embedding", num_folds=1, percent=100.0
+        curve_input, id_col="doc_id", emb_col="embedding", num_folds=1,
+        percent=None, absolute=max(1, n - 1),
     ).orderBy("pick_order")
 
     picks = curve.select("doc_id", "pick_order", "gain").collect()

@@ -445,10 +445,12 @@ def q_topk(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     gain = (hash32("doc_id", seed="gain") % 1000).cast("double") / 1000.0
     gains = d.select("doc_id", gain.alias("gain"))
+    # TakeOrderedAndProject prunes to 50 rows distributed-side; the rank
+    # window then runs over ≤50 rows (not the full corpus — VERDICT r1 #2).
+    top = gains.orderBy(F.desc("gain"), F.asc("doc_id")).limit(50)
     w = Window.orderBy(F.desc("gain"), F.asc("doc_id"))
     return (
-        gains.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 50)
+        top.withColumn("rnk", F.row_number().over(w))
         .select("doc_id", _r6(F.col("gain")).alias("gain"), F.col("rnk").cast("int").alias("rnk"))
     )
 
@@ -972,7 +974,7 @@ def q_ev_window(spark, sf_dir):
     "ev_sessionization",
     """
     with gaps as (
-      select user_id, ts,
+      select user_id, ts, event_id,
              case when epoch(ts) - epoch(lag(ts) over (partition by user_id order by ts, event_id))
                        > 1800 or lag(ts) over (partition by user_id order by ts, event_id) is null
                   then 1 else 0 end as new_session
@@ -980,7 +982,7 @@ def q_ev_window(spark, sf_dir):
     ),
     sess as (
       select user_id,
-             sum(new_session) over (partition by user_id order by ts
+             sum(new_session) over (partition by user_id order by ts, event_id
                                     rows between unbounded preceding and current row) as session_id
       from gaps
     )
@@ -994,11 +996,17 @@ def q_ev_sessions(spark, sf_dir):
 
     e = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # Fractional epoch (ts cast double) matches DuckDB epoch(ts) exactly —
+    # unix_timestamp truncates to whole seconds and misclassifies true gaps
+    # in (1800, 1801) with differing sub-second parts (ADVICE r1).
     gaps = e.withColumn(
         "new_session",
         F.when(
             F.lag("ts").over(w).isNull()
-            | ((F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800),
+            | (
+                (F.col("ts").cast("timestamp").cast("double")
+                 - F.lag("ts").over(w).cast("timestamp").cast("double")) > 1800
+            ),
             F.lit(1),
         ).otherwise(F.lit(0)),
     )

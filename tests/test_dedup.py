@@ -121,6 +121,30 @@ def test_duplicate_components_transitive_chain(spark):
     assert comps == {1: 1, 5: 1, 9: 1, 30: 1, 20: 20, 21: 20}
 
 
+def test_duplicate_components_long_chain_pointer_doubling(spark):
+    """A 40-link chain (diameter 40 > 12 one-hop rounds) must still converge:
+    pointer doubling makes rounds O(log diameter) (ADVICE r1)."""
+    from datacurate4llms_spark.operators.dedup import duplicate_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "i bigint, j bigint"
+    )
+    comps = {r.node: r.component for r in duplicate_components(pairs).collect()}
+    assert set(comps.values()) == {0} and len(comps) == 41
+
+
+def test_duplicate_components_raises_on_non_convergence(spark):
+    import pytest
+
+    from datacurate4llms_spark.operators.dedup import duplicate_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "i bigint, j bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_components(pairs, max_iterations=1)
+
+
 def test_near_dedup_transitive_keeps_one_per_chain(spark):
     from datacurate4llms_spark.operators.dedup import near_dedup_transitive
 

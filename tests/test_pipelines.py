@@ -35,6 +35,28 @@ def test_clustering_knee_detection_runs(spark):
     assert detect_optimal_clusters([1.0, 1.0]) == 50  # degenerate → default
 
 
+def test_clustering_knee_clamped_to_curve(spark):
+    """Knee at the last curve point must not exceed len(gains)
+    (reference clamp, data_clustering.py:180-181; ADVICE r1)."""
+    from datacurate4llms_spark.operators.clustering import detect_optimal_clusters
+
+    gains = [100.0, 50.0, 25.0, 12.0, 6.0]
+    assert detect_optimal_clusters(gains) <= len(gains)
+
+
+def test_clustering_sampled_knee_close_to_full(spark):
+    """With max_curve_rows below the corpus size, the sampled knee k must be
+    within ±1 of the full-curve k, and the full corpus still gets assigned."""
+    from datacurate4llms_spark.pipelines.clustering_pipeline import run_clustering
+
+    full = run_clustering(spark, SF_CORRECT, limit=200).toPandas()
+    sampled = run_clustering(spark, SF_CORRECT, limit=200, max_curve_rows=120).toPandas()
+    assert len(sampled) == 200  # assignment covers the WHOLE corpus
+    k_full = full["cluster_id"].nunique()
+    k_sampled = sampled["cluster_id"].nunique()
+    assert abs(k_full - k_sampled) <= max(1, k_full // 4), (k_full, k_sampled)
+
+
 def test_checkpoint_resume_idempotent(spark, tmp_path):
     from datacurate4llms_spark.sources.checkpoint import run_with_checkpoint
 

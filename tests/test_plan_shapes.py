@@ -72,6 +72,17 @@ def test_selection_materialization_broadcasts(spark):
     assert "hashpartitioning(fold" in plan
 
 
+def test_global_top_k_is_take_ordered(spark):
+    """T1 must plan TakeOrderedAndProject (distributed partial top-k), not an
+    unpartitioned global window funneling every candidate through one task
+    (VERDICT r1 #2)."""
+    from datacurate4llms_spark.pipelines.selection_pipeline import run_selection
+
+    plan = _plan(run_selection(spark, SF_CORRECT, percent=5.0, num_folds=2))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan, "selection must not use a global window"
+
+
 def test_cluster_assignment_broadcasts_centers(spark):
     from datacurate4llms_spark import queries_registry as QR
 

@@ -75,6 +75,31 @@ def test_hash32_range_and_determinism(spark):
     assert df.collect() == again.collect()
 
 
+def test_hash32_null_sentinel_and_duckdb_parity(spark, duck):
+    """NULL key columns must NOT collapse into the non-NULL payload:
+    hash32('a', NULL) != hash32('a'), identically in both engines (ADVICE r1)."""
+    from datacurate4llms_spark.functions.hashing import hash32, hash32_sql
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", None), (None, None)], "x string, y string"
+    )
+    rows = df.select(
+        hash32("x", "y", seed="s").alias("h2"),
+        hash32("x", seed="s").alias("h1"),
+    ).collect()
+    # NULL y does not reduce to the 1-column hash
+    assert rows[1].h2 != rows[1].h1
+    # all three 2-col payloads distinct
+    assert len({r.h2 for r in rows}) == 3
+
+    got = duck.execute(
+        f"""select {hash32_sql('x', 'y', seed='s')} as h2,
+                   {hash32_sql('x', seed='s')} as h1
+            from (values ('a','b'), ('a', NULL), (NULL, NULL)) t(x, y)"""
+    ).fetchall()
+    assert [(r.h2, r.h1) for r in rows] == [tuple(g) for g in got]
+
+
 def test_additive_scaling_bounds_and_diversity_range(spark):
     from datacurate4llms_spark.operators.metrics import max_diversity
     from datacurate4llms_spark.operators.similarity import edge_table

@@ -43,6 +43,18 @@ def test_broadcast_knn_matches_window_knn(spark):
     np.testing.assert_allclose(a["sim"], b["sim"], rtol=1e-9)
 
 
+def test_broadcast_knn_guards_oversized_query_collect(spark):
+    """|Q|·dim above the bound must raise, not OOM the driver (VERDICT r1 #3)."""
+    import pytest
+
+    from datacurate4llms_spark.operators import similarity as S
+
+    e = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 50)
+    with pytest.raises(ValueError, match="too large to collect"):
+        S.broadcast_knn(q, e, k=3, max_query_cells=100)
+
+
 def test_metrics_euclidean_rbf_additive(spark):
     e = _emb(spark, 40)
     eu = S.edge_table(e, metric="euclidean").toPandas()
