@@ -57,32 +57,157 @@ def hash_encoder_udf(dim: int = 16, instruction: str = ""):
     return _encode
 
 
-def real_encoder_udf(model_name: str, dim: int, batch_size: int = 64):
-    """Registered seam for the reference's real encoder families (BGE, NVEmbed,
-    GTE-Qwen2, SFR-Mistral, Arctic, SentenceTransformer, OpenAI —
-    src/encoders/*). torch/transformers are not installed in this container,
-    so loading raises; the UDF shape (iterator pandas_udf, executor-cached
-    model, micro-batched forward) is the production contract.
-    """
+# Mirror of the reference's MODEL_CONFIGS (bge_unified_encoder.py:11-54) plus
+# the pooling families of its other encoder modules: Arctic = CLS
+# (arctic_encoder.py:55 add_pooling_layer=False → hidden[:,0]),
+# SentenceTransformer = mean (sentence_encoder.py), GTE-Qwen2 / SFR-Mistral /
+# NVEmbed = last-token (gte_qwen2_instruct_encoder.py:46,
+# sfr_mistral_encoder.py:26). Unknown model names default to mean pooling.
+ENCODER_CONFIGS: dict[str, dict] = {
+    "BAAI/bge-base-en": dict(pooling="cls", normalize=True, max_length=512,
+        default_instruction="Represent this sentence for searching relevant passages:"),
+    "BAAI/bge-base-en-v1.5": dict(pooling="cls", normalize=True, max_length=512,
+        default_instruction="Represent this sentence for searching relevant passages:"),
+    "BAAI/bge-large-en": dict(pooling="cls", normalize=True, max_length=512,
+        default_instruction="Represent this sentence for searching relevant passages:"),
+    "BAAI/bge-large-en-v1.5": dict(pooling="cls", normalize=True, max_length=512,
+        default_instruction="Represent this sentence for searching relevant passages:"),
+    "BAAI/bge-m3": dict(pooling="cls", normalize=True, max_length=4096,
+        default_instruction="Use the following sentences to search for relevant passages:"),
+    "BAAI/bge-multilingual-gemma2": dict(pooling="last_token", normalize=True, max_length=4096,
+        default_instruction="Represent this for searching:"),
+    "Snowflake/snowflake-arctic-embed-l": dict(pooling="cls", normalize=True, max_length=512,
+        default_instruction=""),
+    "Alibaba-NLP/gte-Qwen2-7B-instruct": dict(pooling="last_token", normalize=True, max_length=4096,
+        default_instruction=""),
+    "Salesforce/SFR-Embedding-Mistral": dict(pooling="last_token", normalize=True, max_length=4096,
+        default_instruction=""),
+    "nvidia/NV-Embed-v2": dict(pooling="last_token", normalize=True, max_length=4096,
+        default_instruction=""),
+}
+_DEFAULT_CONFIG = dict(pooling="mean", normalize=True, max_length=512, default_instruction="")
 
+
+def pool_hidden_states(hidden: np.ndarray, mask: np.ndarray, method: str) -> np.ndarray:
+    """E2 pooling over (batch, seq, dim) hidden states with (batch, seq)
+    attention mask — numpy port of the reference's torch pooling
+    (bge_unified_encoder.py:108-122; last-token left-padding branch included).
+    Pooling after the device→host transfer is math-identical; on a GPU
+    cluster pool on-device first to shrink the transfer from B·L·H to B·H.
+    """
+    hidden = np.asarray(hidden, dtype=np.float64)
+    mask = np.asarray(mask)
+    if method == "cls":
+        return hidden[:, 0]
+    if method == "mean":
+        m = mask.astype(np.float64)[:, :, None]
+        return (hidden * m).sum(axis=1) / np.maximum(mask.sum(axis=1, keepdims=True), 1)
+    if method == "last_token":
+        # left padding ⇒ every sequence ends at the last position
+        if mask[:, -1].sum() == mask.shape[0]:
+            return hidden[:, -1]
+        seq_len = mask.sum(axis=1) - 1
+        return hidden[np.arange(hidden.shape[0]), seq_len.astype(np.int64)]
+    raise ValueError(f"unknown pooling method {method!r}")
+
+
+def l2_normalize_rows(mat: np.ndarray) -> np.ndarray:
+    """torch.nn.functional.normalize(p=2, dim=1) equivalent."""
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def prepare_inputs(texts: list[str], model_name: str, instruction: str = "",
+                   query_description: str = "") -> list[str]:
+    """Model-specific instruction decoration (bge_unified_encoder.py:124-138)."""
+    cfg = ENCODER_CONFIGS.get(model_name, _DEFAULT_CONFIG)
+    if not instruction and cfg["default_instruction"]:
+        instruction = cfg["default_instruction"]
+    if not instruction:
+        return texts
+    if "bge-multilingual" in model_name.lower():
+        return [f"<instruct>{instruction}\n{query_description}{t}" for t in texts]
+    if "bge-m3" not in model_name.lower():
+        return [f"{instruction} {t}" for t in texts]
+    return texts
+
+
+def _load_real_model(model_name: str):
+    """Lazy per-executor load: tokenizer + eval-mode model on the local device
+    (bge_unified_encoder.py:93-106). Raises NotImplementedError when torch /
+    transformers are absent (this sandbox) — installing them on the cluster
+    makes the same code path work with zero changes."""
+    try:
+        import torch
+        from transformers import AutoModel, AutoTokenizer
+    except ImportError as exc:
+        raise NotImplementedError(
+            f"real encoder '{model_name}' requires torch/transformers; "
+            "install them on the cluster and ship via --py-files/--archives"
+        ) from exc
+
+    tokenizer = AutoTokenizer.from_pretrained(model_name)
+    model = AutoModel.from_pretrained(model_name)
+    model.eval()
+    device = torch.device("cuda" if torch.cuda.is_available() else "cpu")
+    model = model.to(device)
+    return torch, tokenizer, model, device
+
+
+def real_encoder_udf(model_name: str, dim: int | None = None, batch_size: int = 64,
+                     instruction: str = ""):
+    """Real-model encoder for the reference's encoder families (BGE, NVEmbed,
+    GTE-Qwen2, SFR-Mistral, Arctic, SentenceTransformer — src/encoders/*):
+    iterator pandas_udf, model loaded once per executor python worker
+    (``_MODEL_CACHE``), micro-batched tokenize → forward → pool → normalize
+    (bge_unified_encoder.py:140-209). ``dim``, when given, asserts the output
+    width. torch/transformers absent → NotImplementedError at first batch.
+    """
     @pandas_udf("array<float>")
     def _encode(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        key = f"real::{model_name}"
-        if key not in _MODEL_CACHE:
-            try:
-                import torch  # noqa: F401
-                import transformers  # noqa: F401
-            except ImportError as exc:  # pragma: no cover - container has no torch
-                raise NotImplementedError(
-                    f"real encoder '{model_name}' requires torch/transformers; "
-                    "install them on the cluster and ship via --py-files/--archives"
-                ) from exc
-            raise NotImplementedError(
-                f"model load for '{model_name}' not wired in this sandbox"
+        for s in batches:
+            vecs = encode_texts_real(
+                model_name, [t or "" for t in s.tolist()],
+                batch_size=batch_size, instruction=instruction,
             )
-        raise NotImplementedError  # pragma: no cover
+            if dim is not None and vecs.shape[0] and vecs.shape[1] != dim:
+                raise ValueError(
+                    f"{model_name} produced dim={vecs.shape[1]}, expected {dim}")
+            yield pd.Series([v.tolist() for v in vecs], index=s.index)
 
     return _encode
+
+
+def encode_texts_real(model_name: str, texts: list[str], *, batch_size: int = 64,
+                      instruction: str = "") -> np.ndarray:
+    """The encode body shared by the UDF and by tests: lazy executor-cached
+    load, then micro-batched tokenize → forward → pool → normalize
+    (bge_unified_encoder.py:140-209). Returns float32 (n, dim)."""
+    cfg = ENCODER_CONFIGS.get(model_name, _DEFAULT_CONFIG)
+    key = f"real::{model_name}"
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = _load_real_model(model_name)
+    torch, tokenizer, model, device = _MODEL_CACHE[key]
+
+    prepared = prepare_inputs(texts, model_name, instruction)
+    out = []
+    for i in range(0, len(prepared), batch_size):
+        chunk = prepared[i:i + batch_size]
+        enc = tokenizer(
+            chunk, max_length=cfg["max_length"], padding=True,
+            truncation=True, return_tensors="pt",
+        )
+        enc = {k: v.to(device) for k, v in enc.items()}
+        with torch.no_grad():
+            hidden = model(**enc).last_hidden_state
+        hs = hidden.float().cpu().numpy()
+        am = enc["attention_mask"].cpu().numpy()
+        emb = pool_hidden_states(hs, am, cfg["pooling"])
+        if cfg["normalize"]:
+            emb = l2_normalize_rows(emb)
+        out.append(emb.astype(np.float32))
+    return np.concatenate(out, axis=0) if out else np.empty((0, 0), np.float32)
 
 
 def embed_dataframe(df, text_col: str = "text", out_col: str = "embedding",

@@ -47,12 +47,37 @@ def run_clustering(
     of approximation as the reference's fold-parallel selection; documented
     in SURVEY §7.4.3.
     """
-    from ..functions.hashing import hash32
-
     docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
     if limit:
         docs = docs.filter(F.col("doc_id") < limit)
-    embedded = embed_dataframe(docs.select("doc_id", "text"), "text", "embedding", dim=dim)
+    return cluster_documents(
+        docs, extra_cols=("lang", "source"), num_clusters=num_clusters,
+        dim=dim, max_curve_rows=max_curve_rows,
+    )
+
+
+def cluster_documents(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
+    num_clusters: int | None = None,
+    dim: int = 16,
+    max_curve_rows: int = 50_000,
+    instruction: str = "",
+) -> DataFrame:
+    """DataFrame-level clustering: any (id, text) table → cluster assignment
+    table. ``run_clustering`` is the parquet-table wrapper; this is the form
+    used for arbitrary ingested datasets (e.g. the reference's own shipped
+    JSON files, SURVEY §1.2)."""
+    from ..functions.hashing import hash32
+
+    spark = docs.sparkSession
+    embedded = embed_dataframe(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        "text", "embedding", dim=dim, instruction=instruction,
+    )
 
     # Bound the single-task greedy + driver collect to max_curve_rows.
     curve_input = embedded
@@ -84,6 +109,9 @@ def run_clustering(
     # J4 assignment: centers are the first-k greedy picks, identified by their
     # pick order (reference uses positional indices[:k], data_clustering.py:160)
     assigned = assign_to_clusters(embedded, centers, id_col="doc_id", emb_col="embedding")
-    return group_clusters(assigned, docs.select("doc_id", "lang", "source"), "doc_id").select(
-        "doc_id", "cluster_id", "similarity_to_center", "rank_in_cluster", "lang", "source"
+    extras = docs.select(
+        F.col(id_col).alias("doc_id"), *[F.col(c) for c in extra_cols]
+    )
+    return group_clusters(assigned, extras, "doc_id").select(
+        "doc_id", "cluster_id", "similarity_to_center", "rank_in_cluster", *extra_cols
     )

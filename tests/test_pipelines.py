@@ -168,3 +168,55 @@ def test_model_independent_utility(spark):
     # identical responses cluster: same (i%3) pairs must outscore random pairs on average
     dense["same"] = (dense["i"] % 3) == (dense["j"] % 3)
     assert dense[dense["same"]]["sim"].mean() > dense[~dense["same"]]["sim"].mean()
+
+
+def test_reference_shipped_json_clusters_e2e(spark):
+    """End-to-end over the reference's own shipped artifact (SURVEY §1.2):
+    whole-file JSON with nested array<struct> input and the space-containing
+    field name "reworded version" → template render (query_rewrite config
+    template) → clustering. Structural parity with the golden clusters output
+    (data/query_rewrite/output/): same record count, every record assigned,
+    per-cluster rank sorted by similarity desc. Exact cluster values need the
+    real NV-Embed model; the hash encoder checks the plumbing."""
+    import json
+
+    from datacurate4llms_spark.pipelines.clustering_pipeline import cluster_documents
+    from datacurate4llms_spark.sources.readers import read_any
+
+    src = "/root/reference/data/query_rewrite/query_expand_outputs_v2.json"
+    golden_path = "/root/reference/data/query_rewrite/output/query_expand_outputs_v2_clusters.json"
+
+    raw = read_any(spark, src, multiline_json=True)
+    assert raw.count() == 501
+    # nested schema survives the scan: input array<struct<speaker,text>>,
+    # output struct with the space-named field
+    in_type = dict(raw.dtypes)["input"]
+    assert "array<struct" in in_type and "speaker" in in_type and "text" in in_type
+    assert "reworded version" in dict(raw.dtypes)["output"]
+
+    # the reference's configured template, expressed with native column ops:
+    # "Original Query: {{ item.input[-1].text }}\nStandalone Version:
+    #  {{ item.output['reworded version'] }}"
+    docs = raw.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.concat(
+            F.lit("Original Query: "),
+            F.element_at("input", -1)["text"],
+            F.lit("\nStandalone Version: "),
+            F.col("output")["reworded version"],
+        ).alias("text"),
+    )
+    out = cluster_documents(docs, dim=16).toPandas()
+
+    golden = json.load(open(golden_path))
+    golden_total = sum(len(v) for v in golden.values())
+    assert len(out) == 501 == golden_total  # every record assigned, like golden
+
+    k = out["cluster_id"].nunique()
+    assert 2 <= k <= 500
+    # per-cluster rank is a 1..size permutation ordered by similarity desc
+    for cid, grp in out.groupby("cluster_id"):
+        ranks = sorted(grp["rank_in_cluster"])
+        assert ranks == list(range(1, len(grp) + 1))
+        by_rank = grp.sort_values("rank_in_cluster")["similarity_to_center"].to_numpy()
+        assert (np.diff(by_rank) <= 1e-12).all()

@@ -132,3 +132,156 @@ def test_instruction_prefix_changes_embedding(spark):
     # P2: the prefix expression itself
     got = d.select(instruction_prefix("text", "Query:").alias("v")).collect()[0].v
     assert got == "Query: hello world"
+
+
+# ---------------------------------------------------------------------------
+# E1/E2/E4: real-model encoder path through a fake torch/transformers pair
+# (container has no torch — the fakes drive the REAL code path:
+# load → prepare_inputs → tokenize → forward → pool → normalize)
+# ---------------------------------------------------------------------------
+
+
+def _install_fake_torch(monkeypatch, hidden_dim=6):
+    import sys
+    import types
+
+    class FakeTensor:
+        def __init__(self, arr):
+            self.arr = np.asarray(arr)
+
+        def to(self, device):
+            return self
+
+        def float(self):
+            return FakeTensor(self.arr.astype(np.float64))
+
+        def cpu(self):
+            return self
+
+        def numpy(self):
+            return self.arr
+
+    class _NoGrad:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    torch_mod = types.ModuleType("torch")
+    torch_mod.no_grad = _NoGrad
+    torch_mod.device = lambda s: s
+    torch_mod.cuda = types.SimpleNamespace(is_available=lambda: False)
+
+    def tokenize(texts, max_length=512, padding=True, truncation=True,
+                 return_tensors="pt"):
+        # deterministic "tokens": one id per word = len(word), truncated
+        seqs = [[len(w) for w in t.split()][:max_length] or [1] for t in texts]
+        width = max(len(s) for s in seqs)
+        ids = np.zeros((len(seqs), width), dtype=np.int64)
+        mask = np.zeros((len(seqs), width), dtype=np.int64)
+        for r, s in enumerate(seqs):
+            ids[r, : len(s)] = s
+            mask[r, : len(s)] = 1
+        return {"input_ids": FakeTensor(ids), "attention_mask": FakeTensor(mask)}
+
+    class FakeModel:
+        def eval(self):
+            return self
+
+        def to(self, device):
+            return self
+
+        def __call__(self, input_ids=None, attention_mask=None, **kw):
+            ids = input_ids.arr
+            b, l = ids.shape
+            d = np.arange(1, hidden_dim + 1)
+            # hidden[b,t,:] deterministic in the token id — position-free so
+            # pooling differences are attributable to the pooling method
+            hidden = (ids[:, :, None] * d[None, None, :]) % 7 - 3.0
+            return types.SimpleNamespace(last_hidden_state=FakeTensor(hidden))
+
+    tf_mod = types.ModuleType("transformers")
+    tf_mod.AutoTokenizer = types.SimpleNamespace(from_pretrained=lambda name: tokenize)
+    tf_mod.AutoModel = types.SimpleNamespace(from_pretrained=lambda name: FakeModel())
+
+    monkeypatch.setitem(sys.modules, "torch", torch_mod)
+    monkeypatch.setitem(sys.modules, "transformers", tf_mod)
+    return tokenize, FakeModel
+
+
+def test_pooling_math_matches_reference_formulas():
+    from datacurate4llms_spark.functions.encoders import (
+        l2_normalize_rows,
+        pool_hidden_states,
+    )
+
+    rng = np.random.default_rng(7)
+    hidden = rng.standard_normal((3, 5, 4))
+    mask = np.array([[1, 1, 1, 0, 0], [1, 1, 1, 1, 1], [1, 0, 0, 0, 0]])
+
+    np.testing.assert_allclose(pool_hidden_states(hidden, mask, "cls"), hidden[:, 0])
+
+    mean = pool_hidden_states(hidden, mask, "mean")
+    for b in range(3):
+        n = int(mask[b].sum())
+        np.testing.assert_allclose(mean[b], hidden[b, :n].mean(axis=0))
+
+    last = pool_hidden_states(hidden, mask, "last_token")
+    np.testing.assert_allclose(last[0], hidden[0, 2])  # seq len 3 → index 2
+    np.testing.assert_allclose(last[1], hidden[1, 4])
+    np.testing.assert_allclose(last[2], hidden[2, 0])
+
+    # left-padding branch: every row's final position is attended
+    lp_mask = np.ones((3, 5), dtype=np.int64)
+    np.testing.assert_allclose(
+        pool_hidden_states(hidden, lp_mask, "last_token"), hidden[:, -1]
+    )
+
+    normed = l2_normalize_rows(mean.copy())
+    np.testing.assert_allclose(np.linalg.norm(normed, axis=1), 1.0)
+
+
+def test_real_encoder_fake_torch_end_to_end(monkeypatch):
+    """Drive encode_texts_real (the body real_encoder_udf executes per Arrow
+    batch) through fake torch/transformers: load once, tokenize, forward,
+    pool per the model's config, normalize (VERDICT r1 #3)."""
+    from datacurate4llms_spark.functions import encoders as E
+
+    _install_fake_torch(monkeypatch)
+    monkeypatch.setattr(E, "_MODEL_CACHE", {})
+
+    texts = ["alpha beta gamma", "one", "the quick brown fox jumps"]
+    out = E.encode_texts_real("BAAI/bge-base-en-v1.5", texts, batch_size=2)
+    assert out.shape == (3, 6) and out.dtype == np.float32
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, rtol=1e-6)
+
+    # micro-batch tiling must not change results
+    out_big = E.encode_texts_real("BAAI/bge-base-en-v1.5", texts, batch_size=64)
+    np.testing.assert_allclose(out, out_big)
+
+    # model is cached per process: one entry after repeated calls
+    assert list(E._MODEL_CACHE) == ["real::BAAI/bge-base-en-v1.5"]
+
+    # the BGE default instruction decorates the input (prepare_inputs path):
+    # an unknown model (no default instruction, mean pooling) must differ
+    out_plain = E.encode_texts_real("some/unknown-model", texts)
+    assert out_plain.shape == (3, 6)
+    assert not np.allclose(out[:, :], out_plain[:, :])
+
+    # last-token family uses a different pooling on the same fake forward
+    out_lt = E.encode_texts_real("Salesforce/SFR-Embedding-Mistral", texts)
+    assert not np.allclose(out_plain, out_lt)
+
+
+def test_real_encoder_raises_cleanly_without_torch(spark):
+    """In this container torch is absent: the UDF must fail with the
+    documented NotImplementedError, not an obscure import crash."""
+    import importlib.util
+
+    if importlib.util.find_spec("torch") is not None:
+        pytest.skip("torch present; seam would actually load")
+    from datacurate4llms_spark.functions.encoders import encode_texts_real
+
+    with pytest.raises(NotImplementedError, match="requires torch/transformers"):
+        encode_texts_real("BAAI/bge-m3", ["hello"])
