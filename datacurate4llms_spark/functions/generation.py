@@ -1,0 +1,143 @@
+"""Batch LLM generation seam (SURVEY §2.3 E12 — the last §2 row without an
+engine seam in round 1).
+
+Reference: ``src/eval/perform_inference.py:53-103`` — system-instruction
+build, chat-template render, left-padded batch tokenize, ``model.generate``,
+decode of the continuation only. Spark shape: an iterator pandas UDF
+(prompt string → generated string) with the same executor-process singleton
+contract as the encoders — model loaded once per python worker, micro-batched
+generate, never per-row Python.
+
+The container has no torch, so the real transport raises the documented
+NotImplementedError at load; ``generate_udf(model_name=None)`` is the
+deterministic hermetic stand-in (md5-derived text) used by tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+
+# executor-process singleton: model_key -> (torch, tokenizer, model, device)
+_LM_CACHE: dict[str, object] = {}
+
+
+def generate_instruction(icl: bool = False,
+                         response_type: str = "clear, accurate, and concise",
+                         considerations: str = "relevant facts and context",
+                         num_examples: int | None = None) -> str:
+    """System-instruction builder (perform_inference.py:5-26): base guidance,
+    optionally wrapped in the ICL example-following preamble."""
+    base = (f"Provide a {response_type} response to the following user query. "
+            f"Consider {considerations} in your answer.")
+    head = ("You are a helpful, respectful and honest assistant. "
+            "Always answer as helpfully as possible")
+    if not icl:
+        return head + base
+    plural = "s" if num_examples != 1 else ""
+    return head + (
+        f"You will be presented with {num_examples} example{plural} of user "
+        "queries and the corresponding assistant responses, followed by a new "
+        "user query. These examples serve as a guide for the structure, "
+        "style, and depth of your response. After the examples, you will "
+        f"receive a new user query. Apply the insights gained from the "
+        f"examples to formulate your response, while also adhering to the "
+        f"following guideline:\n\n{base}\n\nExamples:\n"
+    )
+
+
+def build_messages(prompt: str, system_message: str,
+                   examples: list[dict] | None = None) -> list[dict]:
+    """Chat message list (perform_inference.py:43-52): system → alternating
+    example query/response turns → the new user prompt."""
+    messages = [{"role": "system", "content": system_message}]
+    for ex in examples or []:
+        messages.append({"role": "user", "content": ex["query"]})
+        messages.append({"role": "assistant", "content": ex["response"]})
+    messages.append({"role": "user", "content": prompt})
+    return messages
+
+
+def _load_causal_lm(model_name: str):
+    """Lazy per-executor load of tokenizer + causal LM (left padding asserted,
+    perform_inference.py:78)."""
+    try:
+        import torch
+        from transformers import AutoModelForCausalLM, AutoTokenizer
+    except ImportError as exc:
+        raise NotImplementedError(
+            f"generation with '{model_name}' requires torch/transformers; "
+            "install them on the cluster and ship via --py-files/--archives"
+        ) from exc
+    tokenizer = AutoTokenizer.from_pretrained(model_name, padding_side="left")
+    if tokenizer.pad_token_id is None:
+        tokenizer.pad_token = tokenizer.eos_token
+    model = AutoModelForCausalLM.from_pretrained(model_name)
+    model.eval()
+    device = torch.device("cuda" if torch.cuda.is_available() else "cpu")
+    return torch, tokenizer, model.to(device), device
+
+
+def generate_texts_real(model_name: str, prompts: list[str], *,
+                        system_message: str, examples: list[dict] | None = None,
+                        batch_size: int = 3, **gen_kwargs) -> list[str]:
+    """The real generate body (perform_inference.py:80-103): render chat
+    template, batch tokenize with padding, generate, decode continuation."""
+    key = f"lm::{model_name}"
+    if key not in _LM_CACHE:
+        _LM_CACHE[key] = _load_causal_lm(model_name)
+    torch, tokenizer, model, device = _LM_CACHE[key]
+
+    rendered = [
+        tokenizer.apply_chat_template(
+            build_messages(p, system_message, examples), tokenize=False)
+        for p in prompts
+    ]
+    out: list[str] = []
+    defaults = dict(pad_token_id=tokenizer.pad_token_id, do_sample=False)
+    defaults.update(gen_kwargs)
+    for i in range(0, len(rendered), batch_size):
+        enc = tokenizer(rendered[i:i + batch_size], padding=True,
+                        truncation=True, return_tensors="pt").to(device)
+        with torch.no_grad():
+            tokens = model.generate(**enc, **defaults)
+        for r, row in enumerate(tokens):
+            plen = len(enc["input_ids"][r])
+            out.append(tokenizer.decode(row[plen:], skip_special_tokens=True).strip())
+    return out
+
+
+def _fake_generation(prompt: str, system_message: str) -> str:
+    """Deterministic hermetic stand-in: stable across processes/engines
+    (md5 of the full rendered context), shaped like a short response."""
+    sig = hashlib.md5(f"{system_message}\x01{prompt}".encode("utf-8")).hexdigest()[:12]
+    return f"generated:{sig}"
+
+
+def generate_udf(model_name: str | None = None, *, icl: bool = False,
+                 response_type: str = "clear, accurate, and concise",
+                 considerations: str = "relevant facts and context",
+                 examples: list[dict] | None = None,
+                 batch_size: int = 3, **gen_kwargs):
+    """E12 as a column function: prompt string → generated string.
+    ``model_name=None`` selects the deterministic stand-in (tests/sandbox);
+    a real name runs the executor-cached transformers path."""
+    system_message = generate_instruction(
+        icl, response_type, considerations, len(examples) if examples else None)
+
+    @pandas_udf("string")
+    def _generate(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            prompts = [p or "" for p in s.tolist()]
+            if model_name is None:
+                texts = [_fake_generation(p, system_message) for p in prompts]
+            else:
+                texts = generate_texts_real(
+                    model_name, prompts, system_message=system_message,
+                    examples=examples, batch_size=batch_size, **gen_kwargs)
+            yield pd.Series(texts, index=s.index)
+
+    return _generate

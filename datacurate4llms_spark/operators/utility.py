@@ -128,6 +128,9 @@ def model_independent_utility(
     response_col: str = "response",
     dim: int = 16,
     sparse_k: int | None = None,
+    emb_df: DataFrame | None = None,
+    emb_id: str = "vec_id",
+    emb_col: str = "embedding",
 ):
     """E11 (get_model_independent_kernel.py:55-124): ChatML-render the
     (prompt, response) conversation, encode, self pairwise cosine with
@@ -135,6 +138,9 @@ def model_independent_utility(
     is set (the reference's dense/sparse dispatch at n > threshold).
 
     Pure composition of P10 + E1 + J1/J3 — no new operator machinery.
+    ``emb_df``: precomputed embeddings (joined on ``id_col = emb_id``) in
+    place of the encoder — the kernel/encoder split the reference also has;
+    this is the SQL-oracle-able form (the encoder itself is not SQL).
     """
     from pyspark.sql.window import Window
 
@@ -147,7 +153,13 @@ def model_independent_utility(
         F.struct(F.lit("assistant").alias("role"), F.col(response_col).alias("content")),
     )
     rendered = df.select(F.col(id_col), render_chatml(msgs).alias("_text"))
-    embedded = embed_dataframe(rendered, "_text", "embedding", dim=dim)
+    if emb_df is not None:
+        embedded = rendered.join(
+            emb_df.select(F.col(emb_id).alias(id_col), F.col(emb_col).alias("embedding")),
+            id_col,
+        )
+    else:
+        embedded = embed_dataframe(rendered, "_text", "embedding", dim=dim)
     edges = edge_table(
         embedded, id_col=id_col, emb_col="embedding",
         metric="cosine", scaling="additive",

@@ -816,7 +816,43 @@ def q_minhash_verified(spark, sf_dir):
     return out.select("i", "j", _r6(F.col("jaccard")).alias("jaccard"))
 
 
-@_register("dedup_simhash_pairs")  # python-oracle tested in tests/test_dedup.py
+@_register(
+    "dedup_simhash_pairs",
+    # simhash64 in pure DuckDB SQL: md5-per-token bit votes (identical to
+    # operators/dedup.simhash64, bit-verified), then all-pairs hamming —
+    # O(n²) is the ORACLE's prerogative at sf0.01; the engine side stays
+    # pigeonhole-bucketed.
+    f"""
+    with corpus as (select * from ({_DUP_CORPUS_SQL}) where doc_id % 10 = 0),
+    toks as (
+      select doc_id, unnest(string_split_regex(text, '\\s+')) as tok from corpus
+    ),
+    tokh as (
+      select doc_id, ('0x' || substr(md5(tok), 1, 16))::ubigint as h
+      from toks where tok <> ''
+    ),
+    bits as (
+      select doc_id, b, sum(case when (h >> b) & 1 = 1 then 1 else -1 end) as acc
+      from tokh cross join range(64) t(b)
+      group by doc_id, b
+    ),
+    sigu as (
+      select doc_id, sum(case when acc > 0 then (1::hugeint << b) else 0::hugeint end) as s
+      from bits group by doc_id
+    ),
+    sigs as (
+      select c.doc_id,
+             cast(case when s is null then 0
+                       when s >= 9223372036854775808::hugeint then s - 18446744073709551616::hugeint
+                       else s end as bigint) as sig
+      from corpus c left join sigu on c.doc_id = sigu.doc_id
+    )
+    select a.doc_id as i, b.doc_id as j,
+           cast(bit_count(xor(a.sig, b.sig)) as int) as hamming
+    from sigs a join sigs b on a.doc_id < b.doc_id
+    where bit_count(xor(a.sig, b.sig)) <= 3
+    """,
+)
 def q_simhash_pairs(spark, sf_dir):
     corpus = _dup_corpus(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
     return DD.simhash_near_pairs(corpus, content_col="text", max_hamming=3)
@@ -1318,3 +1354,131 @@ def q_ann_ivf(spark, sf_dir):
     )
     out = ANN.ivf_topk(e.filter(F.col("vec_id") < 20), e, centroids, k=5, nprobe=2)
     return out.select("query_id", "neighbour_id", _r6(F.col("sim")).alias("sim"), "rank")
+
+
+# ---------------------------------------------------------------------------
+# Round 2: S4 batch assignment, E5 API fallback accounting, E11 kernel
+# ---------------------------------------------------------------------------
+
+from .sources.checkpoint import batch_assign, batch_assign_sql  # noqa: E402
+
+
+@_register(
+    "s4_checkpoint_batches",
+    f"""
+    with batched as (
+      select doc_id, {batch_assign_sql(['doc_id'], 8)} as batch_id from documents
+    )
+    select batch_id, cast(count(*) as bigint) as n_rows,
+           cast(min(doc_id) as bigint) as min_id,
+           cast(max(doc_id) as bigint) as max_id
+    from batched group by batch_id
+    """,
+)
+def q_s4_batches(spark, sf_dir):
+    """S4: the content-addressed batch partitioning run_with_checkpoint
+    writes with (sources/checkpoint.py) — batch sizes and id ranges are the
+    lineage/metrics view the north rule asks for."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", batch_assign(["doc_id"], 8).alias("batch_id"))
+        .groupBy("batch_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("doc_id").cast("bigint").alias("min_id"),
+            F.max("doc_id").cast("bigint").alias("max_id"),
+        )
+    )
+
+
+@_register(
+    "e5_api_fallback_counts",
+    """
+    select lang,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(case when ('0x' || substr(md5(coalesce(text, '')), 1, 8))::bigint % 7 = 0
+                         then 1 else 0 end) as bigint) as n_fallback
+    from documents group by lang
+    """,
+)
+def q_e5_fallback(spark, sf_dir):
+    """E5: API encoder with deterministic failure injection (md5 % 7) —
+    rows whose simulated call fails terminally get the zero-vector fallback
+    flag (functions/encoders.api_encoder_udf; reference zero-fills silently,
+    openai_encoder.py:57). The oracle recomputes the md5 failure set."""
+    from .functions.encoders import api_encoder_udf
+
+    d = _t(spark, sf_dir, "documents")
+    enc = api_encoder_udf(dim=8, fail_every=7, max_retries=3)
+    return (
+        d.select("lang", enc(F.col("text")).alias("res"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("res.fallback").cast("int")).cast("bigint").alias("n_fallback"),
+        )
+    )
+
+
+@_register(
+    "e11_model_independent_utility",
+    f"""
+    with docs as (
+      select doc_id, text as prompt, lang as response from documents where doc_id < 40
+    ),
+    rendered as (
+      select doc_id,
+             '<|im_start|>user' || chr(10) || prompt || '<|im_end|>' || chr(10) ||
+             '<|im_start|>assistant' || chr(10) || response || '<|im_end|>' || chr(10)
+               as _text
+      from docs
+    ),
+    joined as (
+      select r.doc_id, r._text, e.embedding
+      from rendered r join embeddings e on r.doc_id = e.vec_id
+    ),
+    edges as (
+      select a.doc_id as i, b.doc_id as j,
+             ({V.cosine_sql('a.embedding', 'b.embedding')} + 1.0) / 2.0 as sim
+      from joined a join joined b on a.doc_id <> b.doc_id
+    ),
+    ranked as (
+      select i, j, sim,
+             row_number() over (partition by i order by sim desc, j asc) as rnk
+      from edges
+    )
+    select r.i, r.j, round(cast(r.sim as double), 6) as sim,
+           substr(md5(d._text), 1, 8) as render_sig
+    from ranked r join rendered d on r.i = d.doc_id
+    where r.rnk <= 5
+    """,
+)
+def q_e11_utility(spark, sf_dir):
+    """E11 (get_model_independent_kernel.py:55-124) in its oracle-expressible
+    form: ChatML render (P10) + precomputed embeddings + additive-scaled
+    cosine + sparse top-k. render_sig pins the render output; the encoder
+    itself is checked by the encoder tests (not SQL-expressible)."""
+    from .functions.text import render_chatml
+    from .operators.utility import model_independent_utility
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", F.col("text").alias("prompt"), F.col("lang").alias("response"))
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = model_independent_utility(
+        d, id_col="doc_id", prompt_col="prompt", response_col="response",
+        sparse_k=5, emb_df=emb,
+    )
+    msgs = F.array(
+        F.struct(F.lit("user").alias("role"), F.col("prompt").alias("content")),
+        F.struct(F.lit("assistant").alias("role"), F.col("response").alias("content")),
+    )
+    rendered = d.select(
+        F.col("doc_id").alias("i"),
+        F.substring(F.md5(render_chatml(msgs)), 1, 8).alias("render_sig"),
+    )
+    return edges.join(rendered, "i").select(
+        "i", "j", _r6(F.col("sim")).alias("sim"), "render_sig"
+    )

@@ -29,6 +29,23 @@ def remaining(input_df: DataFrame, done_df: DataFrame, keys: list[str]) -> DataF
     return input_df.join(done_df.select(*keys), keys, "left_anti")
 
 
+def batch_assign(keys: list[str], num_batches: int):
+    """S4 batch id: hash32(keys) % num_batches — the reference's sequential
+    100k-row batches (data_subset_selection.py:175-197) become
+    content-addressed partitions stable under any row order. Shared by
+    :func:`run_with_checkpoint` and the driver query's DuckDB oracle."""
+    from ..functions.hashing import hash32
+
+    return (hash32(*keys, seed="ckpt") % F.lit(num_batches)).cast("int")
+
+
+def batch_assign_sql(key_exprs: list[str], num_batches: int) -> str:
+    """DuckDB twin of :func:`batch_assign`."""
+    from ..functions.hashing import hash32_sql
+
+    return f"cast({hash32_sql(*key_exprs, seed='ckpt')} % {num_batches} as int)"
+
+
 def checkpoint_exists(spark: SparkSession, path: str) -> bool:
     """Quiet existence probe through the Hadoop FileSystem API (works for any
     supported fs scheme; a read-probe would log an AnalysisException)."""
@@ -56,17 +73,13 @@ def run_with_checkpoint(
     100k-row batches (:175-197) become content-addressed partitions that
     are stable under any row order.
     """
-    from ..functions.hashing import hash32
-
     todo = input_df
     if checkpoint_exists(spark, checkpoint_path):
         done = spark.read.parquet(checkpoint_path)
         todo = remaining(input_df, done, keys)
 
     if not todo.isEmpty():
-        batched = todo.withColumn(
-            batch_col, (hash32(*keys, seed="ckpt") % F.lit(num_batches)).cast("int")
-        )
+        batched = todo.withColumn(batch_col, batch_assign(keys, num_batches))
         result = transform(batched)
         (
             result.write.mode("append")

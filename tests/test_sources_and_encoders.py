@@ -285,3 +285,43 @@ def test_real_encoder_raises_cleanly_without_torch(spark):
 
     with pytest.raises(NotImplementedError, match="requires torch/transformers"):
         encode_texts_real("BAAI/bge-m3", ["hello"])
+
+
+def test_generation_seam_e12(spark):
+    """E12: prompt → generated text via the executor-singleton UDF seam.
+    Fake transport is deterministic; real transport raises the documented
+    error when torch is absent (perform_inference.py:53-103)."""
+    import importlib.util
+
+    from datacurate4llms_spark.functions.generation import (
+        build_messages,
+        generate_instruction,
+        generate_texts_real,
+        generate_udf,
+    )
+
+    # instruction builder: icl preamble embeds the example count + guideline
+    plain = generate_instruction()
+    assert plain.startswith("You are a helpful") and "Provide a clear" in plain
+    icl = generate_instruction(icl=True, num_examples=2)
+    assert "2 examples" in icl and "Examples:" in icl
+    assert "1 example of" in generate_instruction(icl=True, num_examples=1)
+
+    msgs = build_messages("q?", "sys", [{"query": "a", "response": "b"}])
+    assert [m["role"] for m in msgs] == ["system", "user", "assistant", "user"]
+    assert msgs[-1]["content"] == "q?"
+
+    d = spark.createDataFrame([(i, f"prompt {i}") for i in range(6)],
+                              "id bigint, prompt string")
+    out = d.select("id", generate_udf()(F.col("prompt")).alias("gen")).collect()
+    assert len(out) == 6 and all(r.gen.startswith("generated:") for r in out)
+    # deterministic across invocations
+    again = d.select("id", generate_udf()(F.col("prompt")).alias("gen")).collect()
+    assert sorted((r.id, r.gen) for r in out) == sorted((r.id, r.gen) for r in again)
+    # different system instruction → different generations
+    other = d.select(generate_udf(response_type="terse")(F.col("prompt")).alias("gen")).collect()
+    assert {r.gen for r in other}.isdisjoint({r.gen for r in out})
+
+    if importlib.util.find_spec("torch") is None:
+        with pytest.raises(NotImplementedError, match="requires torch/transformers"):
+            generate_texts_real("some/model", ["hi"], system_message="sys")
