@@ -105,13 +105,16 @@ def broadcast_knn(
     ``max_query_cells`` guards the driver collect: |Q|·dim above the bound
     raises instead of silently OOMing the driver (misuse → error, not crash).
     """
-    n_q = queries.count()
     dim_row = queries.select(F.size(emb_col).alias("d")).first()
     dim = int(dim_row["d"]) if dim_row and dim_row["d"] is not None else 0
-    if n_q * max(dim, 1) > max_query_cells:
+    max_rows = max_query_cells // max(dim, 1)
+    # bounded probe: limit(max_rows+1).count() stops scanning at the bound —
+    # never a full count of a huge query side just to reject it
+    if queries.limit(max_rows + 1).count() > max_rows:
         raise ValueError(
             f"broadcast_knn: query side too large to collect "
-            f"(|Q|={n_q} × dim={dim} > max_query_cells={max_query_cells}); "
+            f"(|Q| > {max_rows} rows at dim={dim}, "
+            f"max_query_cells={max_query_cells}); "
             "use lsh_topk/ivf_topk from operators.ann for large query sets"
         )
     q_pd = queries.select(query_id, emb_col).toPandas()

@@ -1482,3 +1482,119 @@ def q_e11_utility(spark, sf_dir):
     return edges.join(rendered, "i").select(
         "i", "j", _r6(F.col("sim")).alias("sim"), "render_sig"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 2: O2 knee detection + multimodal plumbing as driver-checkable rows
+# ---------------------------------------------------------------------------
+
+_KNEE_GAIN_SQL = f"(cast({hash32_sql('doc_id', seed='gain')} % 1000 as double) / 1000.0)"
+
+
+@_register(
+    "o2_knee_detection",
+    f"""
+    with g as (select {_KNEE_GAIN_SQL} as gain from documents where doc_id < 100),
+    ordered as (select gain, row_number() over (order by gain desc) as r from g),
+    tail as (select gain as y, cast(r as double) as x from ordered where r >= 2),
+    stats as (select min(x) xmin, max(x) xmax, min(y) ymin, max(y) ymax,
+                     count(*) + 1 as n_gains
+              from tail),
+    normed as (select x,
+                      (x - xmin) / (xmax - xmin) as xn,
+                      (y - ymin) / (ymax - ymin) as yn
+               from tail, stats),
+    best as (select x, (1 - yn) - xn as diff from normed
+             order by diff desc, x asc limit 1)
+    select cast(case when (select n_gains from stats) < 3 then 50
+                     when (select ymax from stats) = (select ymin from stats) then 50
+                     when diff <= 0 then 50
+                     else least(cast(x as int) + 1, (select n_gains from stats))
+                end as int) as k,
+           cast((select n_gains from stats) as bigint) as n_gains
+    from best
+    """,
+)
+def q_o2_knee(spark, sf_dir):
+    """O2 (data_clustering.py:171-186): kneedle over a deterministic
+    hash-derived gain curve. The knee is a driver-side scalar step by design
+    (the curve is tiny); the oracle replicates the normalize/diff/argmax/+1/
+    clamp math in pure SQL, pinning the exact kneedle semantics."""
+    from .operators.clustering import detect_optimal_clusters
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    gain = (hash32("doc_id", seed="gain") % 1000).cast("double") / 1000.0
+    gains = [
+        r.gain for r in d.select(gain.alias("gain")).orderBy(F.desc("gain")).collect()
+    ]
+    k = detect_optimal_clusters(gains)
+    return spark.createDataFrame([(k, len(gains))], "k int, n_gains bigint")
+
+
+@_register(
+    "mm_media_inventory",
+    """
+    with media as (
+      select doc_id as media_id,
+             case when doc_id % 3 = 0 then 'image'
+                  when doc_id % 3 = 1 then 'audio'
+                  else 'video' end as media_type,
+             octet_length(encode(text)) as n_bytes,
+             cast((doc_id % 16 + 1) * 64 as int) as width,
+             cast((doc_id % 100) + 1 as int) as n_frames
+      from documents where doc_id < 200
+    )
+    select media_type,
+           cast(count(*) as bigint) as n_media,
+           cast(sum(n_bytes) as bigint) as total_bytes,
+           cast(max(width) as int) as max_width,
+           cast(sum(n_frames) as bigint) as total_frames
+    from media group by media_type
+    """,
+)
+def q_mm_inventory(spark, sf_dir):
+    """Multimodal plumbing as driver-checked rows: the synthetic media table's
+    typed metadata plus n_bytes computed by the REAL mapInPandas feature
+    extractor (operators/multimodal.extract_features) — the oracle recomputes
+    payload byte lengths from the utf-8 source text."""
+    from .operators.multimodal import extract_features, synthesize_media
+
+    media = synthesize_media(spark, sf_dir, limit=200)
+    feats = extract_features(media, dim=8)
+    joined = feats.join(
+        media.select("media_id", F.col("meta.width").alias("width"),
+                     F.col("meta.n_frames").alias("n_frames")),
+        "media_id",
+    )
+    return joined.groupBy("media_type").agg(
+        F.count("*").cast("bigint").alias("n_media"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.max("width").cast("int").alias("max_width"),
+        F.sum("n_frames").cast("bigint").alias("total_frames"),
+    )
+
+
+@_register(
+    "mm_frame_sample_counts",
+    """
+    with videos as (
+      select doc_id as media_id, cast((doc_id % 100) + 1 as int) as n_frames
+      from documents where doc_id < 200 and doc_id % 3 = 2
+    )
+    select media_id,
+           cast(floor((n_frames - 1) / 10) + 1 as bigint) as n_sampled,
+           cast((floor((n_frames - 1) / 10)) * 10 as int) as max_frame_no
+    from videos
+    """,
+)
+def q_mm_frames(spark, sf_dir):
+    """Frame sampling (1→N mapInPandas flatMap): every-10th-frame sample
+    counts per video, recomputed arithmetically by the oracle."""
+    from .operators.multimodal import sample_frames, synthesize_media
+
+    media = synthesize_media(spark, sf_dir, limit=200)
+    frames = sample_frames(media, every_n=10)
+    return frames.groupBy("media_id").agg(
+        F.count("*").cast("bigint").alias("n_sampled"),
+        F.max("frame_no").cast("int").alias("max_frame_no"),
+    )
