@@ -115,6 +115,27 @@ def jaccard_sql(a: str, b: str) -> str:
     )
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard ≥ τ pairs — the brute-force member of the dedup
+    family (bounded-input / verifier role). MinHash+LSH approximates exactly
+    this measure at scale; this is its ground truth."""
+    sh = df.select(F.col(id_col).alias("_id"), shingles(content_col, n).alias("_sh"))
+    a = sh.select(F.col("_id").alias("i"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col("_id").alias("j"), F.col("_sh").alias("_shb"))
+    return (
+        a.join(b, F.col("i") < F.col("j"))
+        .withColumn("jaccard", jaccard(F.col("_sha"), F.col("_shb")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("i", "j", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

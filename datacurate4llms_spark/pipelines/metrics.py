@@ -1,0 +1,51 @@
+"""Per-partition lineage + metrics tables (north rule: "per-partition
+checkpointing to Iceberg with lineage + metrics tables so the run is
+resumable mid-corpus").
+
+The metrics table is one row per content-addressed batch (the same
+``batch_assign`` partitioning ``run_with_checkpoint`` writes), carrying the
+run accounting a resumable 10^12-file curation job needs:
+
+    n_files / n_kept / n_dropped     keep-decision accounting
+    n_scrubbed / bytes_out           scrub accounting
+    lineage_sig                      order-independent XOR of hash32(keys) —
+                                     two runs over the same key set produce
+                                     the same signature regardless of
+                                     partitioning, so a resumed run can prove
+                                     batch-level input identity cheaply
+
+Everything is a plain grouped aggregation over the label table — one shuffle
+on batch_id, no Python. On Iceberg this lands as an appended metrics table
+next to the checkpoint; the sandbox twin is driver-checked by the
+``qf_metrics_by_batch`` oracle query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash32
+from ..sources.checkpoint import batch_assign
+
+METRIC_KEYS = ("repo", "path", "commit")
+
+
+def curation_metrics(
+    labels: DataFrame,
+    *,
+    keys: tuple[str, ...] = METRIC_KEYS,
+    num_batches: int = 8,
+    scrubbed_col: str = "content_scrubbed",
+) -> DataFrame:
+    """Label table (quality_filter output) → per-batch metrics + lineage."""
+    b = labels.withColumn("batch_id", batch_assign(list(keys), num_batches))
+    b = b.withColumn("_lsig", hash32(*keys, seed="lineage"))
+    return b.groupBy("batch_id").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_kept"),
+        F.sum((~F.col("keep")).cast("int")).cast("bigint").alias("n_dropped"),
+        F.sum(F.col("scrub_applied").cast("int")).cast("bigint").alias("n_scrubbed"),
+        F.sum(F.octet_length(scrubbed_col)).cast("bigint").alias("bytes_out"),
+        F.expr("bit_xor(_lsig)").cast("bigint").alias("lineage_sig"),
+    )

@@ -1598,3 +1598,59 @@ def q_mm_frames(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_sampled"),
         F.max("frame_no").cast("int").alias("max_frame_no"),
     )
+
+
+@_register(
+    "qf_metrics_by_batch",
+    _QF_METRICS_CTE
+    + f"""
+    , labeled as (
+      select m.*,
+             ({drop_reason_sql()}) is null as keep,
+             {scrub_sql('content')} as content_scrubbed
+      from m
+    ),
+    batched as (
+      select *,
+             {batch_assign_sql(['repo', 'path', '"commit"'], 8)} as batch_id,
+             {hash32_sql('repo', 'path', '"commit"', seed='lineage')} as lsig
+      from labeled
+    )
+    select batch_id,
+           cast(count(*) as bigint) as n_files,
+           cast(sum(case when keep then 1 else 0 end) as bigint) as n_kept,
+           cast(sum(case when keep then 0 else 1 end) as bigint) as n_dropped,
+           cast(sum(case when content <> content_scrubbed then 1 else 0 end) as bigint) as n_scrubbed,
+           cast(sum(octet_length(encode(content_scrubbed))) as bigint) as bytes_out,
+           cast(bit_xor(lsig) as bigint) as lineage_sig
+    from batched group by batch_id
+    """,
+)
+def q_qf_metrics_batch(spark, sf_dir):
+    """North-rule lineage + metrics table: per content-addressed batch,
+    keep/drop/scrub accounting plus an order-independent XOR lineage
+    signature (pipelines/metrics.curation_metrics)."""
+    from .pipelines.metrics import curation_metrics
+    from .pipelines.quality_filter import run_quality_filter
+
+    labels = run_quality_filter(spark, sf_dir)
+    return curation_metrics(labels)
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    f"""
+    with corpus as (select * from ({_DUP_CORPUS_SQL}) where doc_id % 10 = 0),
+    sh as (select doc_id, {DD.shingles_sql('text')} as s from corpus)
+    select a.doc_id as i, b.doc_id as j,
+           round(cast({DD.jaccard_sql('a.s', 'b.s')} as double), 6) as jaccard
+    from sh a join sh b on a.doc_id < b.doc_id
+    where {DD.jaccard_sql('a.s', 'b.s')} >= 0.7
+    """,
+)
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard pairs — the dedup family's brute-force ground
+    truth (operators/dedup.ngram_jaccard_pairs); LSH approximates this."""
+    corpus = _dup_corpus(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    out = DD.ngram_jaccard_pairs(corpus, content_col="text", threshold=0.7)
+    return out.select("i", "j", _r6(F.col("jaccard")).alias("jaccard"))

@@ -160,3 +160,18 @@ def test_near_dedup_transitive_keeps_one_per_chain(spark):
     )
     survivors = sorted(r.doc_id for r in near_dedup_transitive(df, threshold=0.9).collect())
     assert survivors == [0, 3]
+
+
+def test_minhash_verified_subset_of_exact_ngram_jaccard(toy):
+    """MinHash+LSH verified pairs must be a subset of the exact n-gram
+    Jaccard pairs at the same threshold (LSH only prunes candidates; the
+    verify step applies the identical measure)."""
+    from datacurate4llms_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    exact = {(r.i, r.j) for r in ngram_jaccard_pairs(toy, threshold=0.5).collect()}
+    lsh = {(r.i, r.j) for r in minhash_near_dup_pairs(toy, threshold=0.5).collect()}
+    assert lsh <= exact
+    assert exact  # the toy corpus does contain near-dup pairs
