@@ -46,6 +46,67 @@ def windowed_counts(events: DataFrame, window: str = "5 minutes",
     )
 
 
+SESSION_OUTPUT_SCHEMA = "user_id bigint, session_id bigint, n_events bigint"
+SESSION_STATE_SCHEMA = "last_ts double, session_id bigint, n_events bigint"
+SESSION_GAP_SECONDS = 1800.0
+
+
+def _sessionize_group(key, pdfs, state):
+    """Per-user session assignment with cross-micro-batch state:
+    (last event time, open session counter, its event count). Emits every
+    session touched this batch with its cumulative n_events — downstream
+    takes the latest emission per (user, session)."""
+    import pandas as pd  # executor-side
+
+    parts = [p for p in pdfs if len(p)]
+    if not parts:
+        return
+    ev = pd.concat(parts).sort_values(["ts_sec", "event_id"])
+    if state.exists:
+        last_ts, sess, n = state.get
+    else:
+        last_ts, sess, n = None, 0, 0
+    touched: dict[int, int] = {}
+    for t in ev["ts_sec"]:
+        if last_ts is None or t - last_ts > SESSION_GAP_SECONDS:
+            sess += 1
+            n = 0
+        n += 1
+        last_ts = t
+        touched[sess] = n
+    state.update((float(last_ts), int(sess), int(n)))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(touched),
+            "session_id": list(touched),
+            "n_events": list(touched.values()),
+        }
+    )
+
+
+def streaming_sessionization(events: DataFrame) -> DataFrame:
+    """Gap-based sessionization as a custom stateful streaming operator
+    (``applyInPandasWithState`` keyed by user) — the streaming twin of the
+    batch ``ev_sessionization`` query: identical (ts, event_id) ordering and
+    fractional-epoch gap math, with session state carried across
+    micro-batches. State shards by user_id; add an idle-timeout TTL when the
+    user population is unbounded."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    prepared = events.select(
+        "user_id",
+        F.col("ts").cast("double").alias("ts_sec"),
+        "event_id",
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_quality_filter(files_stream: DataFrame) -> DataFrame:
     """Incremental curation: the batch quality filter applied to a stream of
     new files — stateless projection, so it runs unchanged under streaming."""

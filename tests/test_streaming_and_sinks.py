@@ -139,3 +139,51 @@ def test_streaming_stateful_dedup_across_microbatches(spark, tmp_path):
     got = {r.content_hash: r.doc_id for r in rows}
     assert len(rows) == 3, f"one emission per distinct content, got {rows}"
     assert sorted(got.values()) == [0, 1, 12]  # canonical = lowest id at first sight
+
+
+def test_streaming_sessionization_matches_batch(spark, tmp_path):
+    """Stream-batch equivalence for the stateful sessionizer, including
+    sessions spanning micro-batches (maxFilesPerTrigger=1 forces two)."""
+    import shutil
+
+    from datacurate4llms_spark import queries_registry as QR
+    from datacurate4llms_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        run_available_now,
+        streaming_sessionization,
+    )
+
+    # split the events by time into two files → two micro-batches; sessions
+    # crossing the split must continue via state
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    cut = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    src = tmp_path / "sess_stream"
+    src.mkdir()
+    ev.filter(F.col("event_id") <= cut).coalesce(1).write.parquet(str(src / "a"))
+    ev.filter(F.col("event_id") > cut).coalesce(1).write.parquet(str(src / "b"))
+    files = sorted(p for p in src.rglob("part-*.parquet"))
+    assert len(files) == 2
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    # name in time order so the file source picks them up oldest-first
+    shutil.copy(files[0], flat / "0.parquet")
+    shutil.copy(files[1], flat / "1.parquet")
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    got = run_available_now(
+        streaming_sessionization(stream), str(tmp_path / "ck_sess"),
+        output_mode="update",
+    )
+    # update-mode emissions: latest (= max cumulative) count per session
+    latest = {}
+    for r in got:
+        k = (r.user_id, r.session_id)
+        latest[k] = max(latest.get(k, 0), r.n_events)
+
+    batch = QR.QUERIES["ev_sessionization"](spark, SF_SMOKE).collect()
+    expected = {(r.user_id, r.session_id): r.n_events for r in batch}
+    assert latest == expected
