@@ -95,3 +95,55 @@ def test_model_scores_only_on_survivors(spark):
     assert dropped["gzip_len"].isna().all()
     assert dropped["perplexity"].isna().all()
     assert (kept["bits_per_char"] > 0).all()
+
+
+def test_real_fasttext_kenlm_seams(monkeypatch):
+    """Fake fasttext/kenlm modules drive the real code path (lazy singleton
+    load → batch predict / per-doc perplexity) so installing the libraries
+    makes the same code work unchanged; absent libraries raise the
+    documented NotImplementedError."""
+    import importlib.util
+    import sys
+    import types
+
+    from datacurate4llms_spark.functions import compress as C
+
+    if importlib.util.find_spec("fasttext") is None:
+        with pytest.raises(NotImplementedError, match="fasttext"):
+            C.langid_real("/m.bin", ["hello"])
+    if importlib.util.find_spec("kenlm") is None:
+        with pytest.raises(NotImplementedError, match="kenlm"):
+            C.perplexity_real("/m.arpa", ["hello"])
+
+    ft = types.ModuleType("fasttext")
+
+    class _FT:
+        def predict(self, texts, k=1):
+            labels = [[f"__label__{'en' if 'the' in t else 'xx'}"] for t in texts]
+            probs = [[0.75] for _ in texts]
+            return labels, probs
+
+    ft.load_model = lambda path: _FT()
+
+    km = types.ModuleType("kenlm")
+
+    class _KM:
+        def score(self, text, bos=True, eos=True):
+            return -2.0 * len(text.split())  # log10 prob, worse for longer docs
+
+    km.Model = lambda path: _KM()
+
+    monkeypatch.setitem(sys.modules, "fasttext", ft)
+    monkeypatch.setitem(sys.modules, "kenlm", km)
+    monkeypatch.setattr(C, "_LM_CACHE", dict(C._LM_CACHE))
+
+    langs = C.langid_real("/m.bin", ["the cat sat", "zzz qqq"])
+    assert langs == [("en", 0.75), ("xx", 0.75)]
+    # model loaded once per process: cache hit on the second call
+    assert C.langid_real("/m.bin", ["the dog"]) == [("en", 0.75)]
+    assert "fasttext::/m.bin" in C._LM_CACHE
+
+    # ppl = 10^(-score/(n+1)); 3 words, score=-6 → 10^1.5
+    ppl = C.perplexity_real("/m.arpa", ["one two three", ""])
+    assert abs(ppl[0] - 10.0 ** 1.5) < 1e-9
+    assert ppl[1] != ppl[1]  # NaN for empty
