@@ -1,0 +1,94 @@
+"""Iceberg integration seam (north rule: "Iceberg table of source-code repos
+at 10^12-file scale … per-partition checkpointing to Iceberg with lineage +
+metrics tables").
+
+This container ships no ``iceberg-spark-runtime`` jar, so the engine's
+checkpoint/resume/metrics flow runs in its semantics-identical parquet-dir
+mode (``sources/checkpoint.py``). This module is the production seam: the
+exact session configuration, the table read/write wrappers, and the MERGE
+statement the keyed resume maps to — all either pure config/SQL assembly
+(tested hermetically) or gated behind :func:`iceberg_available`.
+
+Production wiring:
+
+    spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-3.5_2.12:<v> \
+        --py-files dist.zip  job.py
+    # + the conf pairs from iceberg_session_conf()
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_CATALOG = "curation"
+
+
+def iceberg_session_conf(
+    catalog: str = DEFAULT_CATALOG,
+    warehouse: str = "s3://bucket/warehouse",
+    catalog_impl: str = "org.apache.iceberg.spark.SparkCatalog",
+    catalog_type: str = "hadoop",
+) -> dict[str, str]:
+    """The spark conf a session needs for an Iceberg catalog. Apply with
+    ``SparkSession.builder.config(k, v)`` for each pair (or --conf flags)."""
+    pfx = f"spark.sql.catalog.{catalog}"
+    return {
+        "spark.sql.extensions": (
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        ),
+        pfx: catalog_impl,
+        f"{pfx}.type": catalog_type,
+        f"{pfx}.warehouse": warehouse,
+    }
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """Probe for the Iceberg runtime on the JVM classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Scan an Iceberg table (snapshot isolation; hidden-partition pruning
+    and column pruning flow through the normal DataFrame plan)."""
+    if not iceberg_available(spark):
+        raise NotImplementedError(
+            "iceberg-spark-runtime is not on the classpath; add it via "
+            "spark-submit --packages and apply iceberg_session_conf()"
+        )
+    return spark.read.format("iceberg").load(table)
+
+
+def write_partitioned(df: DataFrame, table: str, *, partition_cols: list[str],
+                      mode: str = "append") -> None:
+    """Append/overwrite into an Iceberg table partitioned by the given
+    columns — the production form of the checkpoint batch write
+    (``run_with_checkpoint`` partitionBy(batch_id) parquet stand-in)."""
+    spark = df.sparkSession
+    if not iceberg_available(spark):
+        raise NotImplementedError(
+            "iceberg-spark-runtime is not on the classpath; the parquet-dir "
+            "checkpoint mode (sources/checkpoint.py) is the sandbox twin"
+        )
+    (df.writeTo(table).partitionedBy(*partition_cols).append()
+     if mode == "append" else df.writeTo(table).createOrReplace())
+
+
+def merge_upsert_sql(target: str, source_view: str, keys: list[str],
+                     update_cols: list[str]) -> str:
+    """The MERGE INTO statement the keyed anti-join resume maps to on
+    Iceberg: idempotent upsert by key (snapshot-isolated, so a re-run of a
+    completed batch is a no-op — same contract the parquet mode gets from
+    idempotent partition directories)."""
+    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    sets = ", ".join(f"t.{c} = s.{c}" for c in update_cols)
+    cols = ", ".join(keys + update_cols)
+    vals = ", ".join(f"s.{c}" for c in keys + update_cols)
+    return (
+        f"MERGE INTO {target} t USING {source_view} s ON {on} "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+    )

@@ -1,0 +1,32 @@
+#!/usr/bin/env bash
+# Production launch shape (north rule: "run via spark-submit --py-files on a
+# multi-executor cluster"). The sandbox never runs this — it documents the
+# deployment contract the code is written against:
+#
+#   * the package ships as a --py-files zip (datacurate4llms_spark/deploy.py
+#     builds the identical zip at runtime for notebook/harness drivers);
+#   * model artifacts (fastText .bin, KenLM .arpa/.bin, HF encoder weights)
+#     ship as an --archives tarball, loaded once per executor python worker
+#     by the lazy singletons in functions/{compress,encoders,generation}.py;
+#   * Iceberg catalog conf comes from sources/iceberg.iceberg_session_conf().
+set -euo pipefail
+
+PYFILES=$(python - <<'PY'
+from datacurate4llms_spark.deploy import build_pyfiles_zip
+print(build_pyfiles_zip())
+PY
+)
+
+exec spark-submit \
+  --deploy-mode cluster \
+  --num-executors "${NUM_EXECUTORS:-1000}" \
+  --executor-cores 8 \
+  --executor-memory 24g \
+  --conf spark.sql.adaptive.enabled=true \
+  --conf spark.sql.adaptive.skewJoin.enabled=true \
+  --conf spark.sql.shuffle.partitions="${SHUFFLE_PARTITIONS:-8000}" \
+  --conf spark.sql.execution.arrow.maxRecordsPerBatch=4096 \
+  --packages org.apache.iceberg:iceberg-spark-runtime-3.5_2.12:1.6.1 \
+  --py-files "${PYFILES}" \
+  --archives models.tar.gz#models \
+  scripts/run_quality_filter.py "$@"

@@ -325,3 +325,31 @@ def test_generation_seam_e12(spark):
     if importlib.util.find_spec("torch") is None:
         with pytest.raises(NotImplementedError, match="requires torch/transformers"):
             generate_texts_real("some/model", ["hi"], system_message="sys")
+
+
+def test_iceberg_seam_conf_and_merge_sql(spark):
+    """Iceberg integration seam: config assembly + MERGE upsert SQL are pure
+    and hermetic; runtime calls are gated on classpath availability."""
+    from datacurate4llms_spark.sources.iceberg import (
+        iceberg_available,
+        iceberg_session_conf,
+        merge_upsert_sql,
+        read_table,
+    )
+
+    conf = iceberg_session_conf(catalog="cur", warehouse="s3://wh")
+    assert conf["spark.sql.catalog.cur"].endswith("SparkCatalog")
+    assert conf["spark.sql.catalog.cur.warehouse"] == "s3://wh"
+    assert "IcebergSparkSessionExtensions" in conf["spark.sql.extensions"]
+
+    sql = merge_upsert_sql(
+        "cur.db.ckpt", "updates", keys=["repo", "path"], update_cols=["keep", "sha"]
+    )
+    assert "MERGE INTO cur.db.ckpt t USING updates s" in sql
+    assert "t.repo = s.repo AND t.path = s.path" in sql
+    assert "WHEN NOT MATCHED THEN INSERT (repo, path, keep, sha)" in sql
+
+    # no runtime jar in this container: probe false, reads raise cleanly
+    assert iceberg_available(spark) is False
+    with pytest.raises(NotImplementedError, match="iceberg-spark-runtime"):
+        read_table(spark, "cur.db.t")
