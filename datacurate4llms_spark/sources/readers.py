@@ -53,22 +53,50 @@ def union_all(dfs: list[DataFrame]) -> DataFrame:
 
 def with_doc_id(df: DataFrame, order_cols: list[str] | None = None,
                 id_col: str = "doc_id") -> DataFrame:
-    """Attach a stable 0-based id. With ``order_cols`` the id is a
-    deterministic dense rank (reproducible across runs — required for the
-    oracle); without, ``monotonically_increasing_id`` (stable within a run,
-    cheap, no global sort — the 100 TB default when a natural key exists
-    downstream).
+    """Attach a stable 0-based id. With ``order_cols`` the id is the global
+    dense rank in that order (reproducible across runs when the key is
+    unique — required for the oracle); without, ``monotonically_increasing_id``
+    (stable within a run, cheap, no sort — the 100 TB default when a natural
+    key exists downstream, e.g. the north rule's ``(repo, path, commit)``).
 
-    NOTE: the ordered variant uses a single-partition window — fine for
-    test-scale ingest, wrong at 100 TB. At scale prefer a natural key
-    (north rule: ``(repo, path, commit)``) or the unordered variant.
+    The ordered variant is distributed (zipWithIndex shape): range-partition
+    on the key, rank within each partition, add per-partition offsets from a
+    tiny count pass — no single-partition global window at any scale. Cost:
+    one extra count job over the ranged data.
     """
     if id_col in df.columns:
         return df
-    if order_cols:
-        w = Window.orderBy(*[F.col(c) for c in order_cols])
-        return df.withColumn(id_col, F.row_number().over(w).cast("bigint") - 1)
-    return df.withColumn(id_col, F.monotonically_increasing_id())
+    if not order_cols:
+        return df.withColumn(id_col, F.monotonically_increasing_id())
+
+    cols = [F.col(c) for c in order_cols]
+    # localCheckpoint pins the partitioning permanently: the offsets job and
+    # every later job over the result must see identical partition ids
+    # (range boundaries come from sampling; cache eviction would let a
+    # recompute resample them and silently shift ids)
+    ranged = (
+        df.repartitionByRange(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    # partition sizes → cumulative offsets (one row per partition — tiny)
+    sizes = ranged.groupBy("_pid").count().orderBy("_pid").collect()
+    offsets, acc = {}, 0
+    for r in sizes:
+        offsets[r["_pid"]] = acc
+        acc += r["count"]
+    off_df = ranged.sparkSession.createDataFrame(
+        [(p, o) for p, o in offsets.items()], "_pid int, _off bigint"
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            id_col,
+            (F.col("_off") + F.row_number().over(w).cast("bigint") - 1),
+        )
+        .drop("_pid", "_off")
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:

@@ -353,3 +353,20 @@ def test_iceberg_seam_conf_and_merge_sql(spark):
     assert iceberg_available(spark) is False
     with pytest.raises(NotImplementedError, match="iceberg-spark-runtime"):
         read_table(spark, "cur.db.t")
+
+
+def test_with_doc_id_distributed_matches_global_rank(spark):
+    """The zipWithIndex-style ordered id (range partition + offsets) must
+    equal the global dense rank, with no single-partition window."""
+    from datacurate4llms_spark.sources.readers import with_doc_id
+
+    df = spark.createDataFrame(
+        [(f"k{i:04d}", i * 2) for i in [7, 3, 9, 1, 4, 8, 0, 2, 6, 5]],
+        "key string, val bigint",
+    ).repartition(4)
+    out = with_doc_id(df, order_cols=["key"]).toPandas().sort_values("key")
+    assert list(out["doc_id"]) == list(range(10))  # dense 0-based rank by key
+    assert set(out.columns) == {"key", "val", "doc_id"}
+    # idempotent when the column exists
+    again = with_doc_id(with_doc_id(df, order_cols=["key"]), order_cols=["key"])
+    assert again.columns.count("doc_id") == 1

@@ -153,21 +153,33 @@ def test_streaming_sessionization_matches_batch(spark, tmp_path):
         streaming_sessionization,
     )
 
-    # split the events by time into two files → two micro-batches; sessions
-    # crossing the split must continue via state
-    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
-    cut = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    # split the events by TIME into two files → two micro-batches: stream
+    # arrival order must match event time for the stateful operator to agree
+    # with the batch (time-ordered) answer; sessions crossing the split
+    # continue via state
+    import os
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").withColumn(
+        "_tsd", F.col("ts").cast("timestamp").cast("double")
+    )
+    cut = ev.approxQuantile("_tsd", [0.5], 0.0)[0]
     src = tmp_path / "sess_stream"
     src.mkdir()
-    ev.filter(F.col("event_id") <= cut).coalesce(1).write.parquet(str(src / "a"))
-    ev.filter(F.col("event_id") > cut).coalesce(1).write.parquet(str(src / "b"))
-    files = sorted(p for p in src.rglob("part-*.parquet"))
-    assert len(files) == 2
+    early = ev.filter(F.col("_tsd") <= cut).drop("_tsd")
+    late = ev.filter(F.col("_tsd") > cut).drop("_tsd")
+    assert early.count() > 0 and late.count() > 0
+    early.coalesce(1).write.parquet(str(src / "a"))
+    late.coalesce(1).write.parquet(str(src / "b"))
+    files_a = sorted((src / "a").glob("part-*.parquet"))
+    files_b = sorted((src / "b").glob("part-*.parquet"))
+    assert len(files_a) == 1 and len(files_b) == 1
     flat = tmp_path / "flat"
     flat.mkdir()
-    # name in time order so the file source picks them up oldest-first
-    shutil.copy(files[0], flat / "0.parquet")
-    shutil.copy(files[1], flat / "1.parquet")
+    # the file source orders by modification time: pin it explicitly
+    shutil.copy(files_a[0], flat / "0.parquet")
+    shutil.copy(files_b[0], flat / "1.parquet")
+    os.utime(flat / "0.parquet", (1_000_000, 1_000_000))
+    os.utime(flat / "1.parquet", (2_000_000, 2_000_000))
 
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
