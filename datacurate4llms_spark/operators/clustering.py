@@ -33,7 +33,13 @@ def assign_to_clusters(
 
     Returns (id_col, cluster_id, similarity_to_center). Centers are
     broadcast — k is small by construction (knee of the gain curve).
-    Reference: assign_to_clusters (data_clustering.py:155-168).
+    Reference: assign_to_clusters (data_clustering.py:155-168); ties break
+    to the lowest center index like ``torch.max`` (:163).
+
+    Plan shape: the argmax is a struct-max aggregation, not a per-row
+    window — partial (map-side) aggregation shrinks the n·k scored rows to
+    ~n before the shuffle and there is no sort; the ordering
+    (sim desc, cluster_id asc) is encoded as max(struct(sim, −cluster_id)).
     """
     sim = additive_scale(cosine(F.col(emb_col), F.col(center_emb_col)))
     scored = rows.crossJoin(F.broadcast(centers)).select(
@@ -41,13 +47,18 @@ def assign_to_clusters(
         F.col(center_id_col).alias("cluster_id"),
         sim.alias("similarity_to_center"),
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.desc("similarity_to_center"), F.asc("cluster_id")
+    packed = F.struct(
+        F.col("similarity_to_center").alias("sim"),
+        (-F.col("cluster_id")).alias("neg_cid"),
     )
     return (
-        scored.withColumn("_rnk", F.row_number().over(w))
-        .filter(F.col("_rnk") == 1)
-        .drop("_rnk")
+        scored.groupBy(id_col)
+        .agg(F.max(packed).alias("_best"))
+        .select(
+            F.col(id_col),
+            (-F.col("_best.neg_cid")).alias("cluster_id"),
+            F.col("_best.sim").alias("similarity_to_center"),
+        )
     )
 
 

@@ -88,6 +88,11 @@ def test_cluster_assignment_broadcasts_centers(spark):
 
     plan = _plan(QR.QUERIES["j4_cluster_assign"](spark, SF_CORRECT))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # argmax is a struct-max aggregation with map-side combine: the shuffle
+    # carries ~n rows (partial_max before the exchange), not the n·k scored
+    # rows a per-row window would sort
+    assert "partial_max(struct(sim" in plan
+    assert "Window" not in plan
 
 
 def test_scorer_input_masking_survives_optimizer(spark):
