@@ -1,0 +1,116 @@
+"""Deterministic sketches over the shared hash32 primitive (net-new vs the
+reference; the 100 TB utility set).
+
+Because every sketch is a pure function of ``hash32`` (functions/hashing.py),
+the results are **bit-identical** in Spark and the DuckDB oracle — unlike
+engine-native approx functions (HLL/approx_count_distinct), whose internals
+differ per engine and per partitioning.
+
+- **KMV (k-minimum-values) distinct estimate** (Bar-Yossef et al. 2002):
+  keep the k smallest distinct hash values; with h_k the k-th smallest,
+  estimate = (k−1) · 2^32 / h_k. One shuffle of ≤k rows per group after
+  map-side distinct — the classic mergeable distinct sketch.
+- **Bottom-k consistent sample**: the k rows with the smallest key hash.
+  Deterministic and *consistent across tables and runs* — the same keys are
+  always sampled, so two tables sampled this way join on their sample (the
+  property random sampling lacks). Plans as TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.hashing import HASH32_MOD, hash32, hash32_sql
+
+
+def kmv_distinct(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    k: int = 64,
+    group_by: list[str] | None = None,
+    seed: str = "kmv",
+) -> DataFrame:
+    """Distinct-count estimate per group: (group cols…, n_exact, n_estimate).
+
+    n_exact is included because the sketch input here is already the distinct
+    hash set (the estimate's job at 100 TB is to replace the *global* exact
+    distinct when only the k-row sketch is shipped between stages — e.g.
+    mergeable per-partition sketches union'd across a corpus).
+    """
+    group_by = group_by or []
+    h = hash32(*cols, seed=seed).alias("_h")
+    hashes = df.select(*group_by, h).distinct()
+
+    if group_by:
+        w = Window.partitionBy(*group_by).orderBy("_h")
+        ranked = hashes.withColumn("_r", F.row_number().over(w))
+        kth = (
+            ranked.groupBy(*group_by)
+            .agg(
+                F.count("*").cast("bigint").alias("n_exact"),
+                F.max(F.when(F.col("_r") == k, F.col("_h"))).alias("_hk"),
+            )
+        )
+    else:
+        ranked = hashes.orderBy("_h").limit(k)
+        kth_val = ranked.agg(
+            F.count("*").alias("_n"), F.max("_h").alias("_hk")
+        )
+        exact = hashes.agg(F.count("*").cast("bigint").alias("n_exact"))
+        kth = exact.crossJoin(
+            kth_val.select(F.when(F.col("_n") >= k, F.col("_hk")).alias("_hk"))
+        )
+
+    est = F.when(
+        F.col("_hk").isNull(), F.col("n_exact").cast("double")  # < k distinct → exact
+    ).otherwise(F.lit(float(k - 1)) * F.lit(float(HASH32_MOD)) / F.col("_hk").cast("double"))
+    return kth.select(*group_by, "n_exact", est.alias("n_estimate"))
+
+
+def kmv_distinct_sql(
+    from_sql: str,
+    col_exprs: list[str],
+    *,
+    k: int = 64,
+    group_by: list[str] | None = None,
+    seed: str = "kmv",
+) -> str:
+    """DuckDB twin of :func:`kmv_distinct` (grouped form)."""
+    group_by = group_by or []
+    g = ", ".join(group_by)
+    gcomma = g + ", " if g else ""
+    h = hash32_sql(*col_exprs, seed=seed)
+    part = f"partition by {g} " if g else ""
+    return f"""
+    with hashes as (
+      select distinct {gcomma}{h} as _h from ({from_sql})
+    ),
+    ranked as (
+      select {gcomma}_h,
+             row_number() over ({part}order by _h) as _r
+      from hashes
+    ),
+    kth as (
+      select {gcomma}cast(count(*) as bigint) as n_exact,
+             max(case when _r = {k} then _h end) as _hk
+      from ranked {("group by " + g) if g else ""}
+    )
+    select {gcomma}n_exact,
+           round(cast(case when _hk is null then n_exact
+                      else {float(k - 1)} * {float(HASH32_MOD)} / _hk end as double), 6)
+             as n_estimate
+    from kth
+    """
+
+
+def bottom_k_sample(
+    df: DataFrame, key_cols: list[str], k: int, *, seed: str = "sample"
+) -> DataFrame:
+    """The k rows with the smallest key hash — a deterministic, consistent
+    sample (same keys every run, same keys across tables sharing the key).
+    TakeOrderedAndProject: per-partition heap, k-row merge."""
+    h: Column = hash32(*key_cols, seed=seed)
+    return df.orderBy(h.asc(), *[F.col(c) for c in key_cols]).limit(k)

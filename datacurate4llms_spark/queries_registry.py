@@ -1654,3 +1654,47 @@ def q_ngram_jaccard(spark, sf_dir):
     corpus = _dup_corpus(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
     out = DD.ngram_jaccard_pairs(corpus, content_col="text", threshold=0.7)
     return out.select("i", "j", _r6(F.col("jaccard")).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# Round 2: deterministic sketches (KMV distinct, bottom-k consistent sample)
+# ---------------------------------------------------------------------------
+
+from .operators import sketches as SK  # noqa: E402
+
+_TOKENS_SQL = (
+    "select lang, tok from (select lang, unnest(string_split(text, ' ')) as tok "
+    "from documents) where tok <> ''"
+)
+
+
+@_register(
+    "sketch_kmv_distinct",
+    SK.kmv_distinct_sql(_TOKENS_SQL, ["tok"], k=64, group_by=["lang"]),
+)
+def q_kmv(spark, sf_dir):
+    """KMV distinct-token estimate per language — a mergeable distinct
+    sketch whose value is bit-identical across engines because it is a pure
+    function of hash32 (operators/sketches.kmv_distinct)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    out = SK.kmv_distinct(toks, ["tok"], k=64, group_by=["lang"])
+    return out.select("lang", "n_exact", _r6(F.col("n_estimate")).alias("n_estimate"))
+
+
+@_register(
+    "sketch_bottomk_sample",
+    f"""
+    select doc_id, lang from documents
+    order by {hash32_sql('doc_id', seed='sample')} asc, doc_id asc
+    limit 25
+    """,
+)
+def q_bottomk(spark, sf_dir):
+    """Bottom-k consistent sample: deterministic, repeatable, and consistent
+    across tables sharing the key (operators/sketches.bottom_k_sample —
+    plans TakeOrderedAndProject)."""
+    d = _t(spark, sf_dir, "documents")
+    return SK.bottom_k_sample(d, ["doc_id"], 25).select("doc_id", "lang")

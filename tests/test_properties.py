@@ -121,3 +121,34 @@ def test_fold_sizes_are_balanced(spark):
     assert len(sizes) == 8
     # uniform hash: no fold more than 2x the smallest at n=500
     assert sizes.max() < 2 * sizes.min()
+
+
+def test_kmv_estimate_accuracy_and_merge_property(spark):
+    """KMV sketch: estimate within sampling error of the exact distinct
+    count for n >> k, exact for n < k, and invariant to partitioning."""
+    from datacurate4llms_spark.operators.sketches import kmv_distinct
+
+    big = spark.range(20_000).select((F.col("id") % 5000).alias("v"))
+    est = kmv_distinct(big, ["v"], k=128).collect()[0]
+    assert est.n_exact == 5000
+    # k=128 → relative std error ~ 1/sqrt(k-2) ≈ 9%; allow 3 sigma
+    assert abs(est.n_estimate - 5000) / 5000 < 0.27
+
+    small = spark.range(40).select(F.col("id").alias("v"))
+    e2 = kmv_distinct(small, ["v"], k=128).collect()[0]
+    assert e2.n_exact == 40 and e2.n_estimate == 40.0  # < k → exact
+
+    repartitioned = kmv_distinct(big.repartition(13), ["v"], k=128).collect()[0]
+    assert repartitioned.n_estimate == est.n_estimate  # partitioning-invariant
+
+
+def test_bottom_k_sample_consistent_across_tables(spark):
+    """The same keys are sampled from two different tables sharing the key —
+    the consistency property random sampling lacks."""
+    from datacurate4llms_spark.operators.sketches import bottom_k_sample
+
+    a = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("x"))
+    b = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("y"))
+    sa = {r.k for r in bottom_k_sample(a, ["k"], 50).collect()}
+    sb = {r.k for r in bottom_k_sample(b, ["k"], 50).collect()}
+    assert sa == sb and len(sa) == 50
