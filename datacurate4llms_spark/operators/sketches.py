@@ -114,3 +114,26 @@ def bottom_k_sample(
     TakeOrderedAndProject: per-partition heap, k-row merge."""
     h: Column = hash32(*key_cols, seed=seed)
     return df.orderBy(h.asc(), *[F.col(c) for c in key_cols]).limit(k)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    group_by: list[str],
+    k_per_group: int,
+    *,
+    seed: str = "sample",
+) -> DataFrame:
+    """Bottom-k per group: a balanced deterministic sample (equal quota per
+    stratum — the curation move for language/source-balanced eval sets).
+    One shuffle on the group key; the per-group window is bounded by the
+    stratum size."""
+    h: Column = hash32(*key_cols, seed=seed)
+    w = Window.partitionBy(*group_by).orderBy(
+        h.asc(), *[F.col(c) for c in key_cols]
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k_per_group)
+        .drop("_rk")
+    )

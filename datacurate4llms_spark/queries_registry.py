@@ -1698,3 +1698,48 @@ def q_bottomk(spark, sf_dir):
     plans TakeOrderedAndProject)."""
     d = _t(spark, sf_dir, "documents")
     return SK.bottom_k_sample(d, ["doc_id"], 25).select("doc_id", "lang")
+
+
+@_register(
+    "sketch_stratified_sample",
+    f"""
+    with ranked as (
+      select doc_id, lang,
+             row_number() over (partition by lang
+                                order by {hash32_sql('doc_id', seed='sample')} asc,
+                                         doc_id asc) as _rk
+      from documents
+    )
+    select doc_id, lang from ranked where _rk <= 10
+    """,
+)
+def q_stratified(spark, sf_dir):
+    """Balanced deterministic sample: bottom-10 hash per language
+    (operators/sketches.stratified_sample)."""
+    d = _t(spark, sf_dir, "documents")
+    return SK.stratified_sample(d, ["doc_id"], ["lang"], 10).select("doc_id", "lang")
+
+
+@_register(
+    "rel_percentiles",
+    """
+    select l_returnflag,
+           round(cast(quantile_cont(l_extendedprice, 0.5) as double), 6) as p50,
+           round(cast(quantile_cont(l_extendedprice, 0.9) as double), 6) as p90,
+           round(cast(quantile_cont(l_extendedprice, 0.99) as double), 6) as p99,
+           cast(count(*) as bigint) as n_rows
+    from lineitem group by l_returnflag
+    """,
+)
+def q_percentiles(spark, sf_dir):
+    """Exact linear-interpolation percentiles per return flag — Spark
+    percentile() and DuckDB quantile_cont share interpolation semantics,
+    verified bit-exact (unlike approx_percentile, whose sketch differs
+    per engine)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        _r6(F.expr("percentile(l_extendedprice, 0.5)")).alias("p50"),
+        _r6(F.expr("percentile(l_extendedprice, 0.9)")).alias("p90"),
+        _r6(F.expr("percentile(l_extendedprice, 0.99)")).alias("p99"),
+        F.count("*").cast("bigint").alias("n_rows"),
+    )
