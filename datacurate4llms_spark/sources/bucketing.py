@@ -1,0 +1,49 @@
+"""Bucketed tables for co-located joins (the brief's third join strategy
+after broadcast and salt-keyed repartition).
+
+Writing both sides of a recurring large⋈large join bucketed by the join key
+(same column, same bucket count) lets every future join run with **zero
+shuffle**: Spark matches the bucket spec on both sides and plans a
+SortMergeJoin with no Exchange. At 100 TB this converts the join's O(data)
+network cost, paid on every query, into a one-time cost at write — the right
+trade for the curation engine's stable keys (doc_id, (repo, path)).
+
+Bucket pruning: equality filters on the bucket column scan only the matching
+bucket files. On Iceberg the same contract is the ``bucket(N, col)``
+partition transform (sources/iceberg.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    *,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and bucket-sorted) managed parquet table.
+    Sorting within buckets lets the later SortMergeJoin skip its sort."""
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    writer = writer.sortBy(*(sort_cols or bucket_cols))
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two co-bucketed tables. With matching bucket specs Spark plans
+    SortMergeJoin with NO Exchange on either side (asserted by
+    tests/test_plan_shapes.py); mismatched specs silently fall back to a
+    shuffled join — keep bucket counts aligned across the warehouse."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)

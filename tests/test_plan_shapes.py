@@ -103,3 +103,33 @@ def test_scorer_input_masking_survives_optimizer(spark):
 
     opt = _optimized(run_quality_filter(spark, SF_CORRECT, with_model_scores=True))
     assert "CASE WHEN" in opt
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables co-bucketed on the join key must join with ZERO shuffle:
+    SortMergeJoin, no Exchange on either side (bucketing = the pre-paid
+    shuffle for recurring large-to-large joins)."""
+    from datacurate4llms_spark.sources.bucketing import bucketed_join, write_bucketed
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").select("doc_id", "lang")
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    spark.sql("drop table if exists bkt_docs")
+    spark.sql("drop table if exists bkt_emb")
+    write_bucketed(docs, "bkt_docs", ["doc_id"], 8)
+    write_bucketed(emb, "bkt_emb", ["doc_id"], 8)
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = bucketed_join(spark, "bkt_docs", "bkt_emb", ["doc_id"])
+            plan = _plan(joined)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, "co-bucketed join must not shuffle"
+            assert joined.count() == 500
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("drop table if exists bkt_docs")
+        spark.sql("drop table if exists bkt_emb")
