@@ -335,6 +335,36 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.9,
+    num_planes: int = 6,
+    num_tables: int = 6,
+) -> DataFrame:
+    """Scale path for embedding near-dup: candidate pairs share a
+    sign-bit LSH bucket in ≥ 1 of L tables (equi-join on (table, bucket),
+    shuffle O(n·L) — never a cross join), then exact cosine ≥ τ on the
+    candidates only. :func:`embedding_near_dup_pairs` is its bounded-input
+    ground truth; recall rises with L (1 − (1−p^B)^L)."""
+    from .ann import _with_buckets
+
+    a = _with_buckets(df, "i", id_col, emb_col, num_planes, num_tables)
+    b = _with_buckets(df, "j", id_col, emb_col, num_planes, num_tables)
+    cands = (
+        a.join(b, ["table_no", "bucket"])
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j", "_i_e", "_j_e")
+        .distinct()
+    )
+    return (
+        cands.withColumn("cos_sim", cosine(F.col("_i_e"), F.col("_j_e")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("i", "j", "cos_sim")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Duplicate-group closure: connected components over near-dup pairs
 # ---------------------------------------------------------------------------

@@ -1743,3 +1743,38 @@ def q_percentiles(spark, sf_dir):
         _r6(F.expr("percentile(l_extendedprice, 0.99)")).alias("p99"),
         F.count("*").cast("bigint").alias("n_rows"),
     )
+
+
+def _lsh_dedup_sql(threshold: float, num_planes: int, num_tables: int) -> str:
+    tables = " union all ".join(
+        f"select {t} as table_no, {ANN.lsh_bucket_sql('embedding', t, num_planes)} as bucket, "
+        f"vec_id, embedding from sig_base"
+        for t in range(num_tables)
+    )
+    return f"""
+    with sig_base as (select vec_id, embedding from embeddings),
+    sig as ({tables}),
+    cands as (
+      select distinct a.vec_id as i, b.vec_id as j
+      from sig a join sig b on a.table_no = b.table_no and a.bucket = b.bucket
+      where a.vec_id < b.vec_id
+    ),
+    verified as (
+      select cd.i, cd.j, {V.cosine_sql('x.embedding', 'y.embedding')} as cos_sim
+      from cands cd
+      join sig_base x on x.vec_id = cd.i
+      join sig_base y on y.vec_id = cd.j
+    )
+    select i, j, round(cast(cos_sim as double), 6) as cos_sim
+    from verified where cos_sim >= {threshold}
+    """
+
+
+@_register("dedup_embedding_lsh", _lsh_dedup_sql(0.3, 6, 6))
+def q_embedding_lsh(spark, sf_dir):
+    """Embedding near-dup, scale path: LSH-bucketed candidates + exact
+    cosine verify (operators/dedup.embedding_near_dup_lsh). The O(n²)
+    dedup_embedding_near query is this operator's bounded ground truth."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = DD.embedding_near_dup_lsh(e, threshold=0.3, num_planes=6, num_tables=6)
+    return out.select("i", "j", _r6(F.col("cos_sim")).alias("cos_sim"))

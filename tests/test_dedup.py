@@ -175,3 +175,30 @@ def test_minhash_verified_subset_of_exact_ngram_jaccard(toy):
     lsh = {(r.i, r.j) for r in minhash_near_dup_pairs(toy, threshold=0.5).collect()}
     assert lsh <= exact
     assert exact  # the toy corpus does contain near-dup pairs
+
+
+def test_embedding_lsh_subset_and_recall(spark):
+    """LSH-bucketed near-dup pairs must be a subset of the exact O(n²) pairs
+    (the verify step applies the identical measure), recall must match the
+    sign-LSH analysis, and more tables must only ADD pairs.
+
+    At τ=0.3 per-plane collision p = 1 − acos(0.3)/π ≈ 0.60, so expected
+    recall ≈ 1 − (1 − p^6)^6 ≈ 0.24 — LSH earns its keep in the high-
+    similarity regime (p→1), which is where near-DUP thresholds live;
+    the low τ here just exercises the plumbing against ground truth."""
+    from datacurate4llms_spark.operators.dedup import (
+        embedding_near_dup_lsh,
+        embedding_near_dup_pairs,
+    )
+
+    e = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").filter(F.col("vec_id") < 150)
+    exact = {(r.i, r.j) for r in embedding_near_dup_pairs(e, threshold=0.3).collect()}
+    lsh = {(r.i, r.j) for r in embedding_near_dup_lsh(e, threshold=0.3).collect()}
+    assert lsh <= exact
+    assert exact and len(lsh) / len(exact) >= 0.12, (len(lsh), len(exact))
+
+    more_tables = {
+        (r.i, r.j)
+        for r in embedding_near_dup_lsh(e, threshold=0.3, num_tables=12).collect()
+    }
+    assert lsh <= more_tables <= exact  # recall is monotone in L
