@@ -29,8 +29,10 @@ def generate_instruction(icl: bool = False,
                          response_type: str = "clear, accurate, and concise",
                          considerations: str = "relevant facts and context",
                          num_examples: int | None = None) -> str:
-    """System-instruction builder (perform_inference.py:5-26): base guidance,
-    optionally wrapped in the ICL example-following preamble."""
+    """System-instruction builder — verbatim reproduction of the reference
+    prompt contract (perform_inference.py:5-26), including the ICL
+    "Pay close attention to: 1-3" and "Remember, while the examples..."
+    paragraphs (ADVICE r2)."""
     base = (f"Provide a {response_type} response to the following user query. "
             f"Consider {considerations} in your answer.")
     head = ("You are a helpful, respectful and honest assistant. "
@@ -38,15 +40,21 @@ def generate_instruction(icl: bool = False,
     if not icl:
         return head + base
     plural = "s" if num_examples != 1 else ""
-    return head + (
-        f"You will be presented with {num_examples} example{plural} of user "
-        "queries and the corresponding assistant responses, followed by a new "
-        "user query. These examples serve as a guide for the structure, "
-        "style, and depth of your response. After the examples, you will "
-        f"receive a new user query. Apply the insights gained from the "
-        f"examples to formulate your response, while also adhering to the "
-        f"following guideline:\n\n{base}\n\nExamples:\n"
-    )
+    icl_instruction = f"""You will be presented with {num_examples} example{plural} of user queries and the corresponding assistant responses, followed by a new user query. These examples serve as a guide for the structure, style, and depth of your response. Pay close attention to:
+
+1. The format and organization of the responses
+2. The level of detail provided
+3. Any specific patterns or techniques used in addressing the queries
+
+After the examples, you will receive a new user query. Apply the insights gained from the examples to formulate your response, while also adhering to the following guideline:
+
+{base}
+
+Remember, while the examples are meant to guide you, each query is unique. Tailor your response to the specific needs of the new query while maintaining the general approach demonstrated in the examples.
+
+Examples:
+"""
+    return head + icl_instruction
 
 
 def build_messages(prompt: str, system_message: str,
@@ -97,7 +105,17 @@ def generate_texts_real(model_name: str, prompts: list[str], *,
         for p in prompts
     ]
     out: list[str] = []
-    defaults = dict(pad_token_id=tokenizer.pad_token_id, do_sample=False)
+    # reference defaults verbatim (perform_inference.py:86-93): without
+    # max_length, transformers falls back to GenerationConfig max_length=20
+    # (prompt included) and truncates every non-trivial continuation.
+    defaults = dict(
+        max_length=tokenizer.model_max_length,
+        pad_token_id=tokenizer.pad_token_id,
+        do_sample=True,
+        top_k=100,
+        top_p=0.7,
+        temperature=0.8,
+    )
     defaults.update(gen_kwargs)
     for i in range(0, len(rendered), batch_size):
         enc = tokenizer(rendered[i:i + batch_size], padding=True,

@@ -9,15 +9,16 @@ Implementation is the union-tag-window pattern, which is *better* than a
 range join at scale: one shuffle on the key, one ordered window pass, no
 range-bucket explosion:
 
-    union(left tagged 0, right tagged 1)
+    union(right tagged 0, left tagged 1)
     → window last(right_value, ignoreNulls) over
         (partition by key order by ts, tag asc rows unbounded preceding..current)
     → keep left rows
 
-Tie semantics: a right row at exactly left.ts matches (``<=``), implemented
-by ordering right rows (tag 1) — wait, ordering *right before left* at equal
-ts — via tag desc in the window order. Matches DuckDB ``ASOF JOIN`` (>=)
-semantics, which the oracle checks.
+Tie semantics: a right row at exactly left.ts matches (``<=``). The code
+tags right rows 0 and left rows 1 and orders the window by ``(ts, _tag
+asc)``, so at equal ts the right row sorts *before* the left row and is
+visible to its running ``last(..., ignoreNulls)``. Matches DuckDB
+``ASOF JOIN`` semantics, which the oracle checks bit-exactly.
 """
 
 from __future__ import annotations

@@ -10,9 +10,10 @@ resemblance/minhash; Charikar 2002 simhash), built Spark-first:
   band bucket (equi-join on (band, hash) — a *shuffle hash join on a short
   key*, never an n² cross join); verify candidates with exact Jaccard.
 - **n-gram Jaccard**: the verify kernel, usable standalone on bounded sets.
-- **SimHash**: 64-bit signature via a pandas UDF; near-pairs by pigeonhole —
-  split the signature into 4 16-bit chunks, pairs within hamming ≤ 3 must
-  share ≥ 1 chunk → equi-join on chunks, then bit_count(xor) filter.
+- **SimHash**: 64-bit signature via a pandas UDF; near-pairs by Manku et al.
+  (WWW'07) block pigeonhole — 6 blocks, C(6,3)=20 tables keyed on ~32-bit
+  3-block concatenations (hamming ≤ 3 ⇒ ≥ 3 blocks identical) → equi-join
+  per table, then bit_count(xor) filter.
 - **embedding cosine near-dup**: cosine ≥ τ pair table (exact, bounded input;
   the scalable path is LSH bucketing in operators/ann.py).
 
@@ -273,38 +274,70 @@ def simhash_udf():
     return _simhash
 
 
+# Manku et al., WWW'07 ("Detecting Near-Duplicates for Web Crawling") block
+# layout: 64 bits → 6 blocks (11,11,11,11,10,10). Hamming ≤ 3 flips bits in
+# ≤ 3 blocks, so ≥ 3 blocks are identical → every qualifying pair shares the
+# full key of at least one of the C(6,3)=20 3-block combinations.
+_SIMHASH_BLOCK_BITS = (11, 11, 11, 11, 10, 10)
+_SIMHASH_BLOCK_OFFSETS = (0, 11, 22, 33, 44, 54)
+
+
+def _simhash_block(sig: Column, b: int) -> Column:
+    mask = (1 << _SIMHASH_BLOCK_BITS[b]) - 1
+    return F.shiftrightunsigned(sig, _SIMHASH_BLOCK_OFFSETS[b]).bitwiseAND(F.lit(mask))
+
+
 def simhash_near_pairs(
     df: DataFrame,
     content_col: str = "content",
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Pairs within hamming ≤ max_hamming of each other's simhash.
+    """Pairs within hamming ≤ max_hamming (≤ 3) of each other's simhash.
 
-    Pigeonhole: with 4 chunks of 16 bits, hamming ≤ 3 ⇒ ≥ 1 identical chunk →
-    candidates come from 4 equi-joins (shuffle on 16-bit keys), then the exact
-    ``bit_count(xor)`` filter. No cross join at any scale.
+    Candidate keys follow Manku et al. (WWW'07): the 64-bit signature splits
+    into 6 blocks; hamming ≤ 3 ⇒ ≥ 3 blocks identical ⇒ each qualifying pair
+    shares the concatenated key of ≥ 1 of the C(6,3)=20 3-block tables. Each
+    table key carries ~32 bits (11+11+10 minimum), so expected bucket
+    occupancy is n/2^32 — at n = 10^10 docs that is ~2 rows per bucket and
+    the equi-join stays linear, vs n/2^16 ≈ 150k-row buckets (O(n²/2^16)
+    candidate pairs) under the r2 4×16-bit chunk scheme. Shuffle volume is
+    O(20·n) key rows; verification is the exact ``bit_count(xor)`` filter on
+    candidates only. No cross join at any scale.
     """
+    if max_hamming > 3:
+        raise ValueError(
+            "simhash_near_pairs: the 6-block/3-identical pigeonhole is only "
+            f"complete for hamming <= 3 (got {max_hamming})"
+        )
+    from itertools import combinations
+
     sig = df.select(
         F.col(id_col).alias("_id"), simhash_udf()(F.col(content_col)).alias("sig")
     )
-    chunks = sig.select(
-        "_id",
-        "sig",
+    combos = list(combinations(range(6), 3))
+    # key = blocks concatenated into one bigint (block < 2^11 → 3·11 ≤ 33 bits)
+    table_keys = F.array(
         *[
-            F.shiftrightunsigned(F.col("sig"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c{c}")
-            for c in range(4)
-        ],
+            F.struct(
+                F.lit(t).alias("table_no"),
+                (
+                    _simhash_block(F.col("sig"), a) * F.lit(1 << 22)
+                    + _simhash_block(F.col("sig"), b) * F.lit(1 << 11)
+                    + _simhash_block(F.col("sig"), c)
+                ).alias("tkey"),
+            )
+            for t, (a, b, c) in enumerate(combos)
+        ]
     )
-    parts = None
-    for c in range(4):
-        p = chunks.select(F.lit(c).alias("chunk_no"), F.col(f"c{c}").alias("chunk"), "_id", "sig")
-        parts = p if parts is None else parts.unionByName(p)
-    left = parts.select("chunk_no", "chunk", F.col("_id").alias("i"), F.col("sig").alias("sig_i"))
-    right = parts.select("chunk_no", "chunk", F.col("_id").alias("j"), F.col("sig").alias("sig_j"))
+    keyed = sig.select("_id", "sig", F.explode(table_keys).alias("_k")).select(
+        "_id", "sig", F.col("_k.table_no").alias("table_no"), F.col("_k.tkey").alias("tkey")
+    )
+    left = keyed.select("table_no", "tkey", F.col("_id").alias("i"), F.col("sig").alias("sig_i"))
+    right = keyed.select("table_no", "tkey", F.col("_id").alias("j"), F.col("sig").alias("sig_j"))
     ham = F.bit_count(F.col("sig_i").bitwiseXOR(F.col("sig_j")))
     return (
-        left.join(right, ["chunk_no", "chunk"])
+        left.join(right, ["table_no", "tkey"])
         .filter(F.col("i") < F.col("j"))
         .select("i", "j", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)

@@ -104,20 +104,31 @@ def broadcast_knn(
 
     ``max_query_cells`` guards the driver collect: |Q|·dim above the bound
     raises instead of silently OOMing the driver (misuse → error, not crash).
+    The guard is one bounded job — collect under a hard row cap
+    (``max_query_cells // 64``, i.e. dim ≥ 64 assumed for real encoders),
+    then enforce the exact cell bound on what came back — rather than
+    separate dim/count probe jobs re-computing the query plan (ADVICE r2).
     """
-    dim_row = queries.select(F.size(emb_col).alias("d")).first()
-    dim = int(dim_row["d"]) if dim_row and dim_row["d"] is not None else 0
+    # single bounded collect (ADVICE r2): the r2 guard ran TWO extra jobs
+    # (a first() for dim + a limit().count()) re-computing the query plan
+    # before the real collect. Instead collect once under a hard row cap,
+    # derive dim from the collected vectors, and enforce the cell bound on
+    # what came back — misuse still raises instead of OOMing the driver.
+    max_query_rows = max_query_cells // 64  # dim ≥ 64 for any real encoder
+    q_pd = queries.select(query_id, emb_col).limit(max_query_rows + 1).toPandas()
+    if len(q_pd) == 0:
+        dim = 0
+    else:
+        first_vec = q_pd[emb_col].iloc[0]
+        dim = len(first_vec) if first_vec is not None else 0
     max_rows = max_query_cells // max(dim, 1)
-    # bounded probe: limit(max_rows+1).count() stops scanning at the bound —
-    # never a full count of a huge query side just to reject it
-    if queries.limit(max_rows + 1).count() > max_rows:
+    if len(q_pd) > min(max_rows, max_query_rows):
         raise ValueError(
             f"broadcast_knn: query side too large to collect "
-            f"(|Q| > {max_rows} rows at dim={dim}, "
+            f"(|Q| > {min(max_rows, max_query_rows)} rows at dim={dim}, "
             f"max_query_cells={max_query_cells}); "
             "use lsh_topk/ivf_topk from operators.ann for large query sets"
         )
-    q_pd = queries.select(query_id, emb_col).toPandas()
     q_ids = q_pd[query_id].to_numpy(dtype=np.int64)
     q_mat = np.stack([np.asarray(v, dtype=np.float32) for v in q_pd[emb_col]]).astype(np.float64)
     if metric == "cosine":

@@ -8,8 +8,9 @@ differ per engine and per partitioning.
 
 - **KMV (k-minimum-values) distinct estimate** (Bar-Yossef et al. 2002):
   keep the k smallest distinct hash values; with h_k the k-th smallest,
-  estimate = (k−1) · 2^32 / h_k. One shuffle of ≤k rows per group after
-  map-side distinct — the classic mergeable distinct sketch.
+  estimate = (k−1) · 2^32 / h_k. Grouped plan is two-level mergeable:
+  partial bottom-k per (group, partition) — no task sees more than one
+  partition's hashes — then a merge over ≤ k·parts sketch rows per group.
 - **Bottom-k consistent sample**: the k rows with the smallest key hash.
   Deterministic and *consistent across tables and runs* — the same keys are
   always sampled, so two tables sampled this way join on their sample (the
@@ -45,13 +46,26 @@ def kmv_distinct(
     hashes = df.select(*group_by, h).distinct()
 
     if group_by:
-        w = Window.partitionBy(*group_by).orderBy("_h")
-        ranked = hashes.withColumn("_r", F.row_number().over(w))
-        kth = (
-            ranked.groupBy(*group_by)
+        # two-level mergeable plan (VERDICT r2 #2): partial bottom-k per
+        # (group, partition) — every cell lives entirely in one task, so no
+        # task ever sees more than a partition's worth of hashes — then a
+        # final merge over ≤ k·parts rows per group. The r2 row_number window
+        # funneled a group's ENTIRE distinct set through one task.
+        partial = (
+            hashes.withColumn("_pid", F.spark_partition_id())
+            .groupBy(*group_by, "_pid")
             .agg(
-                F.count("*").cast("bigint").alias("n_exact"),
-                F.max(F.when(F.col("_r") == k, F.col("_h"))).alias("_hk"),
+                F.count("*").cast("bigint").alias("_n"),
+                F.slice(F.array_sort(F.collect_list("_h")), 1, k).alias("_bk"),
+            )
+        )
+        merged = F.array_sort(F.flatten(F.collect_list("_bk")))
+        kth = (
+            partial.groupBy(*group_by)
+            .agg(
+                F.sum("_n").cast("bigint").alias("n_exact"),
+                # k-th smallest across merged partials; NULL when < k distinct
+                F.get(merged, k - 1).alias("_hk"),
             )
         )
     else:
@@ -123,17 +137,34 @@ def stratified_sample(
     k_per_group: int,
     *,
     seed: str = "sample",
+    num_salts: int = 32,
 ) -> DataFrame:
     """Bottom-k per group: a balanced deterministic sample (equal quota per
     stratum — the curation move for language/source-balanced eval sets).
-    One shuffle on the group key; the per-group window is bounded by the
-    stratum size."""
+
+    Two-phase salted plan (VERDICT r2 #3): a single per-group window would
+    route an entire stratum (most of a skewed corpus) through one task.
+    Instead, phase 1 takes bottom-k per ``(group, hash % num_salts)`` —
+    each salted window handles ~1/S of a stratum — leaving ≤ k·S survivor
+    rows per group for the final bounded per-group window. The global
+    bottom-k of a group is a subset of the union of its per-salt bottom-k's
+    (a row's global rank ≥ its per-salt rank), so results are identical to
+    the single-window plan."""
     h: Column = hash32(*key_cols, seed=seed)
-    w = Window.partitionBy(*group_by).orderBy(
-        h.asc(), *[F.col(c) for c in key_cols]
+    key_order = [F.col(c) for c in key_cols]
+    salted = df.withColumn("_h", h).withColumn(
+        "_salt", F.pmod(F.col("_h"), F.lit(num_salts))
     )
+    w1 = Window.partitionBy(*group_by, "_salt").orderBy(
+        F.col("_h").asc(), *key_order
+    )
+    survivors = (
+        salted.withColumn("_rk1", F.row_number().over(w1))
+        .filter(F.col("_rk1") <= k_per_group)
+    )
+    w2 = Window.partitionBy(*group_by).orderBy(F.col("_h").asc(), *key_order)
     return (
-        df.withColumn("_rk", F.row_number().over(w))
+        survivors.withColumn("_rk", F.row_number().over(w2))
         .filter(F.col("_rk") <= k_per_group)
-        .drop("_rk")
+        .drop("_rk", "_rk1", "_salt", "_h")
     )

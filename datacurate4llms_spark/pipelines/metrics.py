@@ -8,16 +8,22 @@ run accounting a resumable 10^12-file curation job needs:
 
     n_files / n_kept / n_dropped     keep-decision accounting
     n_scrubbed / bytes_out           scrub accounting
-    lineage_sig                      order-independent XOR of hash32(keys) —
-                                     two runs over the same key set produce
-                                     the same signature regardless of
+    n_distinct_keys                  distinct (repo, path, commit) count
+    lineage_sig                      order-independent XOR of
+                                     hash32(key, per-key count) — two runs
+                                     over the same key MULTISET produce the
+                                     same signature regardless of
                                      partitioning, so a resumed run can prove
                                      batch-level input identity cheaply
 
-Everything is a plain grouped aggregation over the label table — one shuffle
-on batch_id, no Python. On Iceberg this lands as an appended metrics table
-next to the checkpoint; the sandbox twin is driver-checked by the
-``qf_metrics_by_batch`` oracle query.
+The signature hashes each key *with its occurrence count* (ADVICE r2: a
+plain XOR of hash32(key) cancels duplicate keys, making a double-ingested
+batch indistinguishable from one missing both copies); paired with
+``n_files``/``n_distinct_keys`` the identity check carries well beyond the
+32 sig bits. The plan is a two-level aggregation — per (batch, key) counts,
+then per batch — two shuffles, no Python. On Iceberg this lands as an
+appended metrics table next to the checkpoint; the sandbox twin is
+driver-checked by the ``qf_metrics_by_batch`` oracle query.
 """
 
 from __future__ import annotations
@@ -40,12 +46,25 @@ def curation_metrics(
 ) -> DataFrame:
     """Label table (quality_filter output) → per-batch metrics + lineage."""
     b = labels.withColumn("batch_id", batch_assign(list(keys), num_batches))
-    b = b.withColumn("_lsig", hash32(*keys, seed="lineage"))
-    return b.groupBy("batch_id").agg(
-        F.count("*").cast("bigint").alias("n_files"),
-        F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_kept"),
-        F.sum((~F.col("keep")).cast("int")).cast("bigint").alias("n_dropped"),
-        F.sum(F.col("scrub_applied").cast("int")).cast("bigint").alias("n_scrubbed"),
-        F.sum(F.octet_length(scrubbed_col)).cast("bigint").alias("bytes_out"),
+    per_key = b.groupBy("batch_id", *keys).agg(
+        F.count("*").cast("bigint").alias("_n"),
+        F.sum(F.col("keep").cast("int")).cast("bigint").alias("_nk"),
+        F.sum((~F.col("keep")).cast("int")).cast("bigint").alias("_nd"),
+        F.sum(F.col("scrub_applied").cast("int")).cast("bigint").alias("_ns"),
+        F.sum(F.octet_length(scrubbed_col)).cast("bigint").alias("_bo"),
+    )
+    # duplication-sensitive signature: the occurrence count is part of the
+    # hashed payload, so hash32(k, 2) never cancels the way hash32(k)⊕hash32(k)
+    # does (ADVICE r2)
+    per_key = per_key.withColumn(
+        "_lsig", hash32(*keys, F.col("_n"), seed="lineage")
+    )
+    return per_key.groupBy("batch_id").agg(
+        F.sum("_n").cast("bigint").alias("n_files"),
+        F.sum("_nk").cast("bigint").alias("n_kept"),
+        F.sum("_nd").cast("bigint").alias("n_dropped"),
+        F.sum("_ns").cast("bigint").alias("n_scrubbed"),
+        F.sum("_bo").cast("bigint").alias("bytes_out"),
+        F.count("*").cast("bigint").alias("n_distinct_keys"),
         F.expr("bit_xor(_lsig)").cast("bigint").alias("lineage_sig"),
     )

@@ -1612,18 +1612,27 @@ def q_mm_frames(spark, sf_dir):
     ),
     batched as (
       select *,
-             {batch_assign_sql(['repo', 'path', '"commit"'], 8)} as batch_id,
-             {hash32_sql('repo', 'path', '"commit"', seed='lineage')} as lsig
+             {batch_assign_sql(['repo', 'path', '"commit"'], 8)} as batch_id
       from labeled
+    ),
+    per_key as (
+      select batch_id, repo, path, "commit",
+             cast(count(*) as bigint) as _n,
+             cast(sum(case when keep then 1 else 0 end) as bigint) as _nk,
+             cast(sum(case when keep then 0 else 1 end) as bigint) as _nd,
+             cast(sum(case when content <> content_scrubbed then 1 else 0 end) as bigint) as _ns,
+             cast(sum(octet_length(encode(content_scrubbed))) as bigint) as _bo
+      from batched group by batch_id, repo, path, "commit"
     )
     select batch_id,
-           cast(count(*) as bigint) as n_files,
-           cast(sum(case when keep then 1 else 0 end) as bigint) as n_kept,
-           cast(sum(case when keep then 0 else 1 end) as bigint) as n_dropped,
-           cast(sum(case when content <> content_scrubbed then 1 else 0 end) as bigint) as n_scrubbed,
-           cast(sum(octet_length(encode(content_scrubbed))) as bigint) as bytes_out,
-           cast(bit_xor(lsig) as bigint) as lineage_sig
-    from batched group by batch_id
+           cast(sum(_n) as bigint) as n_files,
+           cast(sum(_nk) as bigint) as n_kept,
+           cast(sum(_nd) as bigint) as n_dropped,
+           cast(sum(_ns) as bigint) as n_scrubbed,
+           cast(sum(_bo) as bigint) as bytes_out,
+           cast(count(*) as bigint) as n_distinct_keys,
+           cast(bit_xor({hash32_sql('repo', 'path', '"commit"', '_n', seed='lineage')}) as bigint) as lineage_sig
+    from per_key group by batch_id
     """,
 )
 def q_qf_metrics_batch(spark, sf_dir):

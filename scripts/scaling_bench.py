@@ -9,10 +9,10 @@ threads (N JVM task threads + N python workers), so 2/8 keeps both levels
 within the box's 32 hardware threads and out of the SMT-saturation region —
 the regime that actually models dedicated-core cluster executors.
 
-Efficiency = T_N / (4 · T_4N), best (min) of --runs repetitions per level:
-the sandbox's sporadic multi-second stalls are strictly additive noise, so
-the minimum is the least-contaminated estimate (same best-of-N convention
-as bench.py); all per-run times are reported for transparency.
+Efficiency = T_N / (4 · T_4N). The GATE metric is the **median** of --runs
+repetitions per level (ADVICE r2: min/min ratios are optimistically biased
+even under additive stall noise); best-of-N is reported alongside as a
+secondary diagnostic, and all per-run times are shown for transparency.
 
 Run:  python scripts/scaling_bench.py [--replicate 400] [--runs 3]
 """
@@ -88,9 +88,10 @@ def main() -> None:
     r_lo = run_level(lo, args.replicate, args.runs)
     r_hi = run_level(hi, args.replicate, args.runs)
     ratio = hi / lo
-    eff = r_lo["best_sec"] / (ratio * r_hi["best_sec"])
-    fps_lo = r_lo["files"] / r_lo["best_sec"]
-    fps_hi = r_hi["files"] / r_hi["best_sec"]
+    eff_median = r_lo["median_sec"] / (ratio * r_hi["median_sec"])
+    eff_best = r_lo["best_sec"] / (ratio * r_hi["best_sec"])
+    fps_lo = r_lo["files"] / r_lo["median_sec"]
+    fps_hi = r_hi["files"] / r_hi["median_sec"]
 
     lines = [
         "# BENCH — N → 4N scaling evidence (quality-filter pipeline)",
@@ -98,21 +99,23 @@ def main() -> None:
         f"Full north-rule pipeline (SQL metrics + keep/drop rules + regex scrub +"
         f" combined langid/perplexity/gzip scorer UDF) over {r_lo['files']:,} files"
         f" (sf0.1 corpus ×{args.replicate}), identical input and configs at both levels;"
-        f" best of {args.runs} runs per level (sandbox stalls are strictly additive"
-        " noise — identical ops sporadically take 2-3x; min is the least-contaminated"
-        " estimate, per-run times shown).",
+        f" {args.runs} runs per level. The gate metric is the MEDIAN per level"
+        " (min/min ratios are optimistically biased under the sandbox's additive"
+        " stall noise — ADVICE r2); best-of-N shown as a secondary diagnostic,"
+        " per-run times shown in full.",
         "",
         f"Levels: `local[{lo}]` (N) vs `local[{hi}]` (4N). A local[N] UDF stage uses"
         " ~2N hardware threads (JVM + python workers), so these levels keep both runs"
         " inside the box's physical capacity — the regime that models dedicated-core"
         " cluster executors.",
         "",
-        "| level | best sec | median sec | files/sec | per-run times |",
+        "| level | median sec | best sec | files/sec (median) | per-run times |",
         "|---|---|---|---|---|",
-        f"| local[{lo}] (N) | {r_lo['best_sec']} | {r_lo['median_sec']} | {fps_lo:,.0f} | {r_lo['times']} |",
-        f"| local[{hi}] (4N) | {r_hi['best_sec']} | {r_hi['median_sec']} | {fps_hi:,.0f} | {r_hi['times']} |",
+        f"| local[{lo}] (N) | {r_lo['median_sec']} | {r_lo['best_sec']} | {fps_lo:,.0f} | {r_lo['times']} |",
+        f"| local[{hi}] (4N) | {r_hi['median_sec']} | {r_hi['best_sec']} | {fps_hi:,.0f} | {r_hi['times']} |",
         "",
-        f"**Scaling efficiency = T_N / (4·T_4N) = {eff:.2f}** (gate: ≥ 0.8).",
+        f"**Scaling efficiency (median, the gate) = T_N / (4·T_4N) = {eff_median:.2f}**"
+        f" (gate: ≥ 0.8); best-of-{args.runs} diagnostic = {eff_best:.2f}.",
         f"Throughput ratio {fps_hi / fps_lo:.2f}× for 4× cores.",
         "",
         "Raw JSON:",

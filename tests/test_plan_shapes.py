@@ -105,6 +105,50 @@ def test_scorer_input_masking_survives_optimizer(spark):
     assert "CASE WHEN" in opt
 
 
+def test_grouped_kmv_has_no_window_funnel(spark):
+    """Grouped KMV must be the two-level mergeable agg (partial bottom-k per
+    (group, partition), merge ≤ k·parts rows) — NOT a row_number window that
+    routes a group's whole distinct set through one task (VERDICT r2 #2)."""
+    from datacurate4llms_spark.operators.sketches import kmv_distinct
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    df = kmv_distinct(docs, ["text"], k=16, group_by=["lang"])
+    plan = _plan(df)
+    assert "Window [" not in plan, "grouped KMV must not window per group"
+    # two agg levels over the partial bottom-k arrays, keyed by partition id
+    assert "_pid" in plan
+    assert plan.count("ObjectHashAggregate") >= 2
+
+
+def test_stratified_sample_is_salted_two_phase(spark):
+    """stratified_sample must bound every window: phase-1 windows partition
+    on (group, salt) so no task sees more than ~1/S of a stratum; the final
+    per-group window sees ≤ k·S survivor rows (VERDICT r2 #3)."""
+    from datacurate4llms_spark.operators.sketches import stratified_sample
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    df = stratified_sample(docs, ["doc_id"], ["lang"], 10)
+    plan = _plan(df)
+    assert plan.count("Window [") == 2, "expected salted + final window"
+    assert "_salt" in plan, "phase-1 window must partition on the salt"
+    # Spark's InferWindowGroupLimit must prune map-side BEFORE each exchange:
+    # with it, the shuffle carries <= k rows per (group[, salt]) per map task
+    assert plan.count("WindowGroupLimit") == 4, "partial+final group limits"
+
+
+def test_simhash_candidates_use_manku_block_keys(spark):
+    """simhash_near_pairs candidate join must key on the ~32-bit 3-block
+    concatenations (20 tables via explode), never the r2 16-bit chunks whose
+    bucket occupancy is n/2^16 (VERDICT r2 #1)."""
+    from datacurate4llms_spark.operators.dedup import simhash_near_pairs
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").limit(50)
+    plan = _plan(simhash_near_pairs(docs, content_col="text", id_col="doc_id"))
+    assert "tkey" in plan, "candidate join must use the block-combination key"
+    assert "Generate explode" in plan, "20 tables come from one explode"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """Two tables co-bucketed on the join key must join with ZERO shuffle:
     SortMergeJoin, no Exchange on either side (bucketing = the pre-paid

@@ -147,3 +147,24 @@ def test_real_fasttext_kenlm_seams(monkeypatch):
     ppl = C.perplexity_real("/m.arpa", ["one two three", ""])
     assert abs(ppl[0] - 10.0 ** 1.5) < 1e-9
     assert ppl[1] != ppl[1]  # NaN for empty
+
+
+def test_lineage_sig_detects_duplicated_keys(spark):
+    """The lineage signature must hash (key, per-key count), not a plain
+    XOR of hash32(key): double-ingesting a key would otherwise cancel to
+    the same sig as a batch missing both copies (ADVICE r2)."""
+    from pyspark.sql import functions as F
+
+    from datacurate4llms_spark.pipelines.metrics import curation_metrics
+
+    base = run_quality_filter(spark, SF_CORRECT).filter(F.col("doc_id") < 40)
+    clean = curation_metrics(base, num_batches=1).toPandas()
+    doubled = curation_metrics(
+        base.unionByName(base.limit(1)), num_batches=1
+    ).toPandas()
+    assert clean.loc[0, "lineage_sig"] != doubled.loc[0, "lineage_sig"]
+    assert clean.loc[0, "n_distinct_keys"] == doubled.loc[0, "n_distinct_keys"]
+    assert doubled.loc[0, "n_files"] == clean.loc[0, "n_files"] + 1
+    # same multiset twice → identical signature (partition-independent)
+    again = curation_metrics(base.repartition(7), num_batches=1).toPandas()
+    assert again.loc[0, "lineage_sig"] == clean.loc[0, "lineage_sig"]

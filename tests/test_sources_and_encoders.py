@@ -306,6 +306,11 @@ def test_generation_seam_e12(spark):
     icl = generate_instruction(icl=True, num_examples=2)
     assert "2 examples" in icl and "Examples:" in icl
     assert "1 example of" in generate_instruction(icl=True, num_examples=1)
+    # verbatim reference prompt contract (perform_inference.py:5-26):
+    # both ICL paragraphs the r2 draft dropped must be present
+    assert "Pay close attention to:" in icl
+    assert "Remember, while the examples are meant to guide you" in icl
+    assert "1. The format and organization of the responses" in icl
 
     msgs = build_messages("q?", "sys", [{"query": "a", "response": "b"}])
     assert [m["role"] for m in msgs] == ["system", "user", "assistant", "user"]
