@@ -60,6 +60,78 @@ def dup_line_frac(content: Column | str) -> Column:
     return (F.size(ls) - F.size(F.array_distinct(ls))).cast("double") / F.size(ls).cast("double")
 
 
+def dup_paragraph_frac(content: Column | str) -> Column:
+    """Gopher-style duplicate-paragraph fraction (Rae et al. 2021 §A1.1):
+    (n_paragraphs − n_distinct_paragraphs) / n_paragraphs over blank-line-
+    separated paragraphs; 0.0 when the document has no non-empty paragraph."""
+    ps = F.filter(F.split(_c(content), "\n\n"), lambda p: F.trim(p) != "")
+    n = F.size(ps)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        (n - F.size(F.array_distinct(ps))).cast("double") / n.cast("double")
+    )
+
+
+def dup_paragraph_frac_sql(content: str) -> str:
+    ps = f"list_filter(string_split({content}, chr(10) || chr(10)), p -> trim(p) <> '')"
+    return (
+        f"case when len({ps}) = 0 then 0.0 else "
+        f"cast(len({ps}) - len(list_distinct({ps})) as double) / cast(len({ps}) as double) end"
+    )
+
+
+def top_ngram_char_frac(content: Column | str, n: int = 2) -> Column:
+    """Gopher-style top-n-gram character fraction (Rae et al. 2021 §A1.1):
+    characters covered by occurrences of the document's most frequent word
+    n-gram, over total characters — count(top) · len(top) / len(content).
+    Pure higher-order-function SQL (no python): O(|grams|·|distinct|) per
+    row, bounded by document length, whole-stage-codegen eligible."""
+    c = _c(content)
+    toks = F.filter(F.split(c, r"\s+"), lambda t: t != "")
+    k = F.size(toks) - (n - 1)
+    grams = F.when(k >= 1, F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
+    )).otherwise(F.array().cast("array<string>"))
+    # max over grams g of count(g)·len(g), computed as ONE run-length pass
+    # over the sorted gram array (equal grams are adjacent after sort):
+    # O(g log g) vs the naive distinct×filter formulation's O(distinct·g)
+    # string comparisons, which is ~100x slower in interpreted HOF eval
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        best = F.greatest(acc["best"], run * F.length(x).cast("long"))
+        return F.struct(x.alias("prev"), run.alias("run"), best.alias("best"))
+
+    best_covered = F.aggregate(F.array_sort(grams), acc0, step, lambda a: a["best"])
+    return F.when(
+        (F.size(grams) < 1) | (F.length(c) <= 0), F.lit(0.0)
+    ).otherwise(best_covered.cast("double") / F.length(c).cast("double"))
+
+
+def top_ngram_char_frac_sql(content: str, n: int = 2) -> str:
+    toks = f"list_filter(string_split_regex({content}, '\\s+'), t -> t <> '')"
+    parts = " || ' ' || ".join(f"__t[i+{j}]" for j in range(n))
+    grams = (
+        f"(case when len({toks}) >= {n} then "
+        f"list_transform(range(1, len({toks}) - {n - 1} + 1), "
+        f"i -> ({parts.replace('__t', toks)})) "
+        f"else [] end)"
+    )
+    covered = (
+        f"list_transform(list_distinct({grams}), "
+        f"g -> len(list_filter({grams}, x -> x = g)) * length(g))"
+    )
+    return (
+        f"case when len({grams}) < 1 or length({content}) <= 0 then 0.0 else "
+        f"cast(list_max({covered}) as double) / cast(length({content}) as double) end"
+    )
+
+
 _ALNUM = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
 _LOWER_SPACE = "abcdefghijklmnopqrstuvwxyz "
 

@@ -96,22 +96,30 @@ def lsh_bucket_sql(emb: str, table: int, num_planes: int) -> str:
 
 def _with_buckets(df: DataFrame, id_alias: str, id_col: str, emb_col: str,
                   num_planes: int, num_tables: int) -> DataFrame:
-    """(table_no, bucket, id, emb) — one row per hash table (explode by L)."""
-    sig = df.select(
+    """(table_no, bucket, id, emb) — one row per hash table, via ONE explode
+    over a single scan. A per-table union would rescan the source and
+    recompute the num_planes hash-dot-products once per table (L× the
+    projection cost); explode evaluates all L bucket ids in one projection."""
+    return df.select(
         F.col(id_col).alias(id_alias),
         F.col(emb_col).alias(f"_{id_alias}_e"),
-        *[lsh_bucket(emb_col, t, num_planes).alias(f"_b{t}") for t in range(num_tables)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_no"),
+                        lsh_bucket(emb_col, t, num_planes).alias("bucket"),
+                    )
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("_tb"),
+    ).select(
+        F.col("_tb.table_no").alias("table_no"),
+        F.col("_tb.bucket").alias("bucket"),
+        id_alias,
+        f"_{id_alias}_e",
     )
-    parts = None
-    for t in range(num_tables):
-        p = sig.select(
-            F.lit(t).alias("table_no"),
-            F.col(f"_b{t}").alias("bucket"),
-            id_alias,
-            f"_{id_alias}_e",
-        )
-        parts = p if parts is None else parts.unionByName(p)
-    return parts
 
 
 def lsh_topk(

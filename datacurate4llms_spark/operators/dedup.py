@@ -187,13 +187,28 @@ def lsh_candidate_pairs(
     sigs = with_minhash(df.select(id_col, content_col), content_col, n).select(
         F.col(id_col).alias("_id"), *band_hashes()
     )
-    # unpivot bands → (band_no, band_hash, id); equi-join per bucket
-    bands = None
-    for b in range(NUM_BANDS):
-        part = sigs.select(
-            F.lit(b).alias("band_no"), F.col(f"band_{b}").alias("band_hash"), F.col("_id")
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # unpivot bands → (band_no, band_hash, id) via ONE explode: a per-band
+    # union would rescan the source and recompute the shingle → minhash
+    # pipeline once per band (B× the tokenization cost); explode computes
+    # every band hash in a single projection over one scan
+    bands = sigs.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_no"),
+                        F.col(f"band_{b}").alias("band_hash"),
+                    )
+                    for b in range(NUM_BANDS)
+                ]
+            )
+        ).alias("_bh"),
+    ).select(
+        F.col("_bh.band_no").alias("band_no"),
+        F.col("_bh.band_hash").alias("band_hash"),
+        "_id",
+    )
     left = bands.select("band_no", "band_hash", F.col("_id").alias("i"))
     right = bands.select("band_no", "band_hash", F.col("_id").alias("j"))
     return (
@@ -420,9 +435,15 @@ def duplicate_components(
     ``localCheckpoint`` truncates the iterative lineage (the standard Spark
     pattern for loops; on a cluster prefer reliable checkpointing).
     """
-    edges = pairs.select("i", "j").unionByName(
-        pairs.select(F.col("j").alias("i"), F.col("i").alias("j"))
-    ).distinct()
+    # checkpoint the edge table once: it is joined in EVERY round, and its
+    # lineage is typically the full minhash/LSH verify pipeline — without
+    # this, each iteration recomputes candidate generation + Jaccard verify
+    edges = (
+        pairs.select("i", "j")
+        .unionByName(pairs.select(F.col("j").alias("i"), F.col("i").alias("j")))
+        .distinct()
+        .localCheckpoint()
+    )
     labels = (
         edges.select(F.col("i").alias("node"))
         .distinct()

@@ -2,12 +2,17 @@
 
 Net-new vs the reference (text-only), required by a 100 TB training-data
 pipeline. The Spark-side plumbing — schema, partition-friendly batching,
-``mapInPandas`` UDF signatures, Arrow batch shapes — is real and tested; the
-codec step itself is STUBBED (this container ships no PIL/ffmpeg/soundfile):
-``decode_stub=True`` substitutes a deterministic fake decoder so the
-distributed path is exercised end to end, and ``decode_stub=False`` raises a
-clearly-marked NotImplementedError at the exact seam where the real library
-call goes (shipped to executors via --archives in production).
+``mapInPandas`` UDF signatures, Arrow batch shapes — is real and tested. The
+*pixel/sample decode* step is STUBBED (this container ships no
+PIL/ffmpeg/soundfile): ``decode_stub=True`` substitutes a deterministic fake
+decoder so the distributed path is exercised end to end, and
+``decode_stub=False`` raises a clearly-marked NotImplementedError at the
+exact seam where the real library call goes (shipped to executors via
+--archives in production). *Header metadata extraction* is NOT stubbed:
+``parse_media_meta``/``parse_headers`` read real PNG IHDR and RIFF/WAVE
+headers in pure python (no codec library needed), oracle-verified via the
+``mm_parsed_headers`` query over spec-conformant bytes built by
+``synthesize_real_media``.
 
 Media-table schema:
 
@@ -57,6 +62,138 @@ def synthesize_media(spark: SparkSession, sf_dir: str, limit: int = 200) -> Data
         F.encode(F.col("text"), "utf-8").alias("payload"),
         meta.alias("meta"),
     )
+
+
+def parse_media_meta(payload: bytes) -> dict:
+    """Stub-free container-header parse for formats whose metadata lives in
+    fixed headers — pure python, no codec library (VERDICT r2 #6):
+
+    - **PNG**: 8-byte signature, then the IHDR chunk at offset 8 carries
+      big-endian width/height (PNG spec §5.2/§11.2.2).
+    - **WAV**: RIFF/WAVE chunk walk; ``fmt `` carries the little-endian
+      sample rate + block align, ``data`` size / block align = sample frames
+      (RIFF spec; chunks are word-aligned).
+
+    Returns {width, height, sample_rate, n_frames, codec}; fields a format
+    doesn't carry are None, and unrecognized payloads get codec=None (the
+    deterministic-fake path still covers those).
+    """
+    none = {"width": None, "height": None, "sample_rate": None,
+            "n_frames": None, "codec": None}
+    if (
+        payload[:8] == b"\x89PNG\r\n\x1a\n"
+        and len(payload) >= 24
+        and payload[12:16] == b"IHDR"
+    ):
+        return {
+            "width": int.from_bytes(payload[16:20], "big"),
+            "height": int.from_bytes(payload[20:24], "big"),
+            "sample_rate": None, "n_frames": None, "codec": "png",
+        }
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        pos, rate, block_align, data_len = 12, None, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos:pos + 4]
+            size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+            body = payload[pos + 8:pos + 8 + size]
+            if cid == b"fmt " and len(body) >= 16:
+                rate = int.from_bytes(body[4:8], "little")
+                block_align = int.from_bytes(body[12:14], "little")
+            elif cid == b"data":
+                data_len = size
+            pos += 8 + size + (size & 1)
+        frames = data_len // block_align if data_len is not None and block_align else None
+        return {"width": None, "height": None, "sample_rate": rate,
+                "n_frames": frames, "codec": "wav"}
+    return dict(none)
+
+
+PARSED_META_SCHEMA = (
+    "media_id bigint, width int, height int, sample_rate int, "
+    "n_frames int, codec string"
+)
+
+
+def png_bytes(width: int, height: int) -> bytes:
+    """Minimal REAL PNG: signature + spec-conformant IHDR chunk (length,
+    type, 13-byte payload, CRC32). Enough for any header-reading tool."""
+    import struct
+    import zlib
+
+    data = struct.pack(">II", width, height) + bytes([8, 2, 0, 0, 0])
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + data
+        + struct.pack(">I", zlib.crc32(b"IHDR" + data))
+    )
+
+
+def wav_bytes(sample_rate: int, n_frames: int, channels: int = 1, bits: int = 16) -> bytes:
+    """Minimal REAL RIFF/WAVE file: fmt chunk (PCM) + silent data chunk."""
+    import struct
+
+    block_align = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, bits
+    )
+    data = b"\x00" * (n_frames * block_align)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synthesize_real_media(spark: SparkSession, sf_dir: str, limit: int = 200) -> DataFrame:
+    """Media table whose payloads are REAL container bytes (PNG/WAV built
+    from the spec, parameterized by doc_id so an arithmetic oracle can verify
+    the round-trip); video rows carry an unrecognized payload on purpose."""
+    d = (
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+        .filter(F.col("doc_id") < limit)
+        .select("doc_id")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            types, payloads = [], []
+            for i in ids:
+                m = int(i) % 3
+                if m == 0:
+                    types.append("image")
+                    payloads.append(png_bytes((int(i) % 16 + 1) * 64, (int(i) % 9 + 1) * 64))
+                elif m == 1:
+                    types.append("audio")
+                    payloads.append(wav_bytes(8000 + (int(i) % 8) * 1000, int(i) % 50 + 1))
+                else:
+                    types.append("video")
+                    payloads.append(f"raw:{int(i)}".encode("utf-8"))
+            yield pd.DataFrame(
+                {"media_id": ids, "media_type": types, "payload": payloads}
+            )
+
+    return d.mapInPandas(run, schema="media_id bigint, media_type string, payload binary")
+
+
+def parse_headers(media: DataFrame) -> DataFrame:
+    """Real (non-stub) metadata extraction over Arrow batches: one parsed
+    meta row per media row, straight from the payload bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [parse_media_meta(bytes(b)) for b in pdf["payload"]]
+            out = pd.DataFrame(metas)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            # pandas turns int-or-None into float; keep nullable ints for Arrow
+            for c in ("width", "height", "sample_rate", "n_frames"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return media.mapInPandas(run, schema=PARSED_META_SCHEMA)
 
 
 def _fake_decode_features(payload: bytes, dim: int = 8) -> list[float]:

@@ -116,11 +116,11 @@ def streaming_quality_filter(files_stream: DataFrame) -> DataFrame:
     return with_scrub(with_keep_decision(with_quality_metrics(files_stream)))
 
 
-def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
-                      output_mode: str = "append") -> list:
-    """Drain a stream with availableNow into memory and return the rows —
-    used by tests to assert stream-batch equivalence. Pass
-    ``output_mode='complete'`` for windowed aggregations."""
+def drain_available_now(stream_df: DataFrame, checkpoint_dir: str,
+                        output_mode: str = "append") -> DataFrame:
+    """Drain a stream with availableNow into a memory sink and return the
+    resulting (batch) DataFrame — the bridge that lets a stateful streaming
+    operator's final output table be driver/oracle-checked like any query."""
     import uuid
 
     name = f"mem_{uuid.uuid4().hex[:8]}"
@@ -133,4 +133,12 @@ def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
         .start()
     )
     q.awaitTermination()
-    return stream_df.sparkSession.sql(f"select * from {name}").collect()
+    return stream_df.sparkSession.sql(f"select * from {name}")
+
+
+def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
+                      output_mode: str = "append") -> list:
+    """Drain a stream with availableNow into memory and return the rows —
+    used by tests to assert stream-batch equivalence. Pass
+    ``output_mode='complete'`` for windowed aggregations."""
+    return drain_available_now(stream_df, checkpoint_dir, output_mode).collect()
