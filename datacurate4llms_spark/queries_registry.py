@@ -961,6 +961,37 @@ def q_simhash_pairs(spark, sf_dir):
     return DD.simhash_near_pairs(corpus, content_col="text", max_hamming=3)
 
 
+from .operators.decontamination import contaminated_docs_sql  # noqa: E402
+
+
+@_register(
+    "decon_overlap",
+    # train = dup corpus (originals + exact/near copies), eval = the %10==0
+    # originals → copies must surface with contamination_frac ≈ 1.0
+    contaminated_docs_sql(
+        _DUP_CORPUS_SQL,
+        "select doc_id, text from documents where doc_id % 10 = 0",
+        n=5,
+    ),
+)
+def q_decon_overlap(spark, sf_dir):
+    """Eval-set decontamination (operators/decontamination.contaminated_docs):
+    per train doc sharing ≥ 1 word 5-gram with the eval set, the count and
+    fraction of contaminated grams — broadcast hash join on exploded grams,
+    GPT-3 appendix-C style."""
+    from .operators.decontamination import contaminated_docs
+
+    train = _dup_corpus(spark, sf_dir)
+    ev = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", "text"
+    )
+    out = contaminated_docs(train, ev, n=5, content_col="text")
+    return out.select(
+        "doc_id", "n_contaminated_grams", "n_grams",
+        _r6(F.col("contamination_frac")).alias("contamination_frac"),
+    )
+
+
 @_register(
     "dedup_embedding_near",
     f"""

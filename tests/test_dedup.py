@@ -202,3 +202,35 @@ def test_embedding_lsh_subset_and_recall(spark):
         for r in embedding_near_dup_lsh(e, threshold=0.3, num_tables=12).collect()
     }
     assert lsh <= more_tables <= exact  # recall is monotone in L
+
+
+def test_decontaminate_drops_eval_overlap(spark):
+    """Eval-set decontamination: docs built FROM eval docs (exact + near
+    copies) must be flagged with high contamination fractions and dropped;
+    unrelated docs must survive untouched."""
+    from datacurate4llms_spark.operators.decontamination import (
+        contaminated_docs,
+        decontaminate,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    copies = ev.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    train = docs.filter(F.col("doc_id") % 10 != 0).unionByName(copies)
+
+    flagged = contaminated_docs(train, ev, n=5, content_col="text").toPandas()
+    copy_rows = flagged[flagged["doc_id"] >= 1000]
+    assert len(copy_rows) == 10  # every copy is caught
+    assert (copy_rows["contamination_frac"] == 1.0).all()
+
+    clean = decontaminate(train, ev, n=5, content_col="text")
+    kept = {r.doc_id for r in clean.select("doc_id").collect()}
+    assert not any(k >= 1000 for k in kept), "exact eval copies must be dropped"
+    # plan stays broadcast on both joins (eval side small by contract)
+    plan = clean._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
