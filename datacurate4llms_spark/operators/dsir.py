@@ -1,0 +1,223 @@
+"""DSIR-style data selection: hashed n-gram importance weights
+(Xie et al. 2023, "Data Selection for Language Models via Importance
+Resampling", arXiv:2302.03169). Net-new vs the reference — the standard
+target-distribution-matching selector in modern pretraining pipelines.
+
+Method: word {1,2}-grams hash into B buckets; the target (e.g. a
+high-quality/eval-domain sample) and the source corpus each induce a
+smoothed bucket distribution; a document's importance weight is
+
+    w(doc) = Σ_{g ∈ grams(doc)}  log p_target(b(g)) − log p_source(b(g))
+
+and selection takes the top-k by weight (the paper resamples ∝ exp(w);
+top-k is its deterministic mode — no RNG, oracle-reproducible).
+
+Spark-first shape, no driver-side model at any scale:
+
+- bucket distributions are two explode→groupBy counts; the bucket table has
+  exactly B rows (B=256 default) so the per-doc scoring join **broadcasts**
+  the log-ratio table — the 100 TB side streams explode → broadcast-hash-join
+  → partial sum, one pipelined stage, zero corpus shuffle beyond the final
+  per-doc aggregation of (doc_id, partial_sum) rows;
+- source counts at 100 TB come from the full corpus (one explode+agg pass,
+  map-side combine carries ≤ B rows per task) or any consistent sample;
+- grams/buckets use the cross-engine md5-hash32, so weights are bit-exact
+  in the DuckDB oracle;
+- top-k plans TakeOrderedAndProject (distributed partial top-k).
+
+Counts use gram MULTIPLICITY (DSIR models token frequencies) — unlike the
+distinct shingles of minhash dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash32, hash32_sql
+from ..functions.text import normalize_document, normalize_document_sql
+
+DEFAULT_BUCKETS = 256
+
+
+def word_ngrams(content: Column | str, max_n: int = 2) -> Column:
+    """All word {1..max_n}-grams of the normalized text, WITH multiplicity."""
+    c = F.col(content) if isinstance(content, str) else content
+    tokens = F.split(normalize_document(c), " ")
+
+    def grammer(n: int):
+        # closure factory, NOT a default-arg lambda: pyspark interprets a
+        # 2-param transform lambda as (element, index) — `n=n` would silently
+        # rebind n to the element index (CLAUDE.md hard-won constraint)
+        return lambda i: F.concat_ws(" ", *[F.get(tokens, i + j) for j in range(n)])
+
+    parts = []
+    for n in range(1, max_n + 1):
+        k = F.size(tokens) - (n - 1)
+        grams = F.transform(F.sequence(F.lit(0), k - 1), grammer(n))
+        parts.append(
+            F.when(k >= 1, grams).otherwise(F.array().cast("array<string>"))
+        )
+    return F.concat(*parts)
+
+
+def word_ngrams_sql(content: str, max_n: int = 2) -> str:
+    toks = f"string_split({normalize_document_sql(content)}, ' ')"
+    pieces = []
+    for n in range(1, max_n + 1):
+        expr = " || ' ' || ".join(f"__t[i+{j}]" for j in range(n))
+        pieces.append(
+            f"(case when len({toks}) >= {n} then "
+            f"list_transform(range(1, len({toks}) - {n - 1} + 1), "
+            f"i -> ({expr.replace('__t', toks)})) else [] end)"
+        )
+    return "list_concat(" + ", ".join(pieces) + ")" if len(pieces) > 1 else pieces[0]
+
+
+def _bucket(gram: Column, num_buckets: int) -> Column:
+    return F.pmod(hash32(gram, seed="dsir"), F.lit(num_buckets)).cast("int")
+
+
+def bucket_log_probs(
+    df: DataFrame,
+    content_col: str,
+    *,
+    num_buckets: int = DEFAULT_BUCKETS,
+    max_n: int = 2,
+    smoothing: float = 1.0,
+    prefix: str = "p",
+) -> DataFrame:
+    """(bucket, log_<prefix>) — smoothed log bucket distribution of the
+    corpus' hashed n-grams. Exactly ``num_buckets`` rows (zero-count buckets
+    get the smoothed floor), so downstream joins can always broadcast it."""
+    spark = df.sparkSession
+    counts = (
+        df.select(F.explode(word_ngrams(content_col, max_n)).alias("g"))
+        .select(_bucket(F.col("g"), num_buckets).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("double").alias("_c"))
+    )
+    full = (
+        spark.range(num_buckets)
+        .select(F.col("id").cast("int").alias("bucket"))
+        .join(counts, "bucket", "left")
+        .select("bucket", F.coalesce(F.col("_c"), F.lit(0.0)).alias("_c"))
+    )
+    total = full.agg(
+        (F.sum("_c") + F.lit(float(smoothing * num_buckets))).alias("_t")
+    )
+    return full.crossJoin(F.broadcast(total)).select(
+        "bucket",
+        F.log((F.col("_c") + F.lit(float(smoothing))) / F.col("_t")).alias(
+            f"log_{prefix}"
+        ),
+    )
+
+
+def importance_weights(
+    source: DataFrame,
+    target: DataFrame,
+    *,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = DEFAULT_BUCKETS,
+    max_n: int = 2,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """(doc_id, n_grams, weight) per source doc: Σ log p_t(b) − log p_s(b)
+    over the doc's hashed n-grams (multiplicity counted). The log-ratio
+    table is B rows → broadcast; the source side never shuffles its grams."""
+    p_t = bucket_log_probs(
+        target, content_col, num_buckets=num_buckets, max_n=max_n,
+        smoothing=smoothing, prefix="t",
+    )
+    p_s = bucket_log_probs(
+        source, content_col, num_buckets=num_buckets, max_n=max_n,
+        smoothing=smoothing, prefix="s",
+    )
+    ratio = p_t.join(p_s, "bucket").select(
+        "bucket", (F.col("log_t") - F.col("log_s")).alias("log_ratio")
+    )
+    doc_grams = source.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(content_col, max_n)).alias("g"),
+    ).select("doc_id", _bucket(F.col("g"), num_buckets).alias("bucket"))
+    return (
+        doc_grams.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum("log_ratio").alias("weight"),
+        )
+    )
+
+
+def dsir_select(
+    source: DataFrame,
+    target: DataFrame,
+    k: int,
+    *,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = DEFAULT_BUCKETS,
+    max_n: int = 2,
+) -> DataFrame:
+    """Top-k source docs by importance weight (deterministic DSIR mode);
+    ties break on doc_id asc. Plans TakeOrderedAndProject."""
+    w = importance_weights(
+        source, target, content_col=content_col, id_col=id_col,
+        num_buckets=num_buckets, max_n=max_n,
+    )
+    return w.orderBy(F.desc("weight"), F.asc("doc_id")).limit(k)
+
+
+def importance_weights_sql(
+    source_sql: str,
+    target_sql: str,
+    *,
+    num_buckets: int = DEFAULT_BUCKETS,
+    max_n: int = 2,
+    smoothing: float = 1.0,
+) -> str:
+    """DuckDB twin of :func:`importance_weights`. Inputs expose
+    (doc_id, text); float convention: caller rounds the weight."""
+    b = f"cast({hash32_sql('g', seed='dsir')} % {num_buckets} as int)"
+    return f"""
+    with src as materialized (
+      select doc_id, {word_ngrams_sql('text', max_n)} as grams from ({source_sql})
+    ),
+    tgt as materialized (
+      select {word_ngrams_sql('text', max_n)} as grams from ({target_sql})
+    ),
+    sg as materialized (
+      select doc_id, {b} as bucket from (select doc_id, unnest(grams) as g from src)
+    ),
+    tg as materialized (
+      select {b} as bucket from (select unnest(grams) as g from tgt)
+    ),
+    buckets as (select cast(range as int) as bucket from range({num_buckets})),
+    cs as (
+      select b.bucket, cast(coalesce(c._c, 0) as double) as _c
+      from buckets b left join (select bucket, count(*) as _c from sg group by bucket) c
+        using (bucket)
+    ),
+    ct as (
+      select b.bucket, cast(coalesce(c._c, 0) as double) as _c
+      from buckets b left join (select bucket, count(*) as _c from tg group by bucket) c
+        using (bucket)
+    ),
+    ratio as (
+      select cs.bucket,
+             ln((ct._c + {float(smoothing)}) /
+                ((select sum(_c) from ct) + {float(smoothing * num_buckets)}))
+           - ln((cs._c + {float(smoothing)}) /
+                ((select sum(_c) from cs) + {float(smoothing * num_buckets)}))
+             as log_ratio
+      from cs join ct using (bucket)
+    )
+    select sg.doc_id,
+           cast(count(*) as bigint) as n_grams,
+           sum(log_ratio) as weight
+    from sg join ratio using (bucket)
+    group by sg.doc_id
+    """

@@ -962,6 +962,58 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 from .operators.decontamination import contaminated_docs_sql  # noqa: E402
+from .operators.dsir import importance_weights_sql  # noqa: E402
+
+_DSIR_SRC_SQL = "select doc_id, text from documents"
+_DSIR_TGT_SQL = "select doc_id, text from documents where lang = 'en' and doc_id < 200"
+
+
+@_register(
+    "dsir_weights",
+    "select doc_id, n_grams, round(cast(weight as double), 6) as weight from ("
+    + importance_weights_sql(_DSIR_SRC_SQL, _DSIR_TGT_SQL)
+    + ")",
+)
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators/dsir.importance_weights; Xie et al.
+    2023): hashed {1,2}-gram log-ratio of an English target sample vs the
+    full corpus, summed per doc via a broadcast join on the 256-bucket
+    log-ratio table."""
+    from .operators import dsir as DSIR
+
+    src = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tgt = (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("lang") == "en") & (F.col("doc_id") < 200))
+        .select("doc_id", "text")
+    )
+    w = DSIR.importance_weights(src, tgt)
+    return w.select("doc_id", "n_grams", _r6(F.col("weight")).alias("weight"))
+
+
+@_register(
+    "dsir_topk",
+    # ranking compares ROUNDED weights (ties → doc_id asc) so the selected
+    # set is engine-stable at the float convention's precision
+    "select doc_id, round(cast(weight as double), 6) as weight from ("
+    + importance_weights_sql(_DSIR_SRC_SQL, _DSIR_TGT_SQL)
+    + ") order by round(cast(weight as double), 6) desc, doc_id asc limit 50",
+)
+def q_dsir_topk(spark, sf_dir):
+    """Deterministic DSIR selection: top-50 docs by (rounded) importance
+    weight — TakeOrderedAndProject, the distributed partial top-k."""
+    from .operators import dsir as DSIR
+
+    src = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tgt = (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("lang") == "en") & (F.col("doc_id") < 200))
+        .select("doc_id", "text")
+    )
+    w = DSIR.importance_weights(src, tgt).select(
+        "doc_id", _r6(F.col("weight")).alias("weight")
+    )
+    return w.orderBy(F.desc("weight"), F.asc("doc_id")).limit(50)
 
 
 @_register(

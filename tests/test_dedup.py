@@ -234,3 +234,29 @@ def test_decontaminate_drops_eval_overlap(spark):
     plan = clean._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_weights_favor_target_language(spark):
+    """DSIR sanity (Xie et al. 2023): with an English target sample, English
+    source docs must receive systematically higher importance weights than
+    non-English docs, and the deterministic top-k must be English-dominated."""
+    from datacurate4llms_spark.operators.dsir import dsir_select, importance_weights
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    src = docs.select("doc_id", "text", "lang")
+    tgt = docs.filter((F.col("lang") == "en") & (F.col("doc_id") < 200)).select(
+        "doc_id", "text"
+    )
+    w = importance_weights(src.select("doc_id", "text"), tgt).join(
+        src.select("doc_id", "lang"), "doc_id"
+    ).toPandas()
+    by_lang = w.groupby("lang")["weight"].mean()
+    assert by_lang["en"] > by_lang.drop("en").max(), by_lang.to_dict()
+
+    top = dsir_select(src.select("doc_id", "text"), tgt, k=50).join(
+        src.select("doc_id", "lang"), "doc_id"
+    ).toPandas()
+    assert (top["lang"] == "en").mean() >= 0.8, top["lang"].value_counts().to_dict()
+    # top-k is the distributed partial top-k, not a global sort
+    plan = dsir_select(src.select("doc_id", "text"), tgt, k=50)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
