@@ -130,6 +130,47 @@ def bottom_k_sample(
     return df.orderBy(h.asc(), *[F.col(c) for c in key_cols]).limit(k)
 
 
+def temperature_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    group_by: list[str],
+    *,
+    alpha: float = 0.5,
+    target_total: int,
+    seed: str = "temp",
+) -> DataFrame:
+    """Temperature-based multi-source sampling (the mT5/XLM-R corpus-mixing
+    rule: sample source g with probability ∝ n_g^α, α<1 up-weights small
+    sources). Deterministic: per-group keep rate
+    r_g = min(1, target_total·n_g^α / Σ n^α / n_g), row kept when
+    hash32(key)/2^32 < r_g — no RNG, so the sample is reproducible and
+    oracle-checkable, and consistent across runs/engines.
+
+    Plan: one tiny count aggregation per group (map-side combine carries ≤
+    |groups| rows per task), rates broadcast back, filter — the corpus side
+    never shuffles."""
+    counts = df.groupBy(*group_by).agg(F.count("*").cast("double").alias("_n"))
+    tot = counts.agg(
+        F.sum(F.pow(F.col("_n"), F.lit(float(alpha)))).alias("_sw")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        *group_by,
+        F.least(
+            F.lit(1.0),
+            F.lit(float(target_total))
+            * F.pow(F.col("_n"), F.lit(float(alpha)))
+            / F.col("_sw")
+            / F.col("_n"),
+        ).alias("_rate"),
+    )
+    u = hash32(*key_cols, seed=seed).cast("double") / F.lit(float(HASH32_MOD))
+    return (
+        df.join(F.broadcast(rates), group_by)
+        .filter(u < F.col("_rate"))
+        .drop("_rate")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     key_cols: list[str],

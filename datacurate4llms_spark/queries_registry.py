@@ -1192,9 +1192,7 @@ def q_ev_window(spark, sf_dir):
     )
 
 
-@_register(
-    "ev_sessionization",
-    """
+_EV_SESSION_SQL = """
     with gaps as (
       select user_id, ts, event_id,
              case when epoch(ts) - epoch(lag(ts) over (partition by user_id order by ts, event_id))
@@ -1211,8 +1209,10 @@ def q_ev_window(spark, sf_dir):
     select user_id, cast(session_id as bigint) as session_id,
            cast(count(*) as bigint) as n_events
     from sess group by user_id, session_id
-    """,
-)
+    """
+
+
+@_register("ev_sessionization", _EV_SESSION_SQL)
 def q_ev_sessions(spark, sf_dir):
     from pyspark.sql.window import Window as W
 
@@ -1300,6 +1300,58 @@ def q_stream_dedup_state(spark, sf_dir):
         output_mode="update",
     )
     return out.select("content_hash", "doc_id")
+
+
+@_register(
+    "stream_sessionization_state",
+    # identical oracle to the batch twin: the stateful streaming sessionizer,
+    # drained with availableNow over two time-ordered micro-batches, must
+    # converge to exactly the batch session table — including sessions that
+    # SPAN the micro-batch boundary (state carries last_ts + open session)
+    _EV_SESSION_SQL,
+)
+def q_stream_sessionization_state(spark, sf_dir):
+    """Cross-micro-batch stateful sessionization
+    (streaming/events.streaming_sessionization, applyInPandasWithState):
+    events split into two micro-batches at the median timestamp (time-ordered
+    via file mtimes + maxFilesPerTrigger=1); emissions carry cumulative
+    per-session counts, so the final table is max(n_events) per session."""
+    import glob
+    import os
+    import tempfile
+    import time
+
+    from .streaming.events import (
+        EVENTS_SCHEMA,
+        drain_available_now,
+        streaming_sessionization,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_sessions_")
+    ev = _t(spark, sf_dir, "events")
+    # TIMESTAMP_NTZ needs the timestamp hop before double (same as the
+    # batch twin's fractional-epoch math)
+    ts_sec = F.col("ts").cast("timestamp").cast("double")
+    split_ts = ev.agg(
+        F.expr("percentile(cast(cast(ts as timestamp) as double), 0.5)").alias("m")
+    ).collect()[0]["m"]
+    ev.filter(ts_sec <= split_ts).coalesce(1).write.parquet(f"{base}/src/b1")
+    ev.filter(ts_sec > split_ts).coalesce(1).write.parquet(f"{base}/src/b2")
+    now = time.time()
+    for off, sub in ((100.0, "b1"), (50.0, "b2")):
+        for p in glob.glob(f"{base}/src/{sub}/*.parquet"):
+            os.utime(p, (now - off, now - off))
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src/*")
+    )
+    out = drain_available_now(
+        streaming_sessionization(stream), f"{base}/ck", output_mode="update"
+    )
+    return out.groupBy("user_id", "session_id").agg(
+        F.max("n_events").cast("bigint").alias("n_events")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1999,6 +2051,45 @@ def q_stratified(spark, sf_dir):
     (operators/sketches.stratified_sample)."""
     d = _t(spark, sf_dir, "documents")
     return SK.stratified_sample(d, ["doc_id"], ["lang"], 10).select("doc_id", "lang")
+
+
+@_register(
+    "sketch_temperature_sample",
+    f"""
+    with counts as (
+      select lang, cast(count(*) as double) as _n from documents group by lang
+    ),
+    tot as (select sum(pow(_n, 0.5)) as _sw from counts),
+    rates as (
+      select lang, _n,
+             least(1.0, 200.0 * pow(_n, 0.5) / (select _sw from tot) / _n) as _rate
+      from counts
+    ),
+    kept as (
+      select d.lang from documents d join rates r using (lang)
+      where cast({hash32_sql('doc_id', seed='temp')} as double) / 4294967296.0 < r._rate
+    )
+    select c.lang, cast(c._n as bigint) as n_total,
+           cast(coalesce(k._nk, 0) as bigint) as n_kept
+    from counts c
+    left join (select lang, count(*) as _nk from kept group by lang) k using (lang)
+    """,
+)
+def q_temperature_sample(spark, sf_dir):
+    """Temperature-based source mixing (operators/sketches.temperature_sample,
+    the mT5/XLM-R ∝n^α rule, α=0.5): per-language totals vs deterministically
+    sampled counts — small languages keep a larger fraction."""
+    d = _t(spark, sf_dir, "documents")
+    kept = SK.temperature_sample(
+        d, ["doc_id"], ["lang"], alpha=0.5, target_total=200
+    )
+    totals = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_total"))
+    k = kept.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_kept"))
+    return totals.join(k, "lang", "left").select(
+        "lang",
+        "n_total",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+    )
 
 
 @_register(

@@ -152,3 +152,32 @@ def test_bottom_k_sample_consistent_across_tables(spark):
     sa = {r.k for r in bottom_k_sample(a, ["k"], 50).collect()}
     sb = {r.k for r in bottom_k_sample(b, ["k"], 50).collect()}
     assert sa == sb and len(sa) == 50
+
+
+def test_temperature_sample_upweights_small_sources(spark):
+    """mT5-style ∝n^α mixing (operators/sketches.temperature_sample): with
+    α<1 the keep RATE of a small source exceeds a large one's; α=1 keeps
+    rates ~equal (proportional); the sample is deterministic across runs."""
+    from datacurate4llms_spark.operators.sketches import temperature_sample
+
+    big = spark.range(2000).selectExpr("id as doc_id", "'big' as src")
+    small = spark.range(2100, 2200).selectExpr("id as doc_id", "'small' as src")
+    d = big.unionByName(small)
+
+    kept = temperature_sample(
+        d, ["doc_id"], ["src"], alpha=0.3, target_total=300
+    ).groupBy("src").count().toPandas().set_index("src")["count"]
+    rate_small = kept.get("small", 0) / 100
+    rate_big = kept.get("big", 0) / 2000
+    assert rate_small > 2 * rate_big, (rate_small, rate_big)
+
+    k1 = temperature_sample(d, ["doc_id"], ["src"], alpha=1.0, target_total=300)
+    r1 = k1.groupBy("src").count().toPandas().set_index("src")["count"]
+    assert abs(r1["small"] / 100 - r1["big"] / 2000) < 0.08  # ∝ n at α=1
+
+    again = temperature_sample(
+        d.repartition(13), ["doc_id"], ["src"], alpha=0.3, target_total=300
+    )
+    s1 = {r.doc_id for r in temperature_sample(d, ["doc_id"], ["src"], alpha=0.3, target_total=300).collect()}
+    s2 = {r.doc_id for r in again.collect()}
+    assert s1 == s2  # partition-invariant, no RNG
