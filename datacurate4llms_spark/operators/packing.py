@@ -1,0 +1,90 @@
+"""Sequence packing: assign documents to fixed-capacity token streams
+(the GPT-style "concatenate and chunk every C tokens" pretraining step).
+Net-new vs the reference — the last mile between a curated corpus and a
+training dataloader.
+
+Semantics (deterministic, RNG-free, oracle-checkable): documents are
+ordered by (hash32(key), key) inside hash shards and concatenated; a doc
+starting at running token offset s belongs to sequence floor(s / C) of its
+shard, at start offset s mod C. Documents may straddle a sequence boundary —
+exactly how packed-token pretraining streams are cut.
+
+Scale shape: a running sum is inherently sequential, so parallelism comes
+from sharding — each shard is an independent packing domain handled by one
+window task (cost: at most one partial sequence of waste per shard). Size
+``num_shards`` to the cluster (tasks of ~10^6 docs each at 100 TB); the
+shard hash is uniform by construction so shards balance. The window's
+cumulative frame is computed in one streaming pass per shard — no
+WindowGroupLimit applies, which is why sharding IS the scale knob here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.hashing import hash32, hash32_sql
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    *,
+    capacity: int,
+    key_cols: list[str],
+    num_shards: int = 32,
+    seed: str = "pack",
+) -> DataFrame:
+    """Adds (shard, seq_id, start_offset) per row: the packed stream
+    position of each document under concatenate-and-chunk packing."""
+    h = hash32(*key_cols, seed=seed)
+    shard = F.pmod(h, F.lit(num_shards)).cast("int")
+    out = df.withColumn("_h", h).withColumn("shard", shard)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("_h").asc(), *[F.col(c) for c in key_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0)).cast("bigint")
+    return (
+        out.withColumn("_start", start)
+        .withColumn("seq_id", F.floor(F.col("_start") / capacity).cast("bigint"))
+        .withColumn("start_offset", F.pmod(F.col("_start"), F.lit(capacity)).cast("bigint"))
+        .drop("_h", "_start")
+    )
+
+
+def pack_sequences_sql(
+    from_sql: str,
+    token_expr: str,
+    key_exprs: list[str],
+    *,
+    capacity: int,
+    num_shards: int = 32,
+    seed: str = "pack",
+) -> str:
+    """DuckDB twin of :func:`pack_sequences` — identical hash order and
+    running-offset arithmetic. ``from_sql`` must expose the key columns."""
+    h = hash32_sql(*key_exprs, seed=seed)
+    keys = ", ".join(key_exprs)
+    return f"""
+    with base as (
+      select *, {h} as _h,
+             cast({h} % {num_shards} as int) as shard,
+             ({token_expr}) as _tok
+      from ({from_sql})
+    ),
+    placed as (
+      select *,
+             cast(coalesce(sum(_tok) over (partition by shard
+                    order by _h asc, {keys}
+                    rows between unbounded preceding and 1 preceding), 0)
+                  as bigint) as _start
+      from base
+    )
+    select * exclude (_h, _tok, _start),
+           cast(floor(_start / {capacity}) as bigint) as seq_id,
+           cast(_start % {capacity} as bigint) as start_offset
+    from placed
+    """

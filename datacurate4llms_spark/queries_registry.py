@@ -2092,6 +2092,36 @@ def q_temperature_sample(spark, sf_dir):
     )
 
 
+from .operators.packing import pack_sequences_sql  # noqa: E402
+
+
+@_register(
+    "pack_sequences_docs",
+    "select doc_id, shard, seq_id, start_offset, n_tokens from ("
+    + pack_sequences_sql(
+        f"select doc_id, text, {TS.token_count_ws_sql('text')} as n_tokens from documents",
+        "n_tokens",
+        ["doc_id"],
+        capacity=512,
+        num_shards=8,
+    )
+    + ")",
+)
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing (operators/packing.pack_sequences):
+    concatenate-and-chunk docs into 512-token streams across 8 hash shards;
+    every doc's (shard, seq_id, start_offset) is deterministic."""
+    from .operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", TS.token_count_ws(F.col("text")).alias("n_tokens")
+    )
+    out = pack_sequences(
+        d, "n_tokens", capacity=512, key_cols=["doc_id"], num_shards=8
+    )
+    return out.select("doc_id", "shard", "seq_id", "start_offset", "n_tokens")
+
+
 @_register(
     "rel_percentiles",
     """

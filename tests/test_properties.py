@@ -181,3 +181,35 @@ def test_temperature_sample_upweights_small_sources(spark):
     s1 = {r.doc_id for r in temperature_sample(d, ["doc_id"], ["src"], alpha=0.3, target_total=300).collect()}
     s2 = {r.doc_id for r in again.collect()}
     assert s1 == s2  # partition-invariant, no RNG
+
+
+def test_pack_sequences_contiguous_and_partition_invariant(spark):
+    """Concatenate-and-chunk packing (operators/packing): per shard, every
+    doc starts exactly where the previous one ended (zero waste inside the
+    stream), seq_id/start_offset are floor/mod of the running offset, and
+    the assignment is independent of input partitioning."""
+    from datacurate4llms_spark.functions.hashing import hash32
+    from datacurate4llms_spark.operators.packing import pack_sequences
+
+    d = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("doc_id", F.expr("size(split(trim(text), '\\\\s+'))").alias("n_tokens"))
+    )
+    out = pack_sequences(
+        d, "n_tokens", capacity=128, key_cols=["doc_id"], num_shards=4
+    ).withColumn("_h", hash32("doc_id", seed="pack")).toPandas()
+
+    for shard, g in out.groupby("shard"):
+        g = g.sort_values(["_h", "doc_id"]).reset_index(drop=True)
+        running = 0
+        for _, r in g.iterrows():
+            assert r["seq_id"] == running // 128
+            assert r["start_offset"] == running % 128
+            running += r["n_tokens"]
+
+    again = pack_sequences(
+        d.repartition(11), "n_tokens", capacity=128, key_cols=["doc_id"], num_shards=4
+    ).toPandas()
+    a = out.drop(columns="_h").sort_values("doc_id").reset_index(drop=True)
+    b = again.sort_values("doc_id").reset_index(drop=True)[a.columns]
+    assert a.equals(b)
