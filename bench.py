@@ -76,8 +76,13 @@ def main() -> None:
     ensure_workers_can_import(spark)
 
     # this sandbox shows sporadic multi-second whole-machine stalls (see
-    # PLANS.md §4.7); best-of-N per query rejects them
-    REPS = int(os.environ.get("BENCH_REPS", "3"))
+    # PLANS.md §4.7) that can last tens of seconds — long enough to swallow
+    # back-to-back reps of one query. Defense: best-of-REPS per query per
+    # pass, AND the whole suite runs SUITE_PASSES times with the min taken
+    # across passes, so a stall window has to cover two temporally-separated
+    # executions of the same query to contaminate its number.
+    REPS = int(os.environ.get("BENCH_REPS", "2"))
+    SUITE_PASSES = int(os.environ.get("BENCH_SUITE_PASSES", "2"))
     timings: dict[str, float] = {}
     n_files = 0
 
@@ -89,7 +94,8 @@ def main() -> None:
             result = fn()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+        if name not in timings or best < timings[name]:
+            timings[name] = round(best, 3)
         if name == "qf_pipeline":
             n_files = result
 
@@ -157,12 +163,13 @@ def main() -> None:
             .count()
         )
 
-    timed("qf_pipeline", run_qf)
-    timed("selection", run_selection)
-    timed("knn_topk", run_knn)
-    timed("dedup_exact", run_dedup)
-    timed("tpch_q1", run_q1)
-    timed("tpch_q3", run_q3)
+    for _ in range(SUITE_PASSES):
+        timed("qf_pipeline", run_qf)
+        timed("selection", run_selection)
+        timed("knn_topk", run_knn)
+        timed("dedup_exact", run_dedup)
+        timed("tpch_q1", run_q1)
+        timed("tpch_q3", run_q3)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
