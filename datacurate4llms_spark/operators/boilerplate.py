@@ -1,0 +1,120 @@
+"""Cross-document boilerplate line removal (the CCNet / RefinedWeb move:
+lines repeated across many documents — headers, license banners, nav chrome,
+auto-generated markers — are template noise, not content). Net-new vs the
+reference; complements the WITHIN-document repetition rule
+(`functions/quality.dup_line_frac`).
+
+Spark-first shape:
+
+- **detect**: per-doc distinct lines (array_distinct before the explode, so
+  a line repeated inside one doc counts once) → groupBy(line) count — one
+  shuffle whose map-side partial counts reduce each line to one row per
+  task; at 100 TB this is exact-dedup-on-lines, the same safe shape.
+- **strip**: posexplode(lines) → broadcast LEFT ANTI against the (small,
+  τ-thresholded) boilerplate set → regroup by doc, order restored by
+  sorting (pos, line) structs. The regroup is the honest cost of rewriting
+  documents line-by-line; content bytes shuffle once.
+
+Both halves are oracle-checked (`boilerplate_lines`, `boilerplate_strip`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    min_docs: int = 10,
+) -> DataFrame:
+    """(line, n_docs) for non-blank lines appearing in ≥ min_docs distinct
+    documents."""
+    lines = df.select(
+        F.explode(
+            F.array_distinct(F.split(F.col(content_col), "\n"))
+        ).alias("line")
+    ).filter(F.trim(F.col("line")) != "")
+    return (
+        lines.groupBy("line")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    boilerplate: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """df with ``<content_col>_clean``: content minus boilerplate lines,
+    original line order preserved; empty string when every line is
+    boilerplate. ``boilerplate`` needs a ``line`` column (small by contract
+    → broadcast anti join)."""
+    pos = df.select(
+        F.col(id_col).alias("_bid"),
+        F.posexplode(F.split(F.col(content_col), "\n")).alias("pos", "line"),
+    )
+    kept = pos.join(F.broadcast(boilerplate.select("line")), "line", "left_anti")
+    rebuilt = kept.groupBy("_bid").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("_clean")
+    )
+    return (
+        df.join(rebuilt, df[id_col] == rebuilt["_bid"], "left")
+        .drop("_bid")
+        .withColumn(
+            f"{content_col}_clean", F.coalesce(F.col("_clean"), F.lit(""))
+        )
+        .drop("_clean")
+    )
+
+
+def boilerplate_lines_sql(from_sql: str, *, min_docs: int = 10) -> str:
+    """DuckDB twin of :func:`boilerplate_lines`; input exposes (content)."""
+    return f"""
+    with docs as materialized (
+      select string_split(content, chr(10)) as ls from ({from_sql})
+    ),
+    lines as (
+      select unnest(list_distinct(ls)) as line from docs
+    )
+    select line, cast(count(*) as bigint) as n_docs
+    from lines where trim(line) <> ''
+    group by line having count(*) >= {min_docs}
+    """
+
+
+def strip_boilerplate_sql(from_sql: str, *, min_docs: int = 10) -> str:
+    """DuckDB twin of detect+strip composed; input exposes (doc_id, content).
+    Returns (doc_id, content_clean)."""
+    return f"""
+    with base as materialized (
+      select doc_id, string_split(content, chr(10)) as ls from ({from_sql})
+    ),
+    bl as materialized (
+      select line from (
+        select unnest(list_distinct(ls)) as line from base
+      ) t where trim(line) <> ''
+      group by line having count(*) >= {min_docs}
+    ),
+    pos as (
+      select doc_id, unnest(ls) as line, generate_subscripts(ls, 1) as pos
+      from base
+    ),
+    rebuilt as (
+      select doc_id, string_agg(line, chr(10) order by pos) as content_clean
+      from pos where line not in (select line from bl)
+      group by doc_id
+    )
+    select b.doc_id, coalesce(r.content_clean, '') as content_clean
+    from base b left join rebuilt r using (doc_id)
+    """

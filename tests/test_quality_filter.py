@@ -168,3 +168,34 @@ def test_lineage_sig_detects_duplicated_keys(spark):
     # same multiset twice → identical signature (partition-independent)
     again = curation_metrics(base.repartition(7), num_batches=1).toPandas()
     assert again.loc[0, "lineage_sig"] == clean.loc[0, "lineage_sig"]
+
+
+def test_boilerplate_detect_and_strip(spark):
+    """Cross-document boilerplate (operators/boilerplate): the injected
+    auto-generated marker (8x per MOD_BOILER doc, across ~1/17 of docs) must
+    be detected from doc frequency and stripped everywhere; per-doc repeats
+    count once toward doc frequency; non-boilerplate content is untouched."""
+    from pyspark.sql import functions as F
+
+    from datacurate4llms_spark.operators.boilerplate import (
+        boilerplate_lines,
+        strip_boilerplate,
+    )
+
+    corpus = source_files(spark, SF_CORRECT)
+    bl = boilerplate_lines(corpus, min_docs=10).toPandas()
+    assert "# auto-generated boilerplate" in set(bl["line"])
+    marker = bl[bl["line"] == "# auto-generated boilerplate"].iloc[0]
+    n_boiler_docs = corpus.filter(F.col("doc_id") % 17 == 0).count()
+    assert marker["n_docs"] == n_boiler_docs  # per-doc repeats count once
+
+    cleaned = strip_boilerplate(
+        corpus, boilerplate_lines(corpus, min_docs=10)
+    ).select("doc_id", "content", "content_clean").toPandas()
+    assert not cleaned["content_clean"].str.contains(
+        "auto-generated boilerplate", regex=False
+    ).any()
+    untouched = cleaned[~cleaned["content"].str.contains("\n", regex=False)]
+    # single-line docs with unique content come through identical
+    uniq = untouched[~untouched["content"].duplicated(keep=False)]
+    assert (uniq["content"] == uniq["content_clean"]).all()
