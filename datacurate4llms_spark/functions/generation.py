@@ -108,14 +108,24 @@ def generate_texts_real(model_name: str, prompts: list[str], *,
     # reference defaults verbatim (perform_inference.py:86-93): without
     # max_length, transformers falls back to GenerationConfig max_length=20
     # (prompt included) and truncates every non-trivial continuation.
+    # Documented deviations from verbatim: (1) tokenizers without a
+    # configured limit report the VERY_LARGE_INTEGER sentinel (~1e30) as
+    # model_max_length — passing that through means generation only stops on
+    # EOS (hang/OOM on a model that never emits it), so the sentinel falls
+    # back to max_new_tokens=512; (2) sampling (do_sample=True, reference
+    # default) is inherently nondeterministic — pass do_sample=False via
+    # gen_kwargs when reproducibility matters.
     defaults = dict(
-        max_length=tokenizer.model_max_length,
         pad_token_id=tokenizer.pad_token_id,
         do_sample=True,
         top_k=100,
         top_p=0.7,
         temperature=0.8,
     )
+    if tokenizer.model_max_length and tokenizer.model_max_length < 1_000_000_000:
+        defaults["max_length"] = tokenizer.model_max_length
+    else:
+        defaults["max_new_tokens"] = 512
     defaults.update(gen_kwargs)
     for i in range(0, len(rendered), batch_size):
         enc = tokenizer(rendered[i:i + batch_size], padding=True,

@@ -71,11 +71,21 @@ def dup_paragraph_frac(content: Column | str) -> Column:
     )
 
 
-def dup_paragraph_frac_sql(content: str) -> str:
-    ps = f"list_filter(string_split({content}, chr(10) || chr(10)), p -> trim(p) <> '')"
+def paragraphs_sql(content: str) -> str:
+    """DuckDB expression for the non-empty paragraph list (materialize it as
+    a CTE column before feeding :func:`dup_paragraph_frac_sql` — DuckDB
+    lambda bodies re-expand inlined expressions, see CLAUDE.md)."""
+    return f"list_filter(string_split({content}, chr(10) || chr(10)), p -> trim(p) <> '')"
+
+
+def dup_paragraph_frac_sql(paras_col: str) -> str:
+    """DuckDB twin of :func:`dup_paragraph_frac` over a PRE-MATERIALIZED
+    paragraph-list column (from :func:`paragraphs_sql`). This is the single
+    source the ``qf_repetition_metrics`` oracle uses."""
     return (
-        f"case when len({ps}) = 0 then 0.0 else "
-        f"cast(len({ps}) - len(list_distinct({ps})) as double) / cast(len({ps}) as double) end"
+        f"case when len({paras_col}) = 0 then 0.0 else "
+        f"cast(len({paras_col}) - len(list_distinct({paras_col})) as double)"
+        f" / cast(len({paras_col}) as double) end"
     )
 
 
@@ -92,43 +102,66 @@ def top_ngram_char_frac(content: Column | str, n: int = 2) -> Column:
         F.sequence(F.lit(0), k - 1),
         lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
     )).otherwise(F.array().cast("array<string>"))
-    # max over grams g of count(g)·len(g), computed as ONE run-length pass
-    # over the sorted gram array (equal grams are adjacent after sort):
+    # coverage of the MOST FREQUENT gram (Gopher's definition — not the max
+    # of count·len over all grams, which would let a rarer-but-longer gram
+    # win); ties on count break toward larger coverage. Computed as ONE
+    # run-length pass over the sorted gram array (equal grams are adjacent):
     # O(g log g) vs the naive distinct×filter formulation's O(distinct·g)
-    # string comparisons, which is ~100x slower in interpreted HOF eval
+    # interpreted string compares (~100x slower)
     acc0 = F.struct(
         F.lit("").alias("prev"),
         F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast("long").alias("best"),
+        F.lit(0).cast("long").alias("best_cnt"),
+        F.lit(0).cast("long").alias("best_cov"),
     )
 
     def step(acc: Column, x: Column) -> Column:
         run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
-        best = F.greatest(acc["best"], run * F.length(x).cast("long"))
-        return F.struct(x.alias("prev"), run.alias("run"), best.alias("best"))
+        cov = run * F.length(x).cast("long")
+        better = (run > acc["best_cnt"]) | (
+            (run == acc["best_cnt"]) & (cov > acc["best_cov"])
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best_cnt"]).alias("best_cnt"),
+            F.when(better, cov).otherwise(acc["best_cov"]).alias("best_cov"),
+        )
 
-    best_covered = F.aggregate(F.array_sort(grams), acc0, step, lambda a: a["best"])
+    best_covered = F.aggregate(F.array_sort(grams), acc0, step, lambda a: a["best_cov"])
     return F.when(
         (F.size(grams) < 1) | (F.length(c) <= 0), F.lit(0.0)
     ).otherwise(best_covered.cast("double") / F.length(c).cast("double"))
 
 
-def top_ngram_char_frac_sql(content: str, n: int = 2) -> str:
-    toks = f"list_filter(string_split_regex({content}, '\\s+'), t -> t <> '')"
-    parts = " || ' ' || ".join(f"__t[i+{j}]" for j in range(n))
-    grams = (
-        f"(case when len({toks}) >= {n} then "
-        f"list_transform(range(1, len({toks}) - {n - 1} + 1), "
-        f"i -> ({parts.replace('__t', toks)})) "
+def word_grams_sql(toks_col: str, n: int) -> str:
+    """DuckDB expression for the word n-gram list over a PRE-MATERIALIZED
+    token-list column."""
+    parts = " || ' ' || ".join(f"{toks_col}[i+{j}]" for j in range(n))
+    return (
+        f"(case when len({toks_col}) >= {n} then "
+        f"list_transform(range(1, len({toks_col}) - {n - 1} + 1), i -> ({parts})) "
         f"else [] end)"
     )
-    covered = (
-        f"list_transform(list_distinct({grams}), "
-        f"g -> len(list_filter({grams}, x -> x = g)) * length(g))"
-    )
+
+
+def top_ngram_char_frac_sql(grams_col: str, content_col: str = "content") -> str:
+    """DuckDB twin of :func:`top_ngram_char_frac` over a PRE-MATERIALIZED
+    gram-list column (from :func:`word_grams_sql`) — the single source the
+    ``qf_repetition_metrics`` oracle uses.
+
+    Same Gopher semantics as the Spark side: coverage of the MOST FREQUENT
+    gram, count ties broken toward larger coverage. (count, coverage) packs
+    lexicographically into one bigint (count·2^31 + coverage); precondition
+    coverage = count·len(gram) < 2^31, i.e. documents far below 2 GiB.
+    """
+    cnt = f"len(list_filter({grams_col}, x -> x = g))"
+    key = f"({cnt} * 2147483648 + {cnt} * length(g))"
+    best = f"list_max(list_transform(list_distinct({grams_col}), g -> {key}))"
     return (
-        f"case when len({grams}) < 1 or length({content}) <= 0 then 0.0 else "
-        f"cast(list_max({covered}) as double) / cast(length({content}) as double) end"
+        f"case when len({grams_col}) < 1 or length({content_col}) <= 0 then 0.0 "
+        f"else cast(({best}) % 2147483648 as double)"
+        f" / cast(length({content_col}) as double) end"
     )
 
 

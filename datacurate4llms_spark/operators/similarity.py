@@ -104,28 +104,26 @@ def broadcast_knn(
 
     ``max_query_cells`` guards the driver collect: |Q|·dim above the bound
     raises instead of silently OOMing the driver (misuse → error, not crash).
-    The guard is one bounded job — collect under a hard row cap
-    (``max_query_cells // 64``, i.e. dim ≥ 64 assumed for real encoders),
-    then enforce the exact cell bound on what came back — rather than
-    separate dim/count probe jobs re-computing the query plan (ADVICE r2).
+    The guard is a CollectLimit(1) dim probe + ONE collect bounded to the
+    dim-aware row budget — the r2 ``limit(max_rows+1).count()`` probe that
+    re-scanned up to the bound is gone (ADVICE r2), and the row cap is
+    always dim-exact (a dim-blind cap would over-collect at large dims and
+    falsely reject small ones).
     """
-    # single bounded collect (ADVICE r2): the r2 guard ran TWO extra jobs
-    # (a first() for dim + a limit().count()) re-computing the query plan
-    # before the real collect. Instead collect once under a hard row cap,
-    # derive dim from the collected vectors, and enforce the cell bound on
-    # what came back — misuse still raises instead of OOMing the driver.
-    max_query_rows = max_query_cells // 64  # dim ≥ 64 for any real encoder
-    q_pd = queries.select(query_id, emb_col).limit(max_query_rows + 1).toPandas()
-    if len(q_pd) == 0:
-        dim = 0
-    else:
-        first_vec = q_pd[emb_col].iloc[0]
-        dim = len(first_vec) if first_vec is not None else 0
+    # guard = one cheap dim probe (CollectLimit(1): stops at the first row,
+    # unlike r2's limit(max_rows+1).count() which scanned up to the bound)
+    # followed by ONE collect bounded to the dim-aware row budget. The probe
+    # must come first: a dim-blind row cap either materializes dim/64× the
+    # cell budget before raising (driver OOM at dim≫64 — the exact failure
+    # this guard exists to prevent) or falsely rejects small-dim query sets.
+    dim_row = queries.select(F.size(emb_col).alias("d")).limit(1).collect()
+    dim = int(dim_row[0]["d"]) if dim_row and dim_row[0]["d"] is not None else 0
     max_rows = max_query_cells // max(dim, 1)
-    if len(q_pd) > min(max_rows, max_query_rows):
+    q_pd = queries.select(query_id, emb_col).limit(max_rows + 1).toPandas()
+    if len(q_pd) > max_rows:
         raise ValueError(
             f"broadcast_knn: query side too large to collect "
-            f"(|Q| > {min(max_rows, max_query_rows)} rows at dim={dim}, "
+            f"(|Q| > {max_rows} rows at dim={dim}, "
             f"max_query_cells={max_query_cells}); "
             "use lsh_topk/ivf_topk from operators.ann for large query sets"
         )

@@ -682,45 +682,42 @@ def q_qf_full(spark, sf_dir):
     return run_quality_filter(spark, sf_dir, with_model_scores=True)
 
 
-def _top_gram_case(grams: str) -> str:
-    covered = (
-        f"list_transform(list_distinct({grams}), "
-        f"g -> len(list_filter({grams}, x -> x = g)) * length(g))"
-    )
-    return (
-        f"case when len({grams}) < 1 or length(content) <= 0 then 0.0 else "
-        f"cast(list_max({covered}) as double) / cast(length(content) as double) end"
-    )
+from .functions.quality import (  # noqa: E402
+    dup_paragraph_frac_sql,
+    paragraphs_sql,
+    top_ngram_char_frac_sql,
+    word_grams_sql,
+)
 
 
 @_register(
     "qf_repetition_metrics",
-    # toks/grams are materialized CTE columns: inlining the helper SQL
-    # (dup_paragraph_frac_sql / top_ngram_char_frac_sql, kept for standalone
-    # use) re-expands the token split inside every lambda and is ~50x slower
+    # toks/paras/grams are materialized CTE columns — DuckDB lambda bodies
+    # re-expand inlined expressions (~50x slower otherwise, CLAUDE.md); the
+    # METRIC formulas come from functions/quality.*_sql (single source,
+    # same Gopher most-frequent-gram semantics as the Spark side)
     f"""
     with source_files as ({source_files_sql()}),
     base as (select doc_id, content from source_files where doc_id < 300),
     t as materialized (
       select doc_id, content,
              list_filter(string_split_regex(content, '\\s+'), t -> t <> '') as toks,
-             list_filter(string_split(content, chr(10) || chr(10)), p -> trim(p) <> '') as paras
+             {paragraphs_sql('content')} as paras
       from base
     ),
     g as materialized (
       select doc_id, content, paras,
-             case when len(toks) >= 2 then list_transform(range(1, len(toks)),
-               i -> toks[i] || ' ' || toks[i+1]) else [] end as g2,
-             case when len(toks) >= 3 then list_transform(range(1, len(toks) - 1),
-               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) else [] end as g3
+             {word_grams_sql('toks', 2)} as g2,
+             {word_grams_sql('toks', 3)} as g3
       from t
     )
     select doc_id,
-           round(cast(case when len(paras) = 0 then 0.0 else
-             cast(len(paras) - len(list_distinct(paras)) as double)
-             / cast(len(paras) as double) end as double), 6) as dup_paragraph_frac,
-           round(cast({_top_gram_case('g2')} as double), 6) as top_bigram_char_frac,
-           round(cast({_top_gram_case('g3')} as double), 6) as top_trigram_char_frac
+           round(cast({dup_paragraph_frac_sql('paras')} as double), 6)
+             as dup_paragraph_frac,
+           round(cast({top_ngram_char_frac_sql('g2')} as double), 6)
+             as top_bigram_char_frac,
+           round(cast({top_ngram_char_frac_sql('g3')} as double), 6)
+             as top_trigram_char_frac
     from g
     """,
 )

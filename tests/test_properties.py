@@ -213,3 +213,34 @@ def test_pack_sequences_contiguous_and_partition_invariant(spark):
     a = out.drop(columns="_h").sort_values("doc_id").reset_index(drop=True)
     b = again.sort_values("doc_id").reset_index(drop=True)[a.columns]
     assert a.equals(b)
+
+
+def test_top_ngram_frac_is_most_frequent_not_max_coverage(spark):
+    """Gopher §A1.1 takes the coverage of the MOST FREQUENT n-gram — a
+    rarer-but-longer gram must NOT win even when its count*len is larger;
+    count ties break toward larger coverage. Spark and the DuckDB twin must
+    agree on the same case."""
+    import duckdb
+
+    from datacurate4llms_spark.functions.quality import (
+        top_ngram_char_frac,
+        top_ngram_char_frac_sql,
+        word_grams_sql,
+    )
+
+    # 'w w' occurs 3x (cov 9); 'verylongtokenone verylongtokentwo' occurs 2x
+    # (cov 66) — most frequent wins, so expect 9/len not 66/len
+    text = "w w w w verylongtokenone verylongtokentwo verylongtokenone verylongtokentwo"
+    d = spark.createDataFrame([(text,)], "content string")
+    got = d.select(top_ngram_char_frac("content", 2).alias("f")).collect()[0]["f"]
+    assert abs(got - 9 / len(text)) < 1e-12, got
+
+    con = duckdb.connect()
+    toks = "list_filter(string_split_regex(content, '\\s+'), t -> t <> '')"
+    sql = (
+        "with t as (select ? as content), "
+        "g as (select content, " + word_grams_sql(toks, 2) + " as g2 from t) "
+        "select " + top_ngram_char_frac_sql("g2") + " as f from g"
+    )
+    duck = con.execute(sql, [text]).fetchone()[0]
+    assert abs(duck - got) < 1e-12, (duck, got)
