@@ -61,6 +61,41 @@ def exact_dedup(df: DataFrame, content_col: str = "content", id_col: str = "doc_
     )
 
 
+def duplicate_drop_ids(
+    df: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """IDs of every NON-survivor (all but the lowest id per identical
+    content) via a (hash, id)-only shuffle — content bytes never move.
+
+    This is the 100 TB shape when the corpus rows are wide: the shuffle
+    carries ~16 bytes/row instead of full documents (the 2→8-core scaling
+    contrast in BENCH.md shows the full-row shuffle is bandwidth-bound),
+    and the output is only the duplicate ids — small whenever duplication
+    is the minority case — so :func:`exact_dedup_anti` can drop them with a
+    broadcast/bloom anti join against the original scan instead of
+    re-shuffling the corpus."""
+    pairs = df.select(
+        F.md5(F.col(content_col)).alias("_h"), F.col(id_col).alias(id_col)
+    )
+    w = Window.partitionBy("_h").orderBy(F.asc(id_col))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select(id_col)
+    )
+
+
+def exact_dedup_anti(
+    df: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup as drop-list anti join: identical result to
+    :func:`exact_dedup`, but the only wide data movement is the final anti
+    join (broadcastable when duplicates are the minority; AQE picks the
+    strategy from the runtime drop-list size)."""
+    drops = duplicate_drop_ids(df, content_col, id_col)
+    return df.join(drops, id_col, "left_anti")
+
+
 def duplicate_groups(df: DataFrame, content_col: str = "content", id_col: str = "doc_id") -> DataFrame:
     """(content_hash, group_size, canonical_id) for groups with >1 member."""
     return (

@@ -800,6 +800,22 @@ def q_dedup_exact(spark, sf_dir):
 
 
 @_register(
+    "dedup_drop_ids",
+    f"""
+    with corpus as ({_DUP_CORPUS_SQL}),
+    ranked as (select doc_id, row_number() over (partition by md5(text) order by doc_id) rn
+               from corpus)
+    select doc_id from ranked where rn > 1
+    """,
+)
+def q_dedup_drop_ids(spark, sf_dir):
+    """Ids-only exact dedup (operators/dedup.duplicate_drop_ids): the
+    non-survivor id list from a (hash, id)-only shuffle — the wide-row
+    100 TB variant where content bytes never enter the exchange."""
+    return DD.duplicate_drop_ids(_dup_corpus(spark, sf_dir), content_col="text")
+
+
+@_register(
     "dedup_minhash_signatures",
     f"""
     with corpus as (select doc_id, text from documents where doc_id < 100)

@@ -260,3 +260,43 @@ def test_dsir_weights_favor_target_language(spark):
     # top-k is the distributed partial top-k, not a global sort
     plan = dsir_select(src.select("doc_id", "text"), tgt, k=50)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_exact_dedup_anti_matches_window_dedup(spark):
+    """Ids-only dedup (duplicate_drop_ids + anti join) must keep exactly the
+    rows the window-based exact_dedup keeps, while its shuffle carries only
+    (hash, id) — content stays out of the exchange."""
+    from datacurate4llms_spark.operators.dedup import (
+        duplicate_drop_ids,
+        exact_dedup,
+        exact_dedup_anti,
+    )
+
+    d = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .filter(F.col("doc_id") < 200)
+        .selectExpr("doc_id", "text as content")
+    )
+    dup = d.unionByName(
+        d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "content"
+        )
+    )
+    a = {r.doc_id for r in exact_dedup(dup).select("doc_id").collect()}
+    b = {r.doc_id for r in exact_dedup_anti(dup).select("doc_id").collect()}
+    assert a == b and len(a) == 200
+
+    # content is hashed BEFORE the shuffle and never carried through it:
+    # the map-side projection feeding the exchange outputs only (md5 hash,
+    # id) — raw content is not among the shuffled columns
+    plan = duplicate_drop_ids(dup)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(_h" in plan
+    below_exchange = plan.split("Exchange hashpartitioning(_h", 1)[1]
+    first_proj = next(
+        line for line in below_exchange.splitlines() if "Project [" in line
+    )
+    # (the optimizer may collapse the alias and hash the source column
+    # directly, e.g. md5(cast(text#1 as binary)) — either way the ONLY
+    # outputs are the hash and the id)
+    assert "md5(" in first_proj, first_proj
+    assert ", content#" not in first_proj and ", text#" not in first_proj, first_proj
