@@ -122,10 +122,14 @@ def generate_texts_real(model_name: str, prompts: list[str], *,
         top_p=0.7,
         temperature=0.8,
     )
-    if tokenizer.model_max_length and tokenizer.model_max_length < 1_000_000_000:
-        defaults["max_length"] = tokenizer.model_max_length
-    else:
-        defaults["max_new_tokens"] = 512
+    # a length default only applies when the caller didn't pass their own —
+    # transformers gives max_new_tokens precedence over max_length, so a
+    # leftover default would silently clobber an explicit caller cap
+    if not any(k in gen_kwargs for k in ("max_length", "max_new_tokens")):
+        if tokenizer.model_max_length and tokenizer.model_max_length < 1_000_000_000:
+            defaults["max_length"] = tokenizer.model_max_length
+        else:
+            defaults["max_new_tokens"] = 512
     defaults.update(gen_kwargs)
     for i in range(0, len(rendered), batch_size):
         enc = tokenizer(rendered[i:i + batch_size], padding=True,

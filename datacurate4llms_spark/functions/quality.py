@@ -156,7 +156,9 @@ def top_ngram_char_frac_sql(grams_col: str, content_col: str = "content") -> str
     coverage = count·len(gram) < 2^31, i.e. documents far below 2 GiB.
     """
     cnt = f"len(list_filter({grams_col}, x -> x = g))"
-    key = f"({cnt} * 2147483648 + {cnt} * length(g))"
+    # factored form evaluates the O(grams) filter ONCE per distinct gram:
+    # cnt*2^31 + cnt*len(g) == cnt*(2^31 + len(g))
+    key = f"({cnt} * (2147483648 + length(g)))"
     best = f"list_max(list_transform(list_distinct({grams_col}), g -> {key}))"
     return (
         f"case when len({grams_col}) < 1 or length({content_col}) <= 0 then 0.0 "

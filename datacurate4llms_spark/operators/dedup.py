@@ -89,9 +89,13 @@ def exact_dedup_anti(
     df: DataFrame, content_col: str = "content", id_col: str = "doc_id"
 ) -> DataFrame:
     """Exact dedup as drop-list anti join: identical result to
-    :func:`exact_dedup`, but the only wide data movement is the final anti
-    join (broadcastable when duplicates are the minority; AQE picks the
-    strategy from the runtime drop-list size)."""
+    :func:`exact_dedup` PROVIDED ``id_col`` is unique (the standard contract
+    for a document id) — with duplicate ids the anti join drops every row of
+    a flagged id, survivor included, because identical (id) rows are
+    indistinguishable to a join where the window form can still keep exactly
+    one. The only wide data movement is the final anti join (broadcastable
+    when duplicates are the minority; AQE picks the strategy from the
+    runtime drop-list size)."""
     drops = duplicate_drop_ids(df, content_col, id_col)
     return df.join(drops, id_col, "left_anti")
 

@@ -116,9 +116,21 @@ def broadcast_knn(
     # must come first: a dim-blind row cap either materializes dim/64× the
     # cell budget before raising (driver OOM at dim≫64 — the exact failure
     # this guard exists to prevent) or falsely rejects small-dim query sets.
-    dim_row = queries.select(F.size(emb_col).alias("d")).limit(1).collect()
-    dim = int(dim_row[0]["d"]) if dim_row and dim_row[0]["d"] is not None else 0
-    max_rows = max_query_cells // max(dim, 1)
+    # probe only non-null embeddings: size(NULL) is -1, which would make the
+    # row budget dim-blind (max_rows = full cell budget) and re-open the
+    # over-collect this guard exists to prevent
+    dim_row = (
+        queries.filter(F.col(emb_col).isNotNull())
+        .select(F.size(emb_col).alias("d"))
+        .limit(1)
+        .collect()
+    )
+    dim = int(dim_row[0]["d"]) if dim_row else 0
+    if dim <= 0:
+        raise ValueError(
+            "broadcast_knn: query side has no non-null, non-empty embeddings"
+        )
+    max_rows = max_query_cells // dim
     q_pd = queries.select(query_id, emb_col).limit(max_rows + 1).toPandas()
     if len(q_pd) > max_rows:
         raise ValueError(

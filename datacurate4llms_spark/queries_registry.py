@@ -800,6 +800,26 @@ def q_dedup_exact(spark, sf_dir):
 
 
 @_register(
+    "dedup_exact_anti_survivors",
+    # same oracle as dedup_exact_survivors: the anti-join composition must
+    # reproduce the window form exactly (ids are unique in the dup corpus)
+    f"""
+    with corpus as ({_DUP_CORPUS_SQL}),
+    ranked as (select doc_id, row_number() over (partition by md5(text) order by doc_id) rn
+               from corpus)
+    select doc_id from ranked where rn = 1
+    """,
+)
+def q_dedup_exact_anti(spark, sf_dir):
+    """Anti-join exact dedup (operators/dedup.exact_dedup_anti): drop-list
+    composition over the (hash, id)-only shuffle — must match the window
+    form bit-for-bit on unique-id input."""
+    return DD.exact_dedup_anti(_dup_corpus(spark, sf_dir), content_col="text").select(
+        "doc_id"
+    )
+
+
+@_register(
     "dedup_drop_ids",
     f"""
     with corpus as ({_DUP_CORPUS_SQL}),
