@@ -2044,6 +2044,40 @@ _TOKENS_SQL = (
 
 
 @_register(
+    "ts_top_tokens_by_lang",
+    f"""
+    with toks as ({_TOKENS_SQL}),
+    counts as (
+      select lang, tok, cast(count(*) as bigint) as n
+      from toks group by lang, tok
+    ),
+    ranked as (
+      select lang, tok, n,
+             row_number() over (partition by lang order by n desc, tok asc) as rnk
+      from counts
+    )
+    select lang, tok, n, cast(rnk as int) as rnk from ranked where rnk <= 20
+    """,
+)
+def q_top_tokens(spark, sf_dir):
+    """Corpus heavy hitters: top-20 tokens per language by exact count —
+    two-level plan (map-side partial counts reduce each (lang, tok) to one
+    row per task; the rank≤20 filter triggers InferWindowGroupLimit, so the
+    final window sees ≤ 20·parts rows per lang, never the full vocabulary).
+    Ties break on token asc for engine-stable ranking."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("lang", "tok").agg(F.count("*").cast("bigint").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 20)
+    )
+
+
+@_register(
     "sketch_kmv_distinct",
     SK.kmv_distinct_sql(_TOKENS_SQL, ["tok"], k=64, group_by=["lang"]),
 )
