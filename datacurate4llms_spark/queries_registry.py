@@ -691,6 +691,39 @@ from .functions.quality import (  # noqa: E402
 
 
 @_register(
+    "qf_repo_skew",
+    f"""
+    with source_files as ({source_files_sql()}),
+    per_repo as (
+      select repo, cast(count(*) as bigint) as n_files,
+             cast(sum(octet_length(encode(content))) as bigint) as n_bytes
+      from source_files group by repo
+    ),
+    tot as (select sum(n_files) as tf from per_repo)
+    select repo, n_files, n_bytes,
+           round(cast(n_files as double) / (select tf from tot), 6) as file_share
+    from per_repo
+    """,
+)
+def q_qf_repo_skew(spark, sf_dir):
+    """Partition-skew report for the north rule's salt-keyed repartition:
+    per-repo file/byte totals and corpus share. The derived corpus routes
+    every third file into repo_00 (the 'giant repo' pathology), so this
+    query makes the skew the salting breaks directly visible — at 100 TB
+    it is the input to choosing salt_buckets."""
+    corpus = source_files(spark, sf_dir)
+    per_repo = corpus.groupBy("repo").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum(F.octet_length("content")).cast("bigint").alias("n_bytes"),
+    )
+    tot = per_repo.agg(F.sum("n_files").alias("_tf"))
+    return per_repo.crossJoin(F.broadcast(tot)).select(
+        "repo", "n_files", "n_bytes",
+        _r6(F.col("n_files").cast("double") / F.col("_tf")).alias("file_share"),
+    )
+
+
+@_register(
     "qf_repetition_metrics",
     # toks/paras/grams are materialized CTE columns — DuckDB lambda bodies
     # re-expand inlined expressions (~50x slower otherwise, CLAUDE.md); the
