@@ -129,7 +129,9 @@ def main() -> None:
         from datacurate4llms_spark.operators.similarity import broadcast_knn
 
         e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-        return broadcast_knn(e, e, k=10).count()
+        # known_dim: testdata embeddings are 64-wide by contract — skips the
+        # CollectLimit(1) dim-probe job (~0.2s constant at bench scale)
+        return broadcast_knn(e, e, k=10, known_dim=64).count()
 
     # --- dedup_exact over the replicated corpus (every file has REPLICATE copies)
     def run_dedup():

@@ -112,21 +112,37 @@ def instruction_prefix(text: Column | str, instruction: str) -> Column:
     return F.concat(F.lit(instruction), F.lit(" "), t)
 
 
+# worker-process compiled-template cache for jinja2_template_udf: keyed by
+# template source so repeated batches (and repeated UDF instances with the
+# same template) compile once per python worker process
+_JINJA_TEMPLATE_CACHE: dict[str, object] = {}
+
+
+def _compile_jinja2(template: str):
+    tmpl = _JINJA_TEMPLATE_CACHE.get(template)
+    if tmpl is None:
+        import jinja2
+
+        tmpl = jinja2.Environment().from_string(template)
+        _JINJA_TEMPLATE_CACHE[template] = tmpl
+    return tmpl
+
+
 def jinja2_template_udf(template: str, columns: list[str]):
     """Fully general Jinja2 fallback (reference format_text,
     data_subset_selection.py:111-118) as an Arrow-batched pandas UDF.
 
     Only needed when a template can't be expressed with higher-order
-    functions; the compiled template is process-cached per executor.
+    functions; the compiled template is process-cached per executor python
+    worker (module-level ``_JINJA_TEMPLATE_CACHE``), so successive batches
+    reuse one compile. Rendering is row-at-a-time inside the batch —
+    inherent to Jinja2.
     """
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
     def _render(*cols: pd.Series) -> pd.Series:
-        import jinja2
-
-        env = jinja2.Environment()
-        tmpl = env.from_string(template)
+        tmpl = _compile_jinja2(template)
         frame = pd.concat(cols, axis=1)
         frame.columns = columns
         return frame.apply(lambda row: tmpl.render(**row.to_dict()), axis=1)

@@ -49,16 +49,29 @@ def strip_boilerplate(
     boilerplate: DataFrame,
     content_col: str = "content",
     id_col: str = "doc_id",
+    max_broadcast_lines: int = 1_000_000,
 ) -> DataFrame:
     """df with ``<content_col>_clean``: content minus boilerplate lines,
     original line order preserved; empty string when every line is
-    boilerplate. ``boilerplate`` needs a ``line`` column (small by contract
-    → broadcast anti join)."""
+    boilerplate. ``boilerplate`` needs a ``line`` column.
+
+    The anti join against the boilerplate set is size-conditional: the set is
+    counted once (cheap — it is the already-aggregated detect output) and
+    broadcast only when ≤ ``max_broadcast_lines``. Above the bound — at
+    10¹²-doc scale a low ``min_docs`` threshold can qualify 10⁸+ lines, far
+    past broadcast range — the join runs un-hinted so AQE picks the strategy
+    (shuffle anti join on the exact line key; exactness over a hashed key,
+    which could collide and wrongly drop content lines).
+    """
+    bl = boilerplate.select("line")
+    n_bl = bl.count()
+    if n_bl <= max_broadcast_lines:
+        bl = F.broadcast(bl)
     pos = df.select(
         F.col(id_col).alias("_bid"),
         F.posexplode(F.split(F.col(content_col), "\n")).alias("pos", "line"),
     )
-    kept = pos.join(F.broadcast(boilerplate.select("line")), "line", "left_anti")
+    kept = pos.join(bl, "line", "left_anti")
     rebuilt = kept.groupBy("_bid").agg(
         F.concat_ws(
             "\n",

@@ -61,15 +61,23 @@ def word_ngrams(content: Column | str, max_n: int = 2) -> Column:
     return F.concat(*parts)
 
 
-def word_ngrams_sql(content: str, max_n: int = 2) -> str:
-    toks = f"string_split({normalize_document_sql(content)}, ' ')"
+def word_tokens_sql(content: str) -> str:
+    """DuckDB token-list expression — materialize this as a CTE column before
+    feeding :func:`word_ngrams_from_toks_sql` (DuckDB lambda bodies re-expand
+    inlined expressions per element, so an inlined split-normalize would cost
+    O(tokens²) per document — CLAUDE.md trap)."""
+    return f"string_split({normalize_document_sql(content)}, ' ')"
+
+
+def word_ngrams_from_toks_sql(toks_col: str, max_n: int = 2) -> str:
+    """Gram-list expression over a PRE-MATERIALIZED token-list column."""
     pieces = []
     for n in range(1, max_n + 1):
-        expr = " || ' ' || ".join(f"__t[i+{j}]" for j in range(n))
+        expr = " || ' ' || ".join(f"{toks_col}[i+{j}]" for j in range(n))
         pieces.append(
-            f"(case when len({toks}) >= {n} then "
-            f"list_transform(range(1, len({toks}) - {n - 1} + 1), "
-            f"i -> ({expr.replace('__t', toks)})) else [] end)"
+            f"(case when len({toks_col}) >= {n} then "
+            f"list_transform(range(1, len({toks_col}) - {n - 1} + 1), "
+            f"i -> ({expr})) else [] end)"
         )
     return "list_concat(" + ", ".join(pieces) + ")" if len(pieces) > 1 else pieces[0]
 
@@ -180,14 +188,24 @@ def importance_weights_sql(
     smoothing: float = 1.0,
 ) -> str:
     """DuckDB twin of :func:`importance_weights`. Inputs expose
-    (doc_id, text); float convention: caller rounds the weight."""
+    (doc_id, text); float convention: caller rounds the weight.
+
+    Token lists are materialized as CTE columns BEFORE the gram lambdas
+    (``src_t``/``tgt_t``): inlining the split-normalize into the lambda body
+    re-evaluates it per element — O(tokens²) per doc (ADVICE r3 #1)."""
     b = f"cast({hash32_sql('g', seed='dsir')} % {num_buckets} as int)"
     return f"""
-    with src as materialized (
-      select doc_id, {word_ngrams_sql('text', max_n)} as grams from ({source_sql})
+    with src_t as materialized (
+      select doc_id, {word_tokens_sql('text')} as toks from ({source_sql})
+    ),
+    tgt_t as materialized (
+      select {word_tokens_sql('text')} as toks from ({target_sql})
+    ),
+    src as materialized (
+      select doc_id, {word_ngrams_from_toks_sql('toks', max_n)} as grams from src_t
     ),
     tgt as materialized (
-      select {word_ngrams_sql('text', max_n)} as grams from ({target_sql})
+      select {word_ngrams_from_toks_sql('toks', max_n)} as grams from tgt_t
     ),
     sg as materialized (
       select doc_id, {b} as bucket from (select doc_id, unnest(grams) as g from src)

@@ -185,6 +185,10 @@ def parse_headers(media: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if not len(pdf):
+                # an empty Arrow batch would make pd.DataFrame(metas) a
+                # zero-COLUMN frame and out[c] below raise KeyError
+                continue
             metas = [parse_media_meta(bytes(b)) for b in pdf["payload"]]
             out = pd.DataFrame(metas)
             out.insert(0, "media_id", pdf["media_id"].values)

@@ -93,6 +93,7 @@ def broadcast_knn(
     emb_col: str = "embedding",
     metric: str = "cosine",
     max_query_cells: int = 50_000_000,
+    known_dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k via broadcast-queries + streamed-corpus block matmul.
 
@@ -108,30 +109,53 @@ def broadcast_knn(
     dim-aware row budget — the r2 ``limit(max_rows+1).count()`` probe that
     re-scanned up to the bound is gone (ADVICE r2), and the row cap is
     always dim-exact (a dim-blind cap would over-collect at large dims and
-    falsely reject small ones).
+    falsely reject small ones). Pass ``known_dim`` when the caller already
+    knows the embedding width to skip the probe job entirely (a ~0.2s
+    constant at bench scale; nil but nonzero on a cluster).
+
+    Assumes HOMOGENEOUS embedding dims on the query side: the probe reads
+    one row and budgets from it, and ``np.stack`` raises on ragged inputs.
+    An empty query side (no rows, or all-null embeddings) returns an empty
+    result frame; a present-but-empty (zero-length) embedding raises.
     """
-    # guard = one cheap dim probe (CollectLimit(1): stops at the first row,
-    # unlike r2's limit(max_rows+1).count() which scanned up to the bound)
-    # followed by ONE collect bounded to the dim-aware row budget. The probe
-    # must come first: a dim-blind row cap either materializes dim/64× the
-    # cell budget before raising (driver OOM at dim≫64 — the exact failure
-    # this guard exists to prevent) or falsely rejects small-dim query sets.
-    # probe only non-null embeddings: size(NULL) is -1, which would make the
-    # row budget dim-blind (max_rows = full cell budget) and re-open the
-    # over-collect this guard exists to prevent
-    dim_row = (
-        queries.filter(F.col(emb_col).isNotNull())
-        .select(F.size(emb_col).alias("d"))
-        .limit(1)
-        .collect()
-    )
-    dim = int(dim_row[0]["d"]) if dim_row else 0
-    if dim <= 0:
-        raise ValueError(
-            "broadcast_knn: query side has no non-null, non-empty embeddings"
+    spark = queries.sparkSession
+    out_schema = "query_id bigint, neighbour_id bigint, sim double, rank int"
+    if known_dim is not None:
+        dim = int(known_dim)
+        if dim <= 0:
+            raise ValueError(f"broadcast_knn: known_dim must be positive, got {known_dim}")
+    else:
+        # guard = one cheap dim probe (CollectLimit(1): stops at the first
+        # row, unlike r2's limit(max_rows+1).count() which scanned up to the
+        # bound) followed by ONE collect bounded to the dim-aware row budget.
+        # The probe must come first: a dim-blind row cap either materializes
+        # dim/64× the cell budget before raising (driver OOM at dim≫64 — the
+        # exact failure this guard exists to prevent) or falsely rejects
+        # small-dim query sets. probe only non-null embeddings: size(NULL) is
+        # -1, which would make the row budget dim-blind (max_rows = full cell
+        # budget) and re-open the over-collect this guard exists to prevent
+        dim_row = (
+            queries.filter(F.col(emb_col).isNotNull())
+            .select(F.size(emb_col).alias("d"))
+            .limit(1)
+            .collect()
         )
+        if not dim_row:
+            return spark.createDataFrame([], out_schema)
+        dim = int(dim_row[0]["d"])
+        if dim <= 0:
+            raise ValueError(
+                "broadcast_knn: query side's embeddings are empty arrays"
+            )
     max_rows = max_query_cells // dim
-    q_pd = queries.select(query_id, emb_col).limit(max_rows + 1).toPandas()
+    q_pd = (
+        queries.filter(F.col(emb_col).isNotNull())
+        .select(query_id, emb_col)
+        .limit(max_rows + 1)
+        .toPandas()
+    )
+    if len(q_pd) == 0:
+        return spark.createDataFrame([], out_schema)
     if len(q_pd) > max_rows:
         raise ValueError(
             f"broadcast_knn: query side too large to collect "
@@ -146,7 +170,6 @@ def broadcast_knn(
         norms[norms == 0] = 1.0
         q_mat = q_mat / norms
 
-    spark = queries.sparkSession
     bc = spark.sparkContext.broadcast((q_ids, q_mat))
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

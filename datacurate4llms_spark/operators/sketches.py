@@ -34,54 +34,48 @@ def kmv_distinct(
     group_by: list[str] | None = None,
     seed: str = "kmv",
 ) -> DataFrame:
-    """Distinct-count estimate per group: (group cols…, n_exact, n_estimate).
+    """Distinct-count estimate per group: (group cols…, n_sketch, n_estimate).
 
-    n_exact is included because the sketch input here is already the distinct
-    hash set (the estimate's job at 100 TB is to replace the *global* exact
-    distinct when only the k-row sketch is shipped between stages — e.g.
-    mergeable per-partition sketches union'd across a corpus).
+    n_sketch = rows retained by the merged sketch, min(k, D): when < k it IS
+    the exact distinct count D (and n_estimate equals it exactly); at k the
+    estimate takes over. An exact D column is deliberately NOT produced —
+    exact distinct counting is the corpus-scale (group, hash)-pair shuffle
+    the sketch exists to avoid (VERDICT r3 #3).
+
+    Plan — zero corpus-scale shuffle: partial bottom-k per (group, partition)
+    via ``slice(array_sort(collect_set(_h)), 1, k)`` — collect_set dedups in
+    the aggregation buffer, every cell lives entirely in one map task, and
+    the partial agg fully reduces each cell BEFORE its exchange — then a
+    merge (flatten → dedup → sort → element k−1) over ≤ k·parts sketch rows
+    per group. Both exchanges carry ≤ |groups|·parts bounded-array rows.
+
+    Correctness of merge-dedup: every global bottom-k hash survives its own
+    partition's bottom-k (its per-partition rank ≤ its global rank), so the
+    merged distinct set's first k elements are exactly the global bottom-k,
+    and element k−1 is the true k-th smallest distinct hash — identical to
+    sketching the distinct set, for any partitioning.
     """
     group_by = group_by or []
     h = hash32(*cols, seed=seed).alias("_h")
-    hashes = df.select(*group_by, h).distinct()
+    hashes = df.select(*group_by, h)
 
-    if group_by:
-        # two-level mergeable plan (VERDICT r2 #2): partial bottom-k per
-        # (group, partition) — every cell lives entirely in one task, so no
-        # task ever sees more than a partition's worth of hashes — then a
-        # final merge over ≤ k·parts rows per group. The r2 row_number window
-        # funneled a group's ENTIRE distinct set through one task.
-        partial = (
-            hashes.withColumn("_pid", F.spark_partition_id())
-            .groupBy(*group_by, "_pid")
-            .agg(
-                F.count("*").cast("bigint").alias("_n"),
-                F.slice(F.array_sort(F.collect_list("_h")), 1, k).alias("_bk"),
-            )
-        )
-        merged = F.array_sort(F.flatten(F.collect_list("_bk")))
-        kth = (
-            partial.groupBy(*group_by)
-            .agg(
-                F.sum("_n").cast("bigint").alias("n_exact"),
-                # k-th smallest across merged partials; NULL when < k distinct
-                F.get(merged, k - 1).alias("_hk"),
-            )
-        )
-    else:
-        ranked = hashes.orderBy("_h").limit(k)
-        kth_val = ranked.agg(
-            F.count("*").alias("_n"), F.max("_h").alias("_hk")
-        )
-        exact = hashes.agg(F.count("*").cast("bigint").alias("n_exact"))
-        kth = exact.crossJoin(
-            kth_val.select(F.when(F.col("_n") >= k, F.col("_hk")).alias("_hk"))
-        )
-
+    partial = (
+        hashes.withColumn("_pid", F.spark_partition_id())
+        .groupBy(*group_by, "_pid")
+        .agg(F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("_bk"))
+    )
+    merged = F.array_sort(F.array_distinct(F.flatten(F.collect_list("_bk"))))
+    sk = partial.groupBy(*group_by).agg(merged.alias("_m"))
+    kth = sk.select(
+        *group_by,
+        F.least(F.lit(k).cast("bigint"), F.size("_m").cast("bigint")).alias("n_sketch"),
+        # k-th smallest distinct hash; NULL when < k distinct
+        F.get("_m", k - 1).alias("_hk"),
+    )
     est = F.when(
-        F.col("_hk").isNull(), F.col("n_exact").cast("double")  # < k distinct → exact
+        F.col("_hk").isNull(), F.col("n_sketch").cast("double")  # < k distinct → exact
     ).otherwise(F.lit(float(k - 1)) * F.lit(float(HASH32_MOD)) / F.col("_hk").cast("double"))
-    return kth.select(*group_by, "n_exact", est.alias("n_estimate"))
+    return kth.select(*group_by, "n_sketch", est.alias("n_estimate"))
 
 
 def kmv_distinct_sql(
@@ -92,7 +86,10 @@ def kmv_distinct_sql(
     group_by: list[str] | None = None,
     seed: str = "kmv",
 ) -> str:
-    """DuckDB twin of :func:`kmv_distinct` (grouped form)."""
+    """DuckDB twin of :func:`kmv_distinct` (grouped form). n_sketch =
+    least(D, k); n_estimate falls back to exact D below k — identical values
+    to the Spark merge-dedup plan because both reduce to the k smallest
+    distinct hashes."""
     group_by = group_by or []
     g = ", ".join(group_by)
     gcomma = g + ", " if g else ""
@@ -108,12 +105,12 @@ def kmv_distinct_sql(
       from hashes
     ),
     kth as (
-      select {gcomma}cast(count(*) as bigint) as n_exact,
+      select {gcomma}cast(least(count(*), {k}) as bigint) as n_sketch,
              max(case when _r = {k} then _h end) as _hk
       from ranked {("group by " + g) if g else ""}
     )
-    select {gcomma}n_exact,
-           round(cast(case when _hk is null then n_exact
+    select {gcomma}n_sketch,
+           round(cast(case when _hk is null then n_sketch
                       else {float(k - 1)} * {float(HASH32_MOD)} / _hk end as double), 6)
              as n_estimate
     from kth
@@ -148,19 +145,28 @@ def temperature_sample(
 
     Plan: one tiny count aggregation per group (map-side combine carries ≤
     |groups| rows per task), rates broadcast back, filter — the corpus side
-    never shuffles."""
+    never shuffles.
+
+    The keep rate is rounded to 6 decimals BEFORE the comparison: the rate
+    feeds a keep/drop *decision* (not an output column), so the repo's
+    round-6 float convention must apply to it directly — otherwise a
+    last-ulp libm divergence between engines (pow/division order) could
+    flip rows whose hash fraction lands within 1 ulp of the rate."""
     counts = df.groupBy(*group_by).agg(F.count("*").cast("double").alias("_n"))
     tot = counts.agg(
         F.sum(F.pow(F.col("_n"), F.lit(float(alpha)))).alias("_sw")
     )
     rates = counts.crossJoin(F.broadcast(tot)).select(
         *group_by,
-        F.least(
-            F.lit(1.0),
-            F.lit(float(target_total))
-            * F.pow(F.col("_n"), F.lit(float(alpha)))
-            / F.col("_sw")
-            / F.col("_n"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_total))
+                * F.pow(F.col("_n"), F.lit(float(alpha)))
+                / F.col("_sw")
+                / F.col("_n"),
+            ),
+            6,
         ).alias("_rate"),
     )
     u = hash32(*key_cols, seed=seed).cast("double") / F.lit(float(HASH32_MOD))

@@ -1495,7 +1495,7 @@ def q_j1_block(spark, sf_dir):
 )
 def q_j3_broadcast(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    out = SIM.broadcast_knn(e.filter(F.col("vec_id") < 25), e, k=7)
+    out = SIM.broadcast_knn(e.filter(F.col("vec_id") < 25), e, k=7, known_dim=64)
     return out.select("query_id", "neighbour_id", _r6(F.col("sim")).alias("sim"), "rank")
 
 
@@ -2123,7 +2123,7 @@ def q_kmv(spark, sf_dir):
         "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
     ).filter(F.col("tok") != "")
     out = SK.kmv_distinct(toks, ["tok"], k=64, group_by=["lang"])
-    return out.select("lang", "n_exact", _r6(F.col("n_estimate")).alias("n_estimate"))
+    return out.select("lang", "n_sketch", _r6(F.col("n_estimate")).alias("n_estimate"))
 
 
 @_register(
@@ -2170,8 +2170,11 @@ def q_stratified(spark, sf_dir):
     ),
     tot as (select sum(pow(_n, 0.5)) as _sw from counts),
     rates as (
+      -- round-6 BEFORE the comparison, mirroring temperature_sample: the
+      -- rate feeds a keep/drop decision, so a last-ulp libm divergence
+      -- between engines would otherwise flip boundary rows
       select lang, _n,
-             least(1.0, 200.0 * pow(_n, 0.5) / (select _sw from tot) / _n) as _rate
+             round(least(1.0, 200.0 * pow(_n, 0.5) / (select _sw from tot) / _n), 6) as _rate
       from counts
     ),
     kept as (

@@ -118,6 +118,12 @@ def test_grouped_kmv_has_no_window_funnel(spark):
     # two agg levels over the partial bottom-k arrays, keyed by partition id
     assert "_pid" in plan
     assert plan.count("ObjectHashAggregate") >= 2
+    # no corpus-scale shuffle (VERDICT r3 #3): the old plan opened with a
+    # global .distinct() — an extra exchange carrying every distinct
+    # (group, hash) pair. The mergeable plan has exactly the two tiny
+    # aggregation exchanges (partial bottom-k -> merge), each carrying
+    # <= |groups|·parts bounded-array rows.
+    assert plan.count("Exchange") == 2, plan
 
 
 def test_stratified_sample_is_salted_two_phase(spark):

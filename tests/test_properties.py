@@ -130,13 +130,13 @@ def test_kmv_estimate_accuracy_and_merge_property(spark):
 
     big = spark.range(20_000).select((F.col("id") % 5000).alias("v"))
     est = kmv_distinct(big, ["v"], k=128).collect()[0]
-    assert est.n_exact == 5000
+    assert est.n_sketch == 128  # capped at k when D >= k
     # k=128 → relative std error ~ 1/sqrt(k-2) ≈ 9%; allow 3 sigma
     assert abs(est.n_estimate - 5000) / 5000 < 0.27
 
     small = spark.range(40).select(F.col("id").alias("v"))
     e2 = kmv_distinct(small, ["v"], k=128).collect()[0]
-    assert e2.n_exact == 40 and e2.n_estimate == 40.0  # < k → exact
+    assert e2.n_sketch == 40 and e2.n_estimate == 40.0  # < k → exact
 
     repartitioned = kmv_distinct(big.repartition(13), ["v"], k=128).collect()[0]
     assert repartitioned.n_estimate == est.n_estimate  # partitioning-invariant

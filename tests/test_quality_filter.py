@@ -199,3 +199,34 @@ def test_boilerplate_detect_and_strip(spark):
     # single-line docs with unique content come through identical
     uniq = untouched[~untouched["content"].duplicated(keep=False)]
     assert (uniq["content"] == uniq["content_clean"]).all()
+
+
+def test_strip_boilerplate_broadcast_is_size_conditional(spark):
+    """strip_boilerplate must broadcast the line set ONLY below
+    max_broadcast_lines (VERDICT r3 #1): above the bound the anti join runs
+    un-hinted (AQE picks the strategy) instead of OOMing on a 10^8-line
+    broadcast — and both regimes produce identical output."""
+    from pyspark.sql import functions as F
+
+    from datacurate4llms_spark.operators.boilerplate import (
+        boilerplate_lines,
+        strip_boilerplate,
+    )
+
+    corpus = source_files(spark, SF_CORRECT).filter(F.col("doc_id") < 200)
+    bl = boilerplate_lines(corpus, min_docs=10)
+
+    small = strip_boilerplate(corpus, bl)  # default bound: broadcast regime
+    assert "ResolvedHint" in small._jdf.queryExecution().analyzed().toString()
+
+    # forced big regime: NO broadcast hint — the planner picks by size (at
+    # test scale Catalyst may still auto-broadcast the tiny set, which is
+    # the point: size-based, not forced)
+    big = strip_boilerplate(corpus, bl, max_broadcast_lines=0)
+    assert "ResolvedHint" not in big._jdf.queryExecution().analyzed().toString()
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan_big, "anti join must still be present"
+
+    a = small.select("doc_id", "content_clean").toPandas().sort_values("doc_id")
+    b = big.select("doc_id", "content_clean").toPandas().sort_values("doc_id")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))

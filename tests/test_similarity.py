@@ -55,6 +55,28 @@ def test_broadcast_knn_guards_oversized_query_collect(spark):
         S.broadcast_knn(q, e, k=3, max_query_cells=100)
 
 
+def test_broadcast_knn_known_dim_and_empty_query_side(spark):
+    """known_dim must skip the probe job yet produce identical results; an
+    empty query side (no rows / all-null embeddings) returns an EMPTY frame
+    with the contract schema instead of raising (ADVICE r3 #3)."""
+    e = _emb(spark, 120)
+    q = e.filter(F.col("vec_id") < 15)
+    probed = S.broadcast_knn(q, e, k=5).toPandas()
+    skipped = S.broadcast_knn(q, e, k=5, known_dim=64).toPandas()
+    a = probed.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = skipped.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    empty = S.broadcast_knn(e.filter(F.col("vec_id") < 0), e, k=5)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "query_id", "neighbour_id", "sim", "rank",
+    ]
+    # same with the probe skipped
+    empty2 = S.broadcast_knn(e.filter(F.col("vec_id") < 0), e, k=5, known_dim=64)
+    assert empty2.count() == 0
+
+
 def test_metrics_euclidean_rbf_additive(spark):
     e = _emb(spark, 40)
     eu = S.edge_table(e, metric="euclidean").toPandas()

@@ -113,3 +113,16 @@ def test_jinja2_fallback_udf(spark):
     udf = T.jinja2_template_udf("hello {{ name }} x{{ n }}", ["name", "n"])
     got = df.select(udf(F.col("name"), F.col("n")).alias("v")).collect()[0].v
     assert got == "hello world x3"
+
+
+def test_jinja2_template_compiled_once_per_process():
+    """The module-level template cache must hand back the SAME compiled
+    template across batches/UDF instances (VERDICT r3 #4: the docstring's
+    process-cache claim is now real)."""
+    pytest.importorskip("jinja2")
+    T._JINJA_TEMPLATE_CACHE.clear()
+    t1 = T._compile_jinja2("cache-test {{ x }}")
+    t2 = T._compile_jinja2("cache-test {{ x }}")
+    assert t1 is t2
+    assert len(T._JINJA_TEMPLATE_CACHE) == 1
+    assert t1.render(x=7) == "cache-test 7"
