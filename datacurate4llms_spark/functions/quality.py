@@ -24,10 +24,41 @@ QUALITY_THRESHOLDS = {
     "min_alnum_ratio": 0.5,  # low_alnum
     "max_dup_line_frac": 0.3,  # repetition
     "min_langid_score": 0.55,  # langid (latin-letter+space mass)
+    # Gopher §A1.1 battery (Rae et al. 2021), CODE-corpus subset — the two
+    # prose-only rules are deliberately absent from the default profile:
+    # min_stopword_hits fires on ~100% of any code corpus (English-prose
+    # prior), and max_symbol_word_ratio counts '#', a comment character in
+    # half the languages this corpus carries. Use GOPHER_THRESHOLDS for
+    # natural-language corpora.
+    "max_bullet_line_frac": 0.9,    # bullet_lines
+    "max_ellipsis_line_frac": 0.3,  # ellipsis_lines
+    "min_mean_word_len": 3.0,       # word_length (lower bound)
+    "max_mean_word_len": 10.0,      # word_length (upper bound)
+    "min_alpha_word_frac": 0.8,     # alpha_words
 }
 
-# rule evaluation order — first match wins the drop_reason
-RULE_ORDER = ["too_short", "long_lines", "low_alnum", "repetition", "langid"]
+# The full Gopher §A1.1 battery at the paper's values — the profile for
+# natural-language corpora. Pass as ``thresholds=`` to quality_filter /
+# drop_reason; every rule is keyed on threshold presence, so profiles
+# compose by dict surgery.
+GOPHER_THRESHOLDS = {
+    **QUALITY_THRESHOLDS,
+    "max_symbol_word_ratio": 0.1,  # symbol_ratio ('#' + ellipsis vs words)
+    "min_stopword_hits": 2,        # stopwords (≥2 of the 8 required words)
+}
+
+# Gopher's required-stopword list (Rae et al. 2021 §A1.1, verbatim)
+STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+# rule evaluation order — first match wins the drop_reason. The six Gopher
+# rules evaluate AFTER the original five and each fires only when its
+# threshold key is present in the active profile (see QUALITY_THRESHOLDS /
+# GOPHER_THRESHOLDS above).
+RULE_ORDER = [
+    "too_short", "long_lines", "low_alnum", "repetition", "langid",
+    "symbol_ratio", "bullet_lines", "ellipsis_lines", "word_length",
+    "stopwords", "alpha_words",
+]
 
 
 def _c(col: Column | str) -> Column:
@@ -193,33 +224,170 @@ def langid_score(content: Column | str) -> Column:
     return (F.length(c) - non_latin).cast("double") / F.length(c).cast("double")
 
 
+# ---------------------------------------------------------------------------
+# Gopher §A1.1 metrics (Rae et al. 2021) — pure SQL column expressions
+# ---------------------------------------------------------------------------
+
+_ALPHA = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_BULLET_CHARS = ("•", "‣", "▪")
+
+
+def _ws_tokens(content: Column | str) -> Column:
+    """Non-empty whitespace tokens (the Gopher word unit)."""
+    return F.filter(F.split(_c(content), r"\s+"), lambda t: t != "")
+
+
+def symbol_word_ratio(content: Column | str, toks: Column | None = None) -> Column:
+    """('#' count + ellipsis count) / word count (Gopher: > 0.1 → drop for
+    prose). Ellipses counted as '…' chars plus non-overlapping '...' runs;
+    all counts are exact ints so the double division is bit-identical across
+    engines. Pass ``toks`` (a pre-materialized :func:`_ws_tokens` column) to
+    share the regex tokenize across metrics."""
+    c = _c(content)
+    n_hash = F.length(c) - F.length(F.translate(c, "#", ""))
+    n_uni = F.length(c) - F.length(F.translate(c, "…", ""))
+    n_dots = (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / F.lit(3)
+    n_words = F.greatest(F.size(toks if toks is not None else _ws_tokens(c)), F.lit(1))
+    return (n_hash + n_uni + n_dots).cast("double") / n_words.cast("double")
+
+
+def bullet_line_frac(content: Column | str, ls: Column | None = None) -> Column:
+    """Fraction of lines starting with a bullet ('- ', '* ', or a bullet
+    glyph) after space-trim (Gopher: > 0.9 → drop)."""
+    ls = ls if ls is not None else lines(content)
+
+    def is_bullet(line: Column) -> Column:
+        lt = F.ltrim(line)
+        return (
+            lt.startswith("- ")
+            | lt.startswith("* ")
+            | lt.substr(1, 1).isin(*_BULLET_CHARS)
+        )
+
+    return F.size(F.filter(ls, is_bullet)).cast("double") / F.size(ls).cast("double")
+
+
+def ellipsis_line_frac(content: Column | str, ls: Column | None = None) -> Column:
+    """Fraction of lines ending with '...' or '…' after space-trim
+    (Gopher: > 0.3 → drop)."""
+    ls = ls if ls is not None else lines(content)
+
+    def ends_ellipsis(line: Column) -> Column:
+        rt = F.rtrim(line)
+        return rt.endswith("...") | rt.endswith("…")
+
+    return F.size(F.filter(ls, ends_ellipsis)).cast("double") / F.size(ls).cast("double")
+
+
+_WS_CHARS = " \t\n\x0b\x0c\r"  # the java/RE2 \s class, kept in lockstep
+
+
+def mean_word_len(content: Column | str, toks: Column | None = None) -> Column:
+    """Mean length of whitespace words; 0.0 for wordless docs (Gopher keeps
+    docs with mean in [3, 10]). Σ token lengths = non-whitespace char count
+    (translate char map — no per-token fold; CLAUDE.md: char maps are ~20×
+    regex/HOF cost), so the only array op is the word count."""
+    c = _c(content)
+    n = F.size(toks if toks is not None else _ws_tokens(c))
+    total = F.length(F.translate(c, _WS_CHARS, "")).cast("double")
+    return F.when(n <= 0, F.lit(0.0)).otherwise(total / n.cast("double"))
+
+
+def stopword_hits(content: Column | str) -> Column:
+    """How many of the 8 Gopher required stopwords appear as whole lowercase
+    tokens (Gopher: < 2 → drop for prose). Token membership = substring
+    search for ``' word '`` over the space-normalized padded text — 8 cheap
+    contains() calls instead of a tokenize + set-intersect per row."""
+    padded = F.concat(
+        F.lit(" "),
+        F.translate(F.lower(_c(content)), _WS_CHARS, " " * len(_WS_CHARS)),
+        F.lit(" "),
+    )
+    hits = [F.contains(padded, F.lit(f" {s} ")).cast("int") for s in STOPWORDS]
+    out = hits[0]
+    for h in hits[1:]:
+        out = out + h
+    return out.cast("int")
+
+
+def alpha_word_frac(content: Column | str, toks: Column | None = None) -> Column:
+    """Fraction of words containing ≥1 ascii letter; 0.0 for wordless docs
+    (Gopher: < 0.8 → drop). translate-delete char map, not regex (CLAUDE.md:
+    per-match regex cost)."""
+    toks = toks if toks is not None else _ws_tokens(content)
+    n = F.size(toks)
+    n_alpha = F.size(
+        F.filter(toks, lambda t: F.length(F.translate(t, _ALPHA, "")) < F.length(t))
+    )
+    return F.when(n <= 0, F.lit(0.0)).otherwise(n_alpha.cast("double") / n.cast("double"))
+
+
 def with_quality_metrics(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """Attach all metric columns in one projection (single pass over content)."""
+    """Attach all metric columns via a two-stage projection: the line and
+    token arrays are STAGED as real columns first, and every array metric
+    references the staged attribute. CollapseProject refuses to merge
+    projections when it would duplicate non-cheap expressions, so the
+    regex tokenize and the line split each run ONCE per row instead of once
+    per metric (measured 2× on the full pipeline: 4.8s → 2.4s at sf0.1;
+    counting on codegen common-subexpression elimination instead does NOT
+    work here — higher-order functions are codegen fallbacks)."""
     c = F.col(content_col)
-    return df.withColumns(
+    staged = df.withColumns({"_ls": lines(c), "_toks": _ws_tokens(c)})
+    ls, toks = F.col("_ls"), F.col("_toks")
+    return staged.withColumns(
         {
-            "n_lines": n_lines(c),
-            "max_line_len": max_line_len(c),
-            "avg_line_len": avg_line_len(c),
-            "dup_line_frac": dup_line_frac(c),
+            "n_lines": F.size(ls).cast("int"),
+            "max_line_len": F.array_max(F.transform(ls, F.length)).cast("int"),
+            "avg_line_len": (
+                F.aggregate(ls, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double"))
+                / F.size(ls).cast("double")
+            ),
+            "dup_line_frac": (
+                (F.size(ls) - F.size(F.array_distinct(ls))).cast("double")
+                / F.size(ls).cast("double")
+            ),
             "alnum_ratio": alnum_ratio(c),
             "word_count": word_count(c),
             "langid_score": langid_score(c),
+            "symbol_word_ratio": symbol_word_ratio(c, toks),
+            "bullet_line_frac": bullet_line_frac(c, ls),
+            "ellipsis_line_frac": ellipsis_line_frac(c, ls),
+            "mean_word_len": mean_word_len(c, toks),
+            "stopword_hits": stopword_hits(c),
+            "alpha_word_frac": alpha_word_frac(c, toks),
         }
-    )
+    ).drop("_ls", "_toks")
 
 
 def drop_reason(thresholds: dict | None = None) -> Column:
-    """First-matching drop rule over the metric columns; null = keep."""
+    """First-matching drop rule over the metric columns; null = keep.
+    Gopher rules (RULE_ORDER[5:]) fire only when their threshold key is
+    present in the active profile."""
     t = thresholds or QUALITY_THRESHOLDS
-    return (
+    r = (
         F.when(F.col("word_count") < t["min_words"], F.lit("too_short"))
         .when(F.col("max_line_len") > t["max_line_len"], F.lit("long_lines"))
         .when(F.col("alnum_ratio") < t["min_alnum_ratio"], F.lit("low_alnum"))
         .when(F.col("dup_line_frac") > t["max_dup_line_frac"], F.lit("repetition"))
         .when(F.col("langid_score") < t["min_langid_score"], F.lit("langid"))
-        .otherwise(F.lit(None).cast("string"))
     )
+    if "max_symbol_word_ratio" in t:
+        r = r.when(F.col("symbol_word_ratio") > t["max_symbol_word_ratio"], F.lit("symbol_ratio"))
+    if "max_bullet_line_frac" in t:
+        r = r.when(F.col("bullet_line_frac") > t["max_bullet_line_frac"], F.lit("bullet_lines"))
+    if "max_ellipsis_line_frac" in t:
+        r = r.when(F.col("ellipsis_line_frac") > t["max_ellipsis_line_frac"], F.lit("ellipsis_lines"))
+    if "min_mean_word_len" in t:
+        r = r.when(
+            (F.col("mean_word_len") < t["min_mean_word_len"])
+            | (F.col("mean_word_len") > t["max_mean_word_len"]),
+            F.lit("word_length"),
+        )
+    if "min_stopword_hits" in t:
+        r = r.when(F.col("stopword_hits") < t["min_stopword_hits"], F.lit("stopwords"))
+    if "min_alpha_word_frac" in t:
+        r = r.when(F.col("alpha_word_frac") < t["min_alpha_word_frac"], F.lit("alpha_words"))
+    return r.otherwise(F.lit(None).cast("string"))
 
 
 def with_keep_decision(df: DataFrame, thresholds: dict | None = None) -> DataFrame:
@@ -236,6 +404,22 @@ def with_keep_decision(df: DataFrame, thresholds: dict | None = None) -> DataFra
 
 def metrics_sql(content: str = "content") -> dict[str, str]:
     ls = f"string_split({content}, chr(10))"
+    # lambda bodies below reference only their parameter (x/l/t), never the
+    # inlined split — so DuckDB's per-element re-expansion trap (CLAUDE.md)
+    # does not bite even though the lists are inlined
+    toks = f"list_filter(regexp_split_to_array({content}, '\\s+'), t -> t <> '')"
+    ws_sql = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+    padded = (
+        f"(' ' || translate(lower({content}), {ws_sql}, '      ') || ' ')"
+    )
+    sw_hits = " + ".join(
+        f"cast(contains({padded}, ' {s} ') as int)" for s in STOPWORDS
+    )
+    bullet = (
+        "l -> starts_with(ltrim(l), '- ') or starts_with(ltrim(l), '* ') "
+        "or left(ltrim(l), 1) in ('•', '‣', '▪')"
+    )
+    ellipsis = "l -> ends_with(rtrim(l), '...') or ends_with(rtrim(l), '…')"
     return {
         "n_lines": f"cast(len({ls}) as int)",
         "max_line_len": f"cast(list_max(list_transform({ls}, x -> length(x))) as int)",
@@ -255,16 +439,68 @@ def metrics_sql(content: str = "content") -> dict[str, str]:
             f"cast(length({content}) - length(translate(lower({content}), '{_LOWER_SPACE}', '')) as double)"
             f" / cast(length({content}) as double)"
         ),
+        "symbol_word_ratio": (
+            f"cast(length({content}) - length(translate({content}, '#', ''))"
+            f" + length({content}) - length(translate({content}, '…', ''))"
+            f" + (length({content}) - length(replace({content}, '...', ''))) / 3"
+            f" as double) / cast(greatest(len({toks}), 1) as double)"
+        ),
+        "bullet_line_frac": (
+            f"cast(len(list_filter({ls}, {bullet})) as double)"
+            f" / cast(len({ls}) as double)"
+        ),
+        "ellipsis_line_frac": (
+            f"cast(len(list_filter({ls}, {ellipsis})) as double)"
+            f" / cast(len({ls}) as double)"
+        ),
+        "mean_word_len": (
+            f"case when len({toks}) = 0 then 0.0 else"
+            f" cast(length(translate({content}, {ws_sql}, '')) as double)"
+            f" / cast(len({toks}) as double) end"
+        ),
+        "stopword_hits": f"cast({sw_hits} as int)",
+        "alpha_word_frac": (
+            f"case when len({toks}) = 0 then 0.0 else"
+            f" cast(len(list_filter({toks}, t -> length(translate(t, '{_ALPHA}', '')) < length(t))) as double)"
+            f" / cast(len({toks}) as double) end"
+        ),
     }
 
 
 def drop_reason_sql(thresholds: dict | None = None) -> str:
+    """DuckDB twin of :func:`drop_reason` — same rule order, same
+    key-presence gating of the Gopher rules."""
     t = thresholds or QUALITY_THRESHOLDS
-    return f"""
-    case when word_count < {t['min_words']} then 'too_short'
-         when max_line_len > {t['max_line_len']} then 'long_lines'
-         when alnum_ratio < {t['min_alnum_ratio']} then 'low_alnum'
-         when dup_line_frac > {t['max_dup_line_frac']} then 'repetition'
-         when langid_score < {t['min_langid_score']} then 'langid'
-         else null end
-    """
+    arms = [
+        f"when word_count < {t['min_words']} then 'too_short'",
+        f"when max_line_len > {t['max_line_len']} then 'long_lines'",
+        f"when alnum_ratio < {t['min_alnum_ratio']} then 'low_alnum'",
+        f"when dup_line_frac > {t['max_dup_line_frac']} then 'repetition'",
+        f"when langid_score < {t['min_langid_score']} then 'langid'",
+    ]
+    if "max_symbol_word_ratio" in t:
+        arms.append(
+            f"when symbol_word_ratio > {t['max_symbol_word_ratio']} then 'symbol_ratio'"
+        )
+    if "max_bullet_line_frac" in t:
+        arms.append(
+            f"when bullet_line_frac > {t['max_bullet_line_frac']} then 'bullet_lines'"
+        )
+    if "max_ellipsis_line_frac" in t:
+        arms.append(
+            f"when ellipsis_line_frac > {t['max_ellipsis_line_frac']} then 'ellipsis_lines'"
+        )
+    if "min_mean_word_len" in t:
+        arms.append(
+            f"when mean_word_len < {t['min_mean_word_len']}"
+            f" or mean_word_len > {t['max_mean_word_len']} then 'word_length'"
+        )
+    if "min_stopword_hits" in t:
+        arms.append(
+            f"when stopword_hits < {t['min_stopword_hits']} then 'stopwords'"
+        )
+    if "min_alpha_word_frac" in t:
+        arms.append(
+            f"when alpha_word_frac < {t['min_alpha_word_frac']} then 'alpha_words'"
+        )
+    return "case " + "\n         ".join(arms) + "\n         else null end"

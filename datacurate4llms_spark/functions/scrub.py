@@ -29,14 +29,20 @@ def scrub(content: Column | str) -> Column:
 
 
 def with_scrub(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """Attach content_scrubbed / scrub_applied / sha256 columns."""
-    scrubbed = scrub(content_col)
-    return df.withColumns(
+    """Attach content_scrubbed / scrub_applied / sha256 columns.
+
+    content_scrubbed is STAGED as its own projection and the derived columns
+    reference the attribute: inlining the regexp chain into all three would
+    triple both the expression tree (optimizer time — the plan is rebuilt per
+    driver run) and, without codegen CSE, the per-row regex work.
+    CollapseProject keeps the stages separate because merging would duplicate
+    a non-cheap expression."""
+    staged = df.withColumn("content_scrubbed", scrub(content_col))
+    return staged.withColumns(
         {
-            "content_scrubbed": scrubbed,
-            "scrub_applied": F.col(content_col) != scrubbed,
+            "scrub_applied": F.col(content_col) != F.col("content_scrubbed"),
             "content_sha256": F.sha2(F.col(content_col), 256),
-            "scrubbed_sha256": F.sha2(scrubbed, 256),
+            "scrubbed_sha256": F.sha2(F.col("content_scrubbed"), 256),
         }
     )
 

@@ -14,8 +14,54 @@ import re
 
 import pandas as pd
 
-from ..functions.quality import QUALITY_THRESHOLDS
+from ..functions.quality import QUALITY_THRESHOLDS, STOPWORDS
 from ..functions.scrub import SCRUB_RULES
+
+_ALPHA = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
+_BULLETS = ("•", "‣", "▪")
+
+
+def _gopher_reason(content: str, lines: list[str], t: dict) -> str | None:
+    """The six Gopher §A1.1 rules (independent stdlib reimplementation of
+    functions/quality — rules gated on threshold-key presence, same order)."""
+    toks = [x for x in re.split(r"\s+", content) if x != ""]
+    n_lines = len(lines)
+    if "max_symbol_word_ratio" in t:
+        n_sym = content.count("#") + content.count("…") + content.count("...")
+        if n_sym / max(len(toks), 1) > t["max_symbol_word_ratio"]:
+            return "symbol_ratio"
+    if "max_bullet_line_frac" in t:
+        n_bullet = sum(
+            1
+            for line in lines
+            if (lt := line.lstrip(" ")).startswith(("- ", "* "))
+            or lt[:1] in _BULLETS
+        )
+        if n_bullet / n_lines > t["max_bullet_line_frac"]:
+            return "bullet_lines"
+    if "max_ellipsis_line_frac" in t:
+        n_ell = sum(
+            1 for line in lines if line.rstrip(" ").endswith(("...", "…"))
+        )
+        if n_ell / n_lines > t["max_ellipsis_line_frac"]:
+            return "ellipsis_lines"
+    if "min_mean_word_len" in t:
+        mwl = (sum(len(x) for x in toks) / len(toks)) if toks else 0.0
+        if mwl < t["min_mean_word_len"] or mwl > t["max_mean_word_len"]:
+            return "word_length"
+    if "min_stopword_hits" in t:
+        toks_lower = {x for x in re.split(r"\s+", content.lower()) if x != ""}
+        if len(toks_lower & set(STOPWORDS)) < t["min_stopword_hits"]:
+            return "stopwords"
+    if "min_alpha_word_frac" in t:
+        frac = (
+            sum(1 for x in toks if any(ch in _ALPHA for ch in x)) / len(toks)
+            if toks
+            else 0.0
+        )
+        if frac < t["min_alpha_word_frac"]:
+            return "alpha_words"
+    return None
 
 
 def reference_labels(corpus: pd.DataFrame, thresholds: dict | None = None) -> pd.DataFrame:
@@ -44,7 +90,7 @@ def reference_labels(corpus: pd.DataFrame, thresholds: dict | None = None) -> pd
         elif langid < t["min_langid_score"]:
             reason = "langid"
         else:
-            reason = None
+            reason = _gopher_reason(content, lines, t)
 
         scrubbed = content
         for _name, pattern, repl in SCRUB_RULES:

@@ -35,6 +35,8 @@ LABEL_COLUMNS = [
     "doc_id", "repo", "path", "commit", "lang",
     "n_lines", "max_line_len", "avg_line_len", "dup_line_frac",
     "alnum_ratio", "word_count", "langid_score",
+    "symbol_word_ratio", "bullet_line_frac", "ellipsis_line_frac",
+    "mean_word_len", "stopword_hits", "alpha_word_frac",
     "keep", "drop_reason",
     "content_scrubbed", "scrub_applied", "content_sha256", "scrubbed_sha256",
 ]

@@ -572,7 +572,13 @@ _QF_METRICS_CTE = f"""
              {_M['dup_line_frac']} as dup_line_frac,
              {_M['alnum_ratio']} as alnum_ratio,
              {_M['word_count']} as word_count,
-             {_M['langid_score']} as langid_score
+             {_M['langid_score']} as langid_score,
+             {_M['symbol_word_ratio']} as symbol_word_ratio,
+             {_M['bullet_line_frac']} as bullet_line_frac,
+             {_M['ellipsis_line_frac']} as ellipsis_line_frac,
+             {_M['mean_word_len']} as mean_word_len,
+             {_M['stopword_hits']} as stopword_hits,
+             {_M['alpha_word_frac']} as alpha_word_frac
       from source_files
     )
 """
@@ -767,6 +773,40 @@ def q_qf_repetition(spark, sf_dir):
         _r6(dup_paragraph_frac("content")).alias("dup_paragraph_frac"),
         _r6(top_ngram_char_frac("content", 2)).alias("top_bigram_char_frac"),
         _r6(top_ngram_char_frac("content", 3)).alias("top_trigram_char_frac"),
+    )
+
+
+@_register(
+    "qf_gopher_metrics",
+    _QF_METRICS_CTE
+    + """
+    select doc_id,
+           round(cast(symbol_word_ratio as double), 6) as symbol_word_ratio,
+           round(cast(bullet_line_frac as double), 6) as bullet_line_frac,
+           round(cast(ellipsis_line_frac as double), 6) as ellipsis_line_frac,
+           round(cast(mean_word_len as double), 6) as mean_word_len,
+           stopword_hits,
+           round(cast(alpha_word_frac as double), 6) as alpha_word_frac
+    from m
+    """,
+)
+def q_qf_gopher(spark, sf_dir):
+    """Gopher §A1.1 rule battery metrics (Rae et al. 2021): symbol-to-word
+    ratio, bullet/ellipsis line fractions, mean word length, required-
+    stopword hits, alpha-word fraction — all pure JVM SQL expressions
+    (functions/quality), thresholds in QUALITY_THRESHOLDS (code profile) /
+    GOPHER_THRESHOLDS (full prose battery)."""
+    from .functions.quality import with_quality_metrics
+
+    out = with_quality_metrics(source_files(spark, sf_dir), "content")
+    return out.select(
+        "doc_id",
+        _r6(F.col("symbol_word_ratio")).alias("symbol_word_ratio"),
+        _r6(F.col("bullet_line_frac")).alias("bullet_line_frac"),
+        _r6(F.col("ellipsis_line_frac")).alias("ellipsis_line_frac"),
+        _r6(F.col("mean_word_len")).alias("mean_word_len"),
+        "stopword_hits",
+        _r6(F.col("alpha_word_frac")).alias("alpha_word_frac"),
     )
 
 

@@ -201,6 +201,72 @@ def test_boilerplate_detect_and_strip(spark):
     assert (uniq["content"] == uniq["content_clean"]).all()
 
 
+def test_gopher_rule_battery_fires_per_rule(spark):
+    """Each Gopher §A1.1 rule (functions/quality, Rae et al. 2021) fires on
+    its engineered pathology under the full GOPHER_THRESHOLDS profile, in
+    RULE_ORDER; the default code profile must NOT apply the two prose-only
+    rules (stopwords / symbol_ratio)."""
+    from datacurate4llms_spark.functions.quality import (
+        GOPHER_THRESHOLDS,
+        with_keep_decision,
+        with_quality_metrics,
+    )
+    from datacurate4llms_spark.oracle.labels import reference_labels
+
+    # each pathology is engineered to PASS rules earlier in RULE_ORDER
+    # (distinct lines, ≤380-char lines, healthy alnum/langid) so exactly the
+    # intended rule fires first
+    prose = "the words be known to all of us and that we have gone with them "
+    docs = [
+        (0, prose * 5),                                      # clean → keep
+        (1, prose * 3 + "#tag " * 30),                       # symbol_ratio ('#')
+        (2, "\n".join(f"- the item {i} of note" for i in range(40))),  # bullet_lines
+        (3, "\n".join(
+            f"the thing {i} went on and on with many more words to fill it here..."
+            for i in range(20)
+        ) + "\nthe end of it"),                              # ellipsis_lines
+        (4, "\n".join(
+            f"supercalifragilisticw{i} anotherverylongsharedwordx{i}"
+            for i in range(20)
+        )),                                                  # word_length (mean > 10)
+        (5, "\n".join(f"alpha{i} bravo charlie delta echo" for i in range(20))),  # stopwords
+        (6, "\n".join(f"that with 123 num{i}" for i in range(30))),  # alpha_words
+        (7, "\n".join(f"the be seen here x… y… z… w… q… n{i}" for i in range(10))),  # symbol_ratio ('…')
+    ]
+    df = spark.createDataFrame(
+        [(i, "r", f"p{i}", "c", "txt", t) for i, t in docs],
+        "doc_id long, repo string, path string, commit string, lang string, content string",
+    )
+    out = (
+        with_keep_decision(with_quality_metrics(df, "content"), GOPHER_THRESHOLDS)
+        .select("doc_id", "keep", "drop_reason")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    expected = {
+        0: None, 1: "symbol_ratio", 2: "bullet_lines", 3: "ellipsis_lines",
+        4: "word_length", 5: "stopwords", 6: "alpha_words", 7: "symbol_ratio",
+    }
+    got = dict(zip(out["doc_id"], out["drop_reason"]))
+    assert {k: (v if pd.notna(v) else None) for k, v in got.items()} == expected
+
+    # stdlib labeler agrees decision-for-decision under the same profile
+    ref = reference_labels(df.toPandas(), GOPHER_THRESHOLDS)
+    ref_map = dict(zip(ref["doc_id"], ref["drop_reason"]))
+    assert {k: (v if pd.notna(v) else None) for k, v in ref_map.items()} == expected
+
+    # code profile (default QUALITY_THRESHOLDS): prose-only rules are inert —
+    # the all-code-tokens doc (5) and the #-heavy doc (1) are kept
+    code_out = (
+        with_keep_decision(with_quality_metrics(df, "content"))
+        .select("doc_id", "keep")
+        .toPandas()
+    )
+    code_keep = dict(zip(code_out["doc_id"], code_out["keep"]))
+    assert code_keep[1] and code_keep[5]
+
+
 def test_strip_boilerplate_broadcast_is_size_conditional(spark):
     """strip_boilerplate must broadcast the line set ONLY below
     max_broadcast_lines (VERDICT r3 #1): above the bound the anti join runs
