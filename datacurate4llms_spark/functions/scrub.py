@@ -13,11 +13,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# (name, pattern, replacement) — applied in order
+# (name, pattern, replacement) — applied in order. Order is part of the
+# contract: ipv4 before phone (an already-replaced IP can't feed the phone
+# digit groups), aws_key/bearer before hexkey (the more specific tag wins;
+# a lowercase-hex bearer token would otherwise be eaten by hexkey), phone
+# last. Patterns stay in the common Java-regex / RE2 / python-re subset
+# (no lookaround, no backreferences) so Spark, DuckDB, and the stdlib
+# labeler produce byte-identical scrubbed text.
 SCRUB_RULES: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("aws_key", r"\b(?:AKIA|ASIA)[0-9A-Z]{16}\b", "<AWSKEY>"),
+    ("bearer", r"\b[Bb]earer [A-Za-z0-9\-._~+/]{8,}=*", "<BEARER>"),
     ("hexkey", r"[0-9a-f]{32,}", "<KEY>"),
+    # conservative phone shapes — hyphenated / parenthesized / +intl only,
+    # so bare number sequences in code ("100 200 3000") never match
+    ("phone", r"(?:\+\d{1,3}[ -])?(?:\(\d{3}\) ?|\d{3}-)\d{3}-\d{4}\b", "<PHONE>"),
 ]
 
 

@@ -1,0 +1,188 @@
+"""End-to-end curation chain (VERDICT r3 stretch #8): the full
+training-data pipeline composed as ONE declarative job —
+
+    boilerplate-strip → exact dedup (ids-only anti) → minhash near-dedup
+    → eval-set decontamination → quality filter → DSIR top-k
+
+Every stage is an already-driver-green operator; this module proves they
+agree on column contracts end to end, with a single composed DuckDB oracle
+(`curation_e2e_sql`) that is hash-exact on the final selection.
+
+100 TB shape (each stage documented at its definition site): the strip is a
+size-conditional anti join, exact dedup shuffles only (hash, id) pairs,
+minhash is a bucketed band equi-join, decontamination broadcasts the eval
+gram set, the quality filter is shuffle-free SQL, and DSIR broadcasts a
+256-row log-ratio table with a TakeOrderedAndProject top-k — no stage
+shuffles corpus content except the strip's line-rebuild (the honest cost of
+rewriting documents) and the dedup anti joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash32_sql
+from ..functions.quality import (
+    drop_reason_sql,
+    metrics_sql,
+    with_keep_decision,
+    with_quality_metrics,
+)
+from ..operators.boilerplate import boilerplate_lines, strip_boilerplate
+from ..operators.decontamination import contaminated_docs_sql, decontaminate
+from ..operators.dedup import (
+    NUM_BANDS,
+    NUM_MINHASHES,
+    exact_dedup_anti,
+    jaccard_sql,
+    minhash_sql,
+    near_dedup_minhash,
+    shingles_sql,
+)
+from ..operators.dsir import dsir_select, importance_weights_sql
+from .source_files import source_files, source_files_sql
+
+MINHASH_THRESHOLD = 0.7
+DECON_N = 5
+DSIR_K = 50
+
+
+def run_curation_e2e(spark: SparkSession, sf_dir: str, k: int = DSIR_K) -> DataFrame:
+    """sf_dir → composed chain → (doc_id, n_grams, weight) of the k selected
+    docs (weight rounded to 6 for the cross-engine hash)."""
+    import os
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    corpus = source_files(spark, sf_dir).select("doc_id", "content")
+
+    # 1. cross-doc boilerplate strip; fully-boilerplate docs (empty clean
+    #    content) are dropped — zero-length content would make the ratio
+    #    metrics 0/0, which IEEE doubles render as NaN engine-dependently
+    bl = boilerplate_lines(corpus, min_docs=10)
+    stripped = (
+        strip_boilerplate(corpus, bl)
+        .select("doc_id", F.col("content_clean").alias("content"))
+        .filter(F.length("content") > 0)
+    )
+    # Stage boundaries are CHECKPOINTED: every dedup/decon stage references
+    # its input 2-4x (drop-list + anti join; candidates + shingle sides), so
+    # an unbroken lineage re-evaluates upstream stages combinatorially —
+    # measured 47.7s -> ~14s at sf0.01; EAGER because lazy checkpoints do not dedupe concurrently-submitted map stages inside the single downstream action. This is Spark's CTE-materialization
+    # equivalent; at production scale use persist(DISK_ONLY) or a reliable
+    # checkpoint dir instead of executor-local blocks.
+    stripped = stripped.localCheckpoint(eager=True)
+
+    # 2. exact dedup — ids-only drop list + anti join (the wide-corpus shape)
+    exact = exact_dedup_anti(stripped, "content", "doc_id").localCheckpoint(eager=True)
+
+    # 3. minhash near-dedup, keep-first at jaccard ≥ 0.7
+    near = near_dedup_minhash(
+        exact, "content", "doc_id", threshold=MINHASH_THRESHOLD
+    ).localCheckpoint(eager=True)
+
+    # 4. decontaminate vs the eval set (documents doc_id < 20): any 5-gram
+    #    overlap drops the training doc (GPT-3 appendix-C rule)
+    eval_df = docs.filter(F.col("doc_id") < 20).select(
+        "doc_id", F.col("text").alias("content")
+    )
+    decon = decontaminate(near, eval_df, n=DECON_N, content_col="content")
+
+    # 5. quality filter (default code profile), survivors only
+    kept = (
+        with_keep_decision(with_quality_metrics(decon, "content"))
+        .filter("keep")
+        .select("doc_id", F.col("content").alias("text"))
+        .localCheckpoint(eager=True)  # DSIR reads the source side 3x
+    )
+
+    # 6. DSIR top-k toward a deterministic target sample
+    target = docs.filter(F.col("doc_id") % 7 == 0).select("text")
+    sel = dsir_select(kept, target, k=k)
+    return sel.select(
+        "doc_id", "n_grams", F.round(F.col("weight").cast("double"), 6).alias("weight")
+    )
+
+
+def curation_e2e_sql(k: int = DSIR_K) -> str:
+    """Composed DuckDB twin. Every stage's arrays are materialized CTE
+    columns (lambda re-expansion trap, CLAUDE.md); band keys reference the
+    materialized shingle column so the tokenize pipeline runs once per doc,
+    not once per minhash."""
+    rows = NUM_MINHASHES // NUM_BANDS
+
+    def band_sql(b: int) -> str:
+        mh = [minhash_sql("s", b * rows + r) for r in range(rows)]
+        return hash32_sql(*mh, seed=f"band{b}")
+
+    bands_union = " union all ".join(
+        f"select {b} as band_no, {band_sql(b)} as band_hash, doc_id from sh"
+        for b in range(NUM_BANDS)
+    )
+    m = metrics_sql("content")
+    metric_cols = ",\n             ".join(f"{sql} as {name}" for name, sql in m.items())
+    from ..operators.boilerplate import strip_boilerplate_sql
+
+    strip_q = strip_boilerplate_sql(
+        f"select doc_id, content from ({source_files_sql()})", min_docs=10
+    )
+    decon_q = contaminated_docs_sql(
+        "select doc_id, content as text from near",
+        "select doc_id, text from documents where doc_id < 20",
+        n=DECON_N,
+    )
+    dsir_q = importance_weights_sql(
+        "select doc_id, text from kept",
+        "select text from documents where doc_id % 7 = 0",
+    )
+    return f"""
+    with stripped as materialized (
+      select doc_id, content_clean as content from ({strip_q})
+      where length(content_clean) > 0
+    ),
+    exact as materialized (
+      select doc_id, content from (
+        select doc_id, content,
+               row_number() over (partition by md5(content) order by doc_id) as rn
+        from stripped
+      ) t where rn = 1
+    ),
+    sh as materialized (
+      select doc_id, content, {shingles_sql('content')} as s from exact
+    ),
+    bands as materialized ({bands_union}),
+    cands as materialized (
+      select distinct a.doc_id as i, b.doc_id as j
+      from bands a join bands b on a.band_no = b.band_no and a.band_hash = b.band_hash
+      where a.doc_id < b.doc_id
+    ),
+    near_drops as materialized (
+      select distinct c.j from cands c
+      join sh x on c.i = x.doc_id join sh y on c.j = y.doc_id
+      where {jaccard_sql('x.s', 'y.s')} >= {MINHASH_THRESHOLD}
+    ),
+    near as materialized (
+      select doc_id, content from exact
+      where doc_id not in (select j from near_drops)
+    ),
+    decon_bad as materialized (
+      select doc_id from ({decon_q}) where contamination_frac > 0
+    ),
+    decon as materialized (
+      select doc_id, content from near
+      where doc_id not in (select doc_id from decon_bad)
+    ),
+    qm as materialized (
+      select doc_id, content,
+             {metric_cols}
+      from decon
+    ),
+    kept as materialized (
+      select doc_id, content as text from qm
+      where ({drop_reason_sql()}) is null
+    )
+    select doc_id, n_grams, round(cast(weight as double), 6) as weight
+    from ({dsir_q})
+    order by weight desc, doc_id asc
+    limit {k}
+    """

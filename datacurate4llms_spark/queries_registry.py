@@ -2368,3 +2368,22 @@ def q_embedding_lsh(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     out = DD.embedding_near_dup_lsh(e, threshold=0.3, num_planes=6, num_tables=6)
     return out.select("i", "j", _r6(F.col("cos_sim")).alias("cos_sim"))
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation chain (VERDICT r3 stretch #8)
+# ---------------------------------------------------------------------------
+
+from .pipelines.curation_e2e import curation_e2e_sql  # noqa: E402
+
+
+@_register("curation_e2e", curation_e2e_sql())
+def q_curation_e2e(spark, sf_dir):
+    """Full curation chain composed as one job (pipelines/curation_e2e):
+    boilerplate-strip → exact dedup (ids-only anti) → minhash near-dedup →
+    eval-set decontamination → quality filter → DSIR top-50. Hash-exact on
+    the final selection — proves the driver-green operators agree on column
+    contracts end to end."""
+    from .pipelines.curation_e2e import run_curation_e2e
+
+    return run_curation_e2e(spark, sf_dir)
