@@ -37,12 +37,24 @@ QUALITY_THRESHOLDS = {
     "min_alpha_word_frac": 0.8,     # alpha_words
 }
 
+# Gopher's repetition thresholds (§A1.1 table A1). Their metrics
+# (dup_paragraph_frac / top_ngram_char_frac) cost O(g log g) HOF work per
+# row, so they are NOT in with_quality_metrics — attach them with
+# with_repetition_metrics when the active profile carries these keys
+# (quality_filter does this automatically).
+GOPHER_REPETITION_THRESHOLDS = {
+    "max_dup_paragraph_frac": 0.3,    # dup_paragraphs
+    "max_top_bigram_char_frac": 0.20,   # top_bigram
+    "max_top_trigram_char_frac": 0.18,  # top_trigram
+}
+
 # The full Gopher §A1.1 battery at the paper's values — the profile for
 # natural-language corpora. Pass as ``thresholds=`` to quality_filter /
 # drop_reason; every rule is keyed on threshold presence, so profiles
 # compose by dict surgery.
 GOPHER_THRESHOLDS = {
     **QUALITY_THRESHOLDS,
+    **GOPHER_REPETITION_THRESHOLDS,
     "max_symbol_word_ratio": 0.1,  # symbol_ratio ('#' + ellipsis vs words)
     "min_stopword_hits": 2,        # stopwords (≥2 of the 8 required words)
 }
@@ -50,14 +62,16 @@ GOPHER_THRESHOLDS = {
 # Gopher's required-stopword list (Rae et al. 2021 §A1.1, verbatim)
 STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
-# rule evaluation order — first match wins the drop_reason. The six Gopher
-# rules evaluate AFTER the original five and each fires only when its
-# threshold key is present in the active profile (see QUALITY_THRESHOLDS /
-# GOPHER_THRESHOLDS above).
+# rule evaluation order — first match wins the drop_reason. Gopher rules
+# evaluate AFTER the original five, the repetition-family rules last (the
+# paper applies rules independently, so the order is this repo's contract);
+# every Gopher rule fires only when its threshold key is present in the
+# active profile (see QUALITY_THRESHOLDS / GOPHER_THRESHOLDS above).
 RULE_ORDER = [
     "too_short", "long_lines", "low_alnum", "repetition", "langid",
     "symbol_ratio", "bullet_lines", "ellipsis_lines", "word_length",
     "stopwords", "alpha_words",
+    "dup_paragraphs", "top_bigram", "top_trigram",
 ]
 
 
@@ -359,10 +373,26 @@ def with_quality_metrics(df: DataFrame, content_col: str = "content") -> DataFra
     ).drop("_ls", "_toks")
 
 
+def with_repetition_metrics(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Attach the Gopher repetition metrics (dup_paragraph_frac,
+    top_{bi,tri}gram_char_frac). Kept separate from with_quality_metrics —
+    these are O(g log g) HOF passes per row, far costlier than the base
+    metrics — and attached automatically by quality_filter when the active
+    profile carries a GOPHER_REPETITION_THRESHOLDS key."""
+    c = F.col(content_col)
+    return df.withColumns(
+        {
+            "dup_paragraph_frac": dup_paragraph_frac(c),
+            "top_bigram_char_frac": top_ngram_char_frac(c, 2),
+            "top_trigram_char_frac": top_ngram_char_frac(c, 3),
+        }
+    )
+
+
 def drop_reason(thresholds: dict | None = None) -> Column:
     """First-matching drop rule over the metric columns; null = keep.
-    Gopher rules (RULE_ORDER[5:]) fire only when their threshold key is
-    present in the active profile."""
+    Gopher rules fire only when their threshold key is present in the
+    active profile."""
     t = thresholds or QUALITY_THRESHOLDS
     r = (
         F.when(F.col("word_count") < t["min_words"], F.lit("too_short"))
@@ -387,6 +417,12 @@ def drop_reason(thresholds: dict | None = None) -> Column:
         r = r.when(F.col("stopword_hits") < t["min_stopword_hits"], F.lit("stopwords"))
     if "min_alpha_word_frac" in t:
         r = r.when(F.col("alpha_word_frac") < t["min_alpha_word_frac"], F.lit("alpha_words"))
+    if "max_dup_paragraph_frac" in t:
+        r = r.when(F.col("dup_paragraph_frac") > t["max_dup_paragraph_frac"], F.lit("dup_paragraphs"))
+    if "max_top_bigram_char_frac" in t:
+        r = r.when(F.col("top_bigram_char_frac") > t["max_top_bigram_char_frac"], F.lit("top_bigram"))
+    if "max_top_trigram_char_frac" in t:
+        r = r.when(F.col("top_trigram_char_frac") > t["max_top_trigram_char_frac"], F.lit("top_trigram"))
     return r.otherwise(F.lit(None).cast("string"))
 
 
@@ -502,5 +538,17 @@ def drop_reason_sql(thresholds: dict | None = None) -> str:
     if "min_alpha_word_frac" in t:
         arms.append(
             f"when alpha_word_frac < {t['min_alpha_word_frac']} then 'alpha_words'"
+        )
+    if "max_dup_paragraph_frac" in t:
+        arms.append(
+            f"when dup_paragraph_frac > {t['max_dup_paragraph_frac']} then 'dup_paragraphs'"
+        )
+    if "max_top_bigram_char_frac" in t:
+        arms.append(
+            f"when top_bigram_char_frac > {t['max_top_bigram_char_frac']} then 'top_bigram'"
+        )
+    if "max_top_trigram_char_frac" in t:
+        arms.append(
+            f"when top_trigram_char_frac > {t['max_top_trigram_char_frac']} then 'top_trigram'"
         )
     return "case " + "\n         ".join(arms) + "\n         else null end"

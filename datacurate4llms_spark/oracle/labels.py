@@ -21,6 +21,39 @@ _ALPHA = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
 _BULLETS = ("•", "‣", "▪")
 
 
+def _top_ngram_char_frac(content: str, n: int) -> float:
+    """Python twin of quality.top_ngram_char_frac: coverage of the MOST
+    FREQUENT word n-gram (count ties break toward larger coverage)."""
+    toks = [x for x in re.split(r"\s+", content) if x != ""]
+    if len(toks) < n or len(content) == 0:
+        return 0.0
+    grams: dict[str, int] = {}
+    for i in range(len(toks) - n + 1):
+        g = " ".join(toks[i : i + n])
+        grams[g] = grams.get(g, 0) + 1
+    best_cnt, best_cov = max(
+        ((c, c * len(g)) for g, c in grams.items())
+    )
+    return best_cov / len(content)
+
+
+def _repetition_reason(content: str, t: dict) -> str | None:
+    """The Gopher repetition-family rules — evaluated LAST (RULE_ORDER),
+    gated on threshold-key presence."""
+    if "max_dup_paragraph_frac" in t:
+        paras = [p for p in content.split("\n\n") if p.strip(" ") != ""]
+        frac = (len(paras) - len(set(paras))) / len(paras) if paras else 0.0
+        if frac > t["max_dup_paragraph_frac"]:
+            return "dup_paragraphs"
+    if "max_top_bigram_char_frac" in t:
+        if _top_ngram_char_frac(content, 2) > t["max_top_bigram_char_frac"]:
+            return "top_bigram"
+    if "max_top_trigram_char_frac" in t:
+        if _top_ngram_char_frac(content, 3) > t["max_top_trigram_char_frac"]:
+            return "top_trigram"
+    return None
+
+
 def _gopher_reason(content: str, lines: list[str], t: dict) -> str | None:
     """The six Gopher §A1.1 rules (independent stdlib reimplementation of
     functions/quality — rules gated on threshold-key presence, same order)."""
@@ -91,6 +124,8 @@ def reference_labels(corpus: pd.DataFrame, thresholds: dict | None = None) -> pd
             reason = "langid"
         else:
             reason = _gopher_reason(content, lines, t)
+            if reason is None:
+                reason = _repetition_reason(content, t)
 
         scrubbed = content
         for _name, pattern, repl in SCRUB_RULES:

@@ -27,7 +27,12 @@ from pyspark.sql import functions as F
 
 from ..functions.compress import bits_per_char, model_scores_udf
 from ..functions.hashing import salt
-from ..functions.quality import with_keep_decision, with_quality_metrics
+from ..functions.quality import (
+    GOPHER_REPETITION_THRESHOLDS,
+    with_keep_decision,
+    with_quality_metrics,
+    with_repetition_metrics,
+)
 from ..functions.scrub import with_scrub
 from .source_files import source_files
 
@@ -55,6 +60,8 @@ def quality_filter(
     if salt_buckets:
         out = out.repartition(salt_buckets, salt(["repo", "path"], salt_buckets))
     out = with_quality_metrics(out, content_col)
+    if thresholds and any(k in thresholds for k in GOPHER_REPETITION_THRESHOLDS):
+        out = with_repetition_metrics(out, content_col)
     out = with_keep_decision(out, thresholds)
     out = with_scrub(out, content_col)
     if with_model_scores:

@@ -776,6 +776,76 @@ def q_qf_repetition(spark, sf_dir):
     )
 
 
+from .functions.quality import GOPHER_REPETITION_THRESHOLDS, QUALITY_THRESHOLDS  # noqa: E402
+
+# full code-compatible battery: every default rule + the Gopher repetition
+# thresholds (the two prose-only rules stay out — see QUALITY_THRESHOLDS)
+_GOPHER_FULL_PROFILE = {**QUALITY_THRESHOLDS, **GOPHER_REPETITION_THRESHOLDS}
+
+
+@_register(
+    "qf_gopher_keep_drop",
+    f"""
+    with source_files as ({source_files_sql()}),
+    base as (select * from source_files where doc_id < 300),
+    t as materialized (
+      select *,
+             list_filter(string_split_regex(content, '\\s+'), t -> t <> '') as toks,
+             {paragraphs_sql('content')} as paras
+      from base
+    ),
+    g as materialized (
+      select *, {word_grams_sql('toks', 2)} as g2, {word_grams_sql('toks', 3)} as g3
+      from t
+    ),
+    m as (
+      select doc_id,
+             {_M['n_lines']} as n_lines,
+             {_M['max_line_len']} as max_line_len,
+             {_M['avg_line_len']} as avg_line_len,
+             {_M['dup_line_frac']} as dup_line_frac,
+             {_M['alnum_ratio']} as alnum_ratio,
+             {_M['word_count']} as word_count,
+             {_M['langid_score']} as langid_score,
+             {_M['symbol_word_ratio']} as symbol_word_ratio,
+             {_M['bullet_line_frac']} as bullet_line_frac,
+             {_M['ellipsis_line_frac']} as ellipsis_line_frac,
+             {_M['mean_word_len']} as mean_word_len,
+             {_M['stopword_hits']} as stopword_hits,
+             {_M['alpha_word_frac']} as alpha_word_frac,
+             {dup_paragraph_frac_sql('paras')} as dup_paragraph_frac,
+             {top_ngram_char_frac_sql('g2')} as top_bigram_char_frac,
+             {top_ngram_char_frac_sql('g3')} as top_trigram_char_frac
+      from g
+    )
+    select doc_id,
+           ({drop_reason_sql(_GOPHER_FULL_PROFILE)}) is null as keep,
+           coalesce({drop_reason_sql(_GOPHER_FULL_PROFILE)}, '') as drop_reason
+    from m
+    """,
+)
+def q_qf_gopher_keep(spark, sf_dir):
+    """Keep/drop under the COMPLETE code-compatible Gopher battery — all
+    default rules plus the §A1.1 repetition thresholds (dup-paragraph and
+    top-{2,3}-gram coverage), first-match-wins in RULE_ORDER. Bounded to
+    300 docs (repetition metrics are O(g log g)/row)."""
+    from .functions.quality import (
+        with_keep_decision,
+        with_quality_metrics,
+        with_repetition_metrics,
+    )
+
+    base = source_files(spark, sf_dir).filter(F.col("doc_id") < 300)
+    out = with_keep_decision(
+        with_repetition_metrics(with_quality_metrics(base, "content")),
+        _GOPHER_FULL_PROFILE,
+    )
+    return out.select(
+        "doc_id", "keep",
+        F.coalesce(F.col("drop_reason"), F.lit("")).alias("drop_reason"),
+    )
+
+
 @_register(
     "qf_gopher_metrics",
     _QF_METRICS_CTE

@@ -210,6 +210,7 @@ def test_gopher_rule_battery_fires_per_rule(spark):
         GOPHER_THRESHOLDS,
         with_keep_decision,
         with_quality_metrics,
+        with_repetition_metrics,
     )
     from datacurate4llms_spark.oracle.labels import reference_labels
 
@@ -217,8 +218,9 @@ def test_gopher_rule_battery_fires_per_rule(spark):
     # (distinct lines, ≤380-char lines, healthy alnum/langid) so exactly the
     # intended rule fires first
     prose = "the words be known to all of us and that we have gone with them "
+    extra = "quick brown foxes jumped over lazy dogs near rivers while birds sang songs"
     docs = [
-        (0, prose * 5),                                      # clean → keep
+        (0, prose + extra),                                  # clean → keep
         (1, prose * 3 + "#tag " * 30),                       # symbol_ratio ('#')
         (2, "\n".join(f"- the item {i} of note" for i in range(40))),  # bullet_lines
         (3, "\n".join(
@@ -238,7 +240,10 @@ def test_gopher_rule_battery_fires_per_rule(spark):
         "doc_id long, repo string, path string, commit string, lang string, content string",
     )
     out = (
-        with_keep_decision(with_quality_metrics(df, "content"), GOPHER_THRESHOLDS)
+        with_keep_decision(
+            with_repetition_metrics(with_quality_metrics(df, "content")),
+            GOPHER_THRESHOLDS,
+        )
         .select("doc_id", "keep", "drop_reason")
         .toPandas()
         .sort_values("doc_id")
@@ -265,6 +270,61 @@ def test_gopher_rule_battery_fires_per_rule(spark):
     )
     code_keep = dict(zip(code_out["doc_id"], code_out["keep"]))
     assert code_keep[1] and code_keep[5]
+
+
+def test_gopher_repetition_rules_fire_in_order(spark):
+    """The §A1.1 repetition-family rules (dup_paragraphs / top_bigram /
+    top_trigram) fire between 'repetition' and 'langid' in RULE_ORDER, in
+    all three dialects (engine + labeler; the DuckDB twin is pinned by the
+    qf_gopher_keep_drop oracle)."""
+    from datacurate4llms_spark.functions.quality import (
+        GOPHER_REPETITION_THRESHOLDS,
+        QUALITY_THRESHOLDS,
+        with_keep_decision,
+        with_quality_metrics,
+        with_repetition_metrics,
+    )
+    from datacurate4llms_spark.oracle.labels import reference_labels
+
+    profile = {**QUALITY_THRESHOLDS, **GOPHER_REPETITION_THRESHOLDS}
+    para = "the words be known to all of us and that we have gone with them"
+    # doc 1: duplicate paragraphs must NOT also trip the line-dup rule, so
+    # the duplicated paragraph is 1 line among a 20-unique-line paragraph
+    # (dup_para_frac 1/3 > 0.3; dup_line_frac 2/24 < 0.3)
+    big_para = "\n".join(
+        f"unique line {'x' * (i + 1)} holds words in its place" for i in range(20)
+    )
+    docs = [
+        (0, "\n\n".join([
+            para + " one",
+            "quick brown foxes jumped over the lazy dogs with delight today",
+            "many special things have come to pass and more will follow soon",
+        ])),                                                       # keep
+        (1, "\n\n".join([big_para, "dup para", "dup para"])),       # dup_paragraphs
+        (2, "\n".join(f"gram gram filler{i}" for i in range(20))),  # top_bigram
+    ]
+    df = spark.createDataFrame(
+        [(i, "r", f"p{i}", "c", "txt", t) for i, t in docs],
+        "doc_id long, repo string, path string, commit string, lang string, content string",
+    )
+    out = (
+        with_keep_decision(
+            with_repetition_metrics(with_quality_metrics(df, "content")), profile
+        )
+        .select("doc_id", "drop_reason")
+        .toPandas()
+    )
+    got = {
+        k: (v if pd.notna(v) else None)
+        for k, v in zip(out["doc_id"], out["drop_reason"])
+    }
+    ref = reference_labels(df.toPandas(), profile)
+    ref_map = {
+        k: (v if pd.notna(v) else None)
+        for k, v in zip(ref["doc_id"], ref["drop_reason"])
+    }
+    assert got == ref_map
+    assert got == {0: None, 1: "dup_paragraphs", 2: "top_bigram"}, got
 
 
 def test_strip_boilerplate_broadcast_is_size_conditional(spark):
