@@ -1,0 +1,128 @@
+"""C4-style line-level cleaning (Raffel et al. 2020, "Exploring the Limits
+of Transfer Learning…", §2.2 — the C4 heuristics). Net-new vs the reference;
+the standard web-prose companion to the Gopher document-level battery
+(functions/quality).
+
+Rules implemented (the public, list-free subset):
+
+- line-level: keep only lines that end in terminal punctuation, carry at
+  least ``min_words_per_line`` words, and do not mention "javascript";
+- doc-level: drop any document containing a curly brace (code chaff) or the
+  phrase "lorem ipsum"; after line filtering, require at least
+  ``min_lines`` retained lines.
+
+Spark-first shape (same as the boilerplate strip): doc-level predicates are
+a pure filter on the scan; the line rebuild is posexplode → per-line filter
+→ regroup with order restored by (pos, line) sort — one shuffle carrying
+only SURVIVING lines. At 100 TB the line filter is embarrassingly parallel
+and the regroup is the honest cost of rewriting documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TERMINAL_PUNCT = (".", "!", "?", '"', "'")
+MIN_WORDS_PER_LINE = 5
+MIN_LINES = 3
+
+
+def c4_line_keep(line: Column, min_words_per_line: int = MIN_WORDS_PER_LINE) -> Column:
+    """C4 line predicate: ends in terminal punctuation after space-trim,
+    ≥ min_words whitespace words, no 'javascript' mention."""
+    rt = F.rtrim(line)
+    ends_ok = None
+    for p in TERMINAL_PUNCT:
+        cond = rt.endswith(p)
+        ends_ok = cond if ends_ok is None else (ends_ok | cond)
+    n_words = F.size(F.filter(F.split(line, r"\s+"), lambda t: t != ""))
+    return (
+        ends_ok
+        & (n_words >= min_words_per_line)
+        & ~F.contains(F.lower(line), F.lit("javascript"))
+    )
+
+
+def c4_doc_keep(content: Column | str) -> Column:
+    """C4 document predicate: no curly braces, no 'lorem ipsum'."""
+    c = F.col(content) if isinstance(content, str) else content
+    lc = F.lower(c)
+    return (
+        ~F.contains(lc, F.lit("{"))
+        & ~F.contains(lc, F.lit("}"))
+        & ~F.contains(lc, F.lit("lorem ipsum"))
+    )
+
+
+def c4_clean(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    *,
+    min_words_per_line: int = MIN_WORDS_PER_LINE,
+    min_lines: int = MIN_LINES,
+) -> DataFrame:
+    """(id, n_lines_kept, content_clean): doc-level C4 drops applied, lines
+    filtered by :func:`c4_line_keep`, original order preserved; documents
+    with fewer than ``min_lines`` surviving lines are removed."""
+    base = df.filter(c4_doc_keep(content_col)).select(
+        F.col(id_col), F.col(content_col)
+    )
+    pos = base.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(content_col), "\n")).alias("pos", "line"),
+    )
+    kept = pos.filter(c4_line_keep(F.col("line"), min_words_per_line))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_lines_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("content_clean"),
+    )
+    return rebuilt.filter(F.col("n_lines_kept") >= min_lines)
+
+
+def c4_clean_sql(
+    from_sql: str,
+    *,
+    min_words_per_line: int = MIN_WORDS_PER_LINE,
+    min_lines: int = MIN_LINES,
+) -> str:
+    """DuckDB twin of :func:`c4_clean`; input exposes (doc_id, content).
+    Returns (doc_id, n_lines_kept, content_clean)."""
+    punct_ok = " or ".join(
+        f"ends_with(rtrim(line), '{p}')" if p != "'" else "ends_with(rtrim(line), '''')"
+        for p in TERMINAL_PUNCT
+    )
+    line_keep = (
+        f"({punct_ok}) "
+        f"and len(list_filter(regexp_split_to_array(line, '\\s+'), t -> t <> '')) >= {min_words_per_line} "
+        f"and not contains(lower(line), 'javascript')"
+    )
+    return f"""
+    with base as materialized (
+      select doc_id, content from ({from_sql})
+      where not contains(lower(content), '{{')
+        and not contains(lower(content), '}}')
+        and not contains(lower(content), 'lorem ipsum')
+    ),
+    pos as (
+      select doc_id, unnest(string_split(content, chr(10))) as line,
+             generate_subscripts(string_split(content, chr(10)), 1) as pos
+      from base
+    ),
+    kept as (
+      select doc_id, pos, line from pos where {line_keep}
+    )
+    select doc_id,
+           cast(count(*) as bigint) as n_lines_kept,
+           string_agg(line, chr(10) order by pos) as content_clean
+    from kept
+    group by doc_id
+    having count(*) >= {min_lines}
+    """

@@ -2441,6 +2441,79 @@ def q_embedding_lsh(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# C4 line-level cleaning (operators/c4)
+# ---------------------------------------------------------------------------
+
+from .operators.c4 import c4_clean, c4_clean_sql  # noqa: E402
+
+# engineered prose fixture: six lines per doc covering every line rule
+# (kept ×3, too-short, javascript, no-terminal-punct) plus doc-level
+# pathologies on fixed residue classes (curly brace %11, lorem ipsum %13)
+_C4_CORPUS_SQL = """
+  select doc_id,
+    case when doc_id % 13 = 0 then base || chr(10) || 'lorem ipsum dolor sit amet.'
+         else base end as content
+  from (
+    select doc_id,
+      case when doc_id % 11 = 0 then core || chr(10) || 'if (x) { return; }'
+           else core end as base
+    from (
+      select doc_id,
+        substr(text, 1, 40) || ' and so it goes on.' || chr(10) ||
+        'too short.' || chr(10) ||
+        'please enable javascript to view ' || substr(text, 41, 20) || ' now.' || chr(10) ||
+        substr(text, 61, 40) || ' with no ending' || chr(10) ||
+        'surely we think ' || substr(text, 101, 30) || ' is quite fine!' || chr(10) ||
+        'is it true that ' || substr(text, 141, 40) || '?' as core
+      from documents
+    ) t1
+  ) t2
+"""
+
+
+def _c4_corpus(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    core = F.concat_ws(
+        "\n",
+        F.concat(F.substring(t, 1, 40), F.lit(" and so it goes on.")),
+        F.lit("too short."),
+        F.concat(
+            F.lit("please enable javascript to view "),
+            F.substring(t, 41, 20),
+            F.lit(" now."),
+        ),
+        F.concat(F.substring(t, 61, 40), F.lit(" with no ending")),
+        F.concat(
+            F.lit("surely we think "), F.substring(t, 101, 30), F.lit(" is quite fine!")
+        ),
+        F.concat(F.lit("is it true that "), F.substring(t, 141, 40), F.lit("?")),
+    )
+    base = F.when(
+        F.col("doc_id") % 11 == 0, F.concat(core, F.lit("\nif (x) { return; }"))
+    ).otherwise(core)
+    content = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(base, F.lit("\nlorem ipsum dolor sit amet.")),
+    ).otherwise(base)
+    return d.select("doc_id", content.alias("content"))
+
+
+@_register(
+    "c4_clean_docs",
+    f"select doc_id, n_lines_kept, content_clean from ({c4_clean_sql(_C4_CORPUS_SQL)}) t",
+)
+def q_c4_clean(spark, sf_dir):
+    """C4-style line-level cleaning (operators/c4, Raffel et al. 2020 §2.2):
+    terminal-punctuation + min-words + javascript line rules, curly-brace /
+    lorem-ipsum doc rules, ≥3 surviving lines — string-exact rebuild against
+    the DuckDB twin over the engineered fixture."""
+    return c4_clean(_c4_corpus(spark, sf_dir)).select(
+        "doc_id", "n_lines_kept", "content_clean"
+    )
+
+
+# ---------------------------------------------------------------------------
 # End-to-end curation chain (VERDICT r3 stretch #8)
 # ---------------------------------------------------------------------------
 

@@ -327,6 +327,39 @@ def test_gopher_repetition_rules_fire_in_order(spark):
     assert got == {0: None, 1: "dup_paragraphs", 2: "top_bigram"}, got
 
 
+def test_c4_clean_line_and_doc_rules(spark):
+    """C4 cleaning (operators/c4): doc-level curly-brace / lorem-ipsum drops,
+    line-level terminal-punct + min-words + javascript rules, min-lines
+    floor, original line order preserved."""
+    from datacurate4llms_spark.operators.c4 import c4_clean
+
+    docs = [
+        (0, "this is a good first sentence.\nshort.\n"
+            "another quite good long sentence here!\n"
+            "please enable javascript to view this page now.\n"
+            "unterminated line with many words here\n"
+            "and is this not a fine question?"),
+        (1, "good sentence number one stands here.\nvar x = { a: 1 };\n"
+            "good sentence number two stands here."),   # dropped: curly brace
+        (2, "good sentence number one stands here.\nlorem ipsum dolor sit amet.\n"
+            "good sentence number two stands here."),   # dropped: lorem ipsum
+        (3, "only one good retained sentence here.\nshort.\nshort again."),  # < min_lines
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, content string")
+    out = c4_clean(df, min_lines=3).toPandas().set_index("doc_id")
+    assert list(out.index) == [0]
+    assert out.loc[0, "n_lines_kept"] == 3
+    assert out.loc[0, "content_clean"] == (
+        "this is a good first sentence.\n"
+        "another quite good long sentence here!\n"
+        "and is this not a fine question?"
+    )
+    # with the floor relaxed, doc 3 comes back with its single good line
+    out1 = c4_clean(df, min_lines=1).toPandas().set_index("doc_id")
+    assert sorted(out1.index) == [0, 3]
+    assert out1.loc[3, "content_clean"] == "only one good retained sentence here."
+
+
 def test_strip_boilerplate_broadcast_is_size_conditional(spark):
     """strip_boilerplate must broadcast the line set ONLY below
     max_broadcast_lines (VERDICT r3 #1): above the bound the anti join runs
