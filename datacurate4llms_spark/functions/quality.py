@@ -43,9 +43,12 @@ QUALITY_THRESHOLDS = {
 # with_repetition_metrics when the active profile carries these keys
 # (quality_filter does this automatically).
 GOPHER_REPETITION_THRESHOLDS = {
-    "max_dup_paragraph_frac": 0.3,    # dup_paragraphs
-    "max_top_bigram_char_frac": 0.20,   # top_bigram
-    "max_top_trigram_char_frac": 0.18,  # top_trigram
+    "max_dup_paragraph_frac": 0.3,          # dup_paragraphs
+    "max_dup_line_char_frac": 0.20,         # dup_line_chars
+    "max_dup_paragraph_char_frac": 0.20,    # dup_para_chars
+    "max_top_bigram_char_frac": 0.20,       # top_bigram
+    "max_top_trigram_char_frac": 0.18,      # top_trigram
+    "max_top_fourgram_char_frac": 0.16,     # top_fourgram
 }
 
 # The full Gopher §A1.1 battery at the paper's values — the profile for
@@ -71,7 +74,8 @@ RULE_ORDER = [
     "too_short", "long_lines", "low_alnum", "repetition", "langid",
     "symbol_ratio", "bullet_lines", "ellipsis_lines", "word_length",
     "stopwords", "alpha_words",
-    "dup_paragraphs", "top_bigram", "top_trigram",
+    "dup_paragraphs", "dup_line_chars", "dup_para_chars",
+    "top_bigram", "top_trigram", "top_fourgram",
 ]
 
 
@@ -113,6 +117,45 @@ def dup_paragraph_frac(content: Column | str) -> Column:
     n = F.size(ps)
     return F.when(n <= 0, F.lit(0.0)).otherwise(
         (n - F.size(F.array_distinct(ps))).cast("double") / n.cast("double")
+    )
+
+
+def paragraphs(content: Column | str) -> Column:
+    """Non-empty (space-trimmed) blank-line-separated paragraph list."""
+    return F.filter(F.split(_c(content), "\n\n"), lambda p: F.trim(p) != "")
+
+
+def _dup_char_frac(items: Column) -> Column:
+    """Fraction of characters inside REPEAT occurrences of duplicated items:
+    Σ(k−1)·len over values with count k>1, over Σ len — computed as
+    (total − distinct-total)/total, no per-item counting needed."""
+    ln = lambda acc, x: acc + F.length(x).cast("double")  # noqa: E731
+    total = F.aggregate(items, F.lit(0.0), ln)
+    dist = F.aggregate(F.array_distinct(items), F.lit(0.0), ln)
+    return F.when(total <= 0, F.lit(0.0)).otherwise((total - dist) / total)
+
+
+def dup_line_char_frac(content: Column | str, ls: Column | None = None) -> Column:
+    """Gopher dup-line CHAR fraction (table A1: > 0.20 → drop)."""
+    return _dup_char_frac(ls if ls is not None else lines(content))
+
+
+def dup_paragraph_char_frac(content: Column | str) -> Column:
+    """Gopher dup-paragraph CHAR fraction (table A1: > 0.20 → drop)."""
+    return _dup_char_frac(paragraphs(content))
+
+
+def dup_char_frac_sql(items_col: str) -> str:
+    """DuckDB twin of :func:`_dup_char_frac` over a PRE-MATERIALIZED
+    string-list column."""
+    t = f"list_sum(list_transform({items_col}, x -> cast(length(x) as double)))"
+    d = (
+        f"list_sum(list_transform(list_distinct({items_col}),"
+        f" x -> cast(length(x) as double)))"
+    )
+    return (
+        f"case when coalesce({t}, 0) <= 0 then 0.0"
+        f" else ({t} - {d}) / {t} end"
     )
 
 
@@ -383,8 +426,11 @@ def with_repetition_metrics(df: DataFrame, content_col: str = "content") -> Data
     return df.withColumns(
         {
             "dup_paragraph_frac": dup_paragraph_frac(c),
+            "dup_line_char_frac": dup_line_char_frac(c),
+            "dup_paragraph_char_frac": dup_paragraph_char_frac(c),
             "top_bigram_char_frac": top_ngram_char_frac(c, 2),
             "top_trigram_char_frac": top_ngram_char_frac(c, 3),
+            "top_fourgram_char_frac": top_ngram_char_frac(c, 4),
         }
     )
 
@@ -419,10 +465,16 @@ def drop_reason(thresholds: dict | None = None) -> Column:
         r = r.when(F.col("alpha_word_frac") < t["min_alpha_word_frac"], F.lit("alpha_words"))
     if "max_dup_paragraph_frac" in t:
         r = r.when(F.col("dup_paragraph_frac") > t["max_dup_paragraph_frac"], F.lit("dup_paragraphs"))
+    if "max_dup_line_char_frac" in t:
+        r = r.when(F.col("dup_line_char_frac") > t["max_dup_line_char_frac"], F.lit("dup_line_chars"))
+    if "max_dup_paragraph_char_frac" in t:
+        r = r.when(F.col("dup_paragraph_char_frac") > t["max_dup_paragraph_char_frac"], F.lit("dup_para_chars"))
     if "max_top_bigram_char_frac" in t:
         r = r.when(F.col("top_bigram_char_frac") > t["max_top_bigram_char_frac"], F.lit("top_bigram"))
     if "max_top_trigram_char_frac" in t:
         r = r.when(F.col("top_trigram_char_frac") > t["max_top_trigram_char_frac"], F.lit("top_trigram"))
+    if "max_top_fourgram_char_frac" in t:
+        r = r.when(F.col("top_fourgram_char_frac") > t["max_top_fourgram_char_frac"], F.lit("top_fourgram"))
     return r.otherwise(F.lit(None).cast("string"))
 
 
@@ -543,6 +595,14 @@ def drop_reason_sql(thresholds: dict | None = None) -> str:
         arms.append(
             f"when dup_paragraph_frac > {t['max_dup_paragraph_frac']} then 'dup_paragraphs'"
         )
+    if "max_dup_line_char_frac" in t:
+        arms.append(
+            f"when dup_line_char_frac > {t['max_dup_line_char_frac']} then 'dup_line_chars'"
+        )
+    if "max_dup_paragraph_char_frac" in t:
+        arms.append(
+            f"when dup_paragraph_char_frac > {t['max_dup_paragraph_char_frac']} then 'dup_para_chars'"
+        )
     if "max_top_bigram_char_frac" in t:
         arms.append(
             f"when top_bigram_char_frac > {t['max_top_bigram_char_frac']} then 'top_bigram'"
@@ -550,5 +610,9 @@ def drop_reason_sql(thresholds: dict | None = None) -> str:
     if "max_top_trigram_char_frac" in t:
         arms.append(
             f"when top_trigram_char_frac > {t['max_top_trigram_char_frac']} then 'top_trigram'"
+        )
+    if "max_top_fourgram_char_frac" in t:
+        arms.append(
+            f"when top_fourgram_char_frac > {t['max_top_fourgram_char_frac']} then 'top_fourgram'"
         )
     return "case " + "\n         ".join(arms) + "\n         else null end"

@@ -37,20 +37,38 @@ def _top_ngram_char_frac(content: str, n: int) -> float:
     return best_cov / len(content)
 
 
+def _dup_char_frac(items: list[str]) -> float:
+    """Chars in repeat occurrences of duplicated items / total chars."""
+    total = sum(len(x) for x in items)
+    if total <= 0:
+        return 0.0
+    dist = sum(len(x) for x in set(items))
+    return (total - dist) / total
+
+
 def _repetition_reason(content: str, t: dict) -> str | None:
     """The Gopher repetition-family rules — evaluated LAST (RULE_ORDER),
     gated on threshold-key presence."""
+    paras = [p for p in content.split("\n\n") if p.strip(" ") != ""]
     if "max_dup_paragraph_frac" in t:
-        paras = [p for p in content.split("\n\n") if p.strip(" ") != ""]
         frac = (len(paras) - len(set(paras))) / len(paras) if paras else 0.0
         if frac > t["max_dup_paragraph_frac"]:
             return "dup_paragraphs"
+    if "max_dup_line_char_frac" in t:
+        if _dup_char_frac(content.split("\n")) > t["max_dup_line_char_frac"]:
+            return "dup_line_chars"
+    if "max_dup_paragraph_char_frac" in t:
+        if _dup_char_frac(paras) > t["max_dup_paragraph_char_frac"]:
+            return "dup_para_chars"
     if "max_top_bigram_char_frac" in t:
         if _top_ngram_char_frac(content, 2) > t["max_top_bigram_char_frac"]:
             return "top_bigram"
     if "max_top_trigram_char_frac" in t:
         if _top_ngram_char_frac(content, 3) > t["max_top_trigram_char_frac"]:
             return "top_trigram"
+    if "max_top_fourgram_char_frac" in t:
+        if _top_ngram_char_frac(content, 4) > t["max_top_fourgram_char_frac"]:
+            return "top_fourgram"
     return None
 
 

@@ -689,6 +689,7 @@ def q_qf_full(spark, sf_dir):
 
 
 from .functions.quality import (  # noqa: E402
+    dup_char_frac_sql,
     dup_paragraph_frac_sql,
     paragraphs_sql,
     top_ngram_char_frac_sql,
@@ -791,11 +792,13 @@ _GOPHER_FULL_PROFILE = {**QUALITY_THRESHOLDS, **GOPHER_REPETITION_THRESHOLDS}
     t as materialized (
       select *,
              list_filter(string_split_regex(content, '\\s+'), t -> t <> '') as toks,
+             string_split(content, chr(10)) as ls,
              {paragraphs_sql('content')} as paras
       from base
     ),
     g as materialized (
-      select *, {word_grams_sql('toks', 2)} as g2, {word_grams_sql('toks', 3)} as g3
+      select *, {word_grams_sql('toks', 2)} as g2, {word_grams_sql('toks', 3)} as g3,
+             {word_grams_sql('toks', 4)} as g4
       from t
     ),
     m as (
@@ -814,8 +817,11 @@ _GOPHER_FULL_PROFILE = {**QUALITY_THRESHOLDS, **GOPHER_REPETITION_THRESHOLDS}
              {_M['stopword_hits']} as stopword_hits,
              {_M['alpha_word_frac']} as alpha_word_frac,
              {dup_paragraph_frac_sql('paras')} as dup_paragraph_frac,
+             {dup_char_frac_sql('ls')} as dup_line_char_frac,
+             {dup_char_frac_sql('paras')} as dup_paragraph_char_frac,
              {top_ngram_char_frac_sql('g2')} as top_bigram_char_frac,
-             {top_ngram_char_frac_sql('g3')} as top_trigram_char_frac
+             {top_ngram_char_frac_sql('g3')} as top_trigram_char_frac,
+             {top_ngram_char_frac_sql('g4')} as top_fourgram_char_frac
       from g
     )
     select doc_id,

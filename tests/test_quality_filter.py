@@ -218,7 +218,10 @@ def test_gopher_rule_battery_fires_per_rule(spark):
     # (distinct lines, ≤380-char lines, healthy alnum/langid) so exactly the
     # intended rule fires first
     prose = "the words be known to all of us and that we have gone with them "
-    extra = "quick brown foxes jumped over lazy dogs near rivers while birds sang songs"
+    extra = (
+        "quick brown foxes jumped over lazy dogs near rivers while birds sang "
+        "songs and other people walked through town in calm bright ways today"
+    )
     docs = [
         (0, prose + extra),                                  # clean → keep
         (1, prose * 3 + "#tag " * 30),                       # symbol_ratio ('#')
