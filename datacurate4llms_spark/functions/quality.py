@@ -113,7 +113,7 @@ def dup_paragraph_frac(content: Column | str) -> Column:
     """Gopher-style duplicate-paragraph fraction (Rae et al. 2021 §A1.1):
     (n_paragraphs − n_distinct_paragraphs) / n_paragraphs over blank-line-
     separated paragraphs; 0.0 when the document has no non-empty paragraph."""
-    ps = F.filter(F.split(_c(content), "\n\n"), lambda p: F.trim(p) != "")
+    ps = paragraphs(content)
     n = F.size(ps)
     return F.when(n <= 0, F.lit(0.0)).otherwise(
         (n - F.size(F.array_distinct(ps))).cast("double") / n.cast("double")
