@@ -1,0 +1,143 @@
+"""Deterministic Bloom filter as a DataFrame (net-new vs the reference; the
+100 TB membership primitive behind resume checkpoints, drop-lists, and
+decontamination probes when the key set outgrows broadcast range).
+
+The filter is a table of 32-bit words packed in bigints:
+
+    (word_idx bigint, word bigint)   — bit p of the filter lives at
+                                        word_idx = p // 32, bit = p % 32
+
+Positions come from the cross-engine md5-hash32 (k independent seeds), so
+the filter — INCLUDING its false positives — is bit-identical in Spark and
+the DuckDB oracle, unlike engine-native bloom/HLL internals.
+
+Plans:
+
+- **build**: explode k positions per key → groupBy(word_idx) bit_or —
+  map-side combine reduces each task's contribution to ≤ num_bits/32 rows,
+  the exchange carries only partial words. The word table has num_bits/32
+  rows (a 2²⁰-bit filter = 32k rows ≈ 0.5 MB) → broadcastable.
+- **probe**: explode the k probe positions → broadcast join against the
+  word table → per-key AND of the k bit tests. A key is flagged iff ALL k
+  bits are set — no false negatives by construction.
+
+At 10¹⁰ keys a 1%-FPR filter needs ~10¹¹ bits (≈12 GB) — past broadcast
+range; the probe join then runs un-hinted on word_idx (both sides shard
+cleanly on it) and AQE picks the strategy. num_bits is the knob.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash32, hash32_sql
+
+NUM_BITS = 1 << 20
+NUM_HASHES = 4
+
+
+def _positions(cols: list[str], num_bits: int, num_hashes: int, seed: str):
+    return [
+        F.pmod(hash32(*cols, seed=f"{seed}{i}"), F.lit(num_bits))
+        for i in range(num_hashes)
+    ]
+
+
+def bloom_build(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    num_bits: int = NUM_BITS,
+    num_hashes: int = NUM_HASHES,
+    seed: str = "bloom",
+) -> DataFrame:
+    """(word_idx, word): the filter's set words (unset words are absent —
+    the probe treats a missing word as all-zero)."""
+    pos = df.select(F.explode(F.array(*_positions(cols, num_bits, num_hashes, seed))).alias("p"))
+    return (
+        pos.select(
+            F.floor(F.col("p") / F.lit(32)).cast("bigint").alias("word_idx"),
+            F.pmod(F.col("p"), F.lit(32)).cast("int").alias("_bit"),
+        )
+        .select("word_idx", F.expr("shiftleft(1L, _bit)").alias("_w"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("_w").alias("word"))
+    )
+
+
+def bloom_probe(
+    keys: DataFrame,
+    bloom: DataFrame,
+    cols: list[str],
+    *,
+    id_col: str = "doc_id",
+    num_bits: int = NUM_BITS,
+    num_hashes: int = NUM_HASHES,
+    seed: str = "bloom",
+    broadcast_filter: bool = True,
+) -> DataFrame:
+    """(id_col, maybe_member): true iff every one of the key's k filter bits
+    is set. Guaranteed no false negatives; false positives are deterministic
+    (same hash math both engines). ``broadcast_filter=False`` for filters
+    past broadcast range — the join runs un-hinted on word_idx."""
+    qpos = keys.select(
+        F.col(id_col),
+        F.explode(F.array(*_positions(cols, num_bits, num_hashes, seed))).alias("p"),
+    ).select(
+        id_col,
+        F.floor(F.col("p") / F.lit(32)).cast("bigint").alias("word_idx"),
+        F.pmod(F.col("p"), F.lit(32)).cast("int").alias("_bit"),
+    )
+    words = F.broadcast(bloom) if broadcast_filter else bloom
+    tested = qpos.join(words, "word_idx", "left").select(
+        id_col,
+        (
+            F.col("word").isNotNull()
+            & (F.expr("shiftright(word, _bit)").bitwiseAND(F.lit(1)) == 1)
+        ).alias("_set"),
+    )
+    return tested.groupBy(id_col).agg(
+        (F.sum(F.col("_set").cast("int")) == num_hashes).alias("maybe_member")
+    )
+
+
+def bloom_membership_sql(
+    keys_sql: str,
+    members_sql: str,
+    key_expr: str = "doc_id",
+    *,
+    num_bits: int = NUM_BITS,
+    num_hashes: int = NUM_HASHES,
+    seed: str = "bloom",
+) -> str:
+    """DuckDB twin of build+probe composed: ``members_sql`` builds the
+    filter, every row of ``keys_sql`` is probed. Both inputs expose the key
+    column(s) referenced by ``key_expr``. Returns (doc_id, maybe_member)."""
+    pos_exprs = ", ".join(
+        f"cast({hash32_sql(key_expr, seed=f'{seed}{i}')} % {num_bits} as bigint)"
+        for i in range(num_hashes)
+    )
+    return f"""
+    with mpos as (
+      select unnest([{pos_exprs}]) as p from ({members_sql})
+    ),
+    words as materialized (
+      select cast(p // 32 as bigint) as word_idx,
+             bit_or(cast(1 as bigint) << cast(p % 32 as int)) as word
+      from mpos group by 1
+    ),
+    qpos as (
+      select {key_expr} as doc_id, unnest([{pos_exprs}]) as p from ({keys_sql})
+    ),
+    tested as (
+      select q.doc_id,
+             case when w.word is not null
+                  and ((w.word >> cast(q.p % 32 as int)) & 1) = 1
+                  then 1 else 0 end as s
+      from qpos q
+      left join words w on w.word_idx = cast(q.p // 32 as bigint)
+    )
+    select doc_id, sum(s) = {num_hashes} as maybe_member
+    from tested group by doc_id
+    """

@@ -2447,6 +2447,34 @@ def q_embedding_lsh(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Deterministic Bloom filter (operators/bloom)
+# ---------------------------------------------------------------------------
+
+from .operators.bloom import bloom_build, bloom_membership_sql, bloom_probe  # noqa: E402
+
+
+@_register(
+    "bloom_membership",
+    bloom_membership_sql(
+        "select doc_id from documents",
+        "select doc_id from documents where doc_id % 2 = 0",
+        num_bits=1 << 11,
+    ),
+)
+def q_bloom(spark, sf_dir):
+    """Bloom-filter membership (operators/bloom): filter built over the even
+    doc ids, every id probed. Deliberately undersized (2^11 bits for ~250
+    keys → ~39% fill, FPR ≈ 2%) so FALSE POSITIVES occur and must match
+    bit-exactly across engines — the filter is a pure function of hash32,
+    so even its errors are deterministic. No false negatives by
+    construction."""
+    d = _t(spark, sf_dir, "documents")
+    members = d.filter(F.col("doc_id") % 2 == 0)
+    filt = bloom_build(members, ["doc_id"], num_bits=1 << 11)
+    return bloom_probe(d, filt, ["doc_id"], num_bits=1 << 11)
+
+
+# ---------------------------------------------------------------------------
 # C4 line-level cleaning (operators/c4)
 # ---------------------------------------------------------------------------
 

@@ -70,6 +70,31 @@ def test_scrub_spark_matches_python_on_adversarial_inputs(spark):
         assert got[i] == expected, f"case {i}: {c!r}"
 
 
+def test_bloom_no_false_negatives_and_bounded_fpr(spark):
+    """operators/bloom: every member is flagged (no false negatives), the
+    false-positive rate at the designed size is near theory, and the
+    un-hinted (past-broadcast-range) probe regime returns identical rows."""
+    from datacurate4llms_spark.operators.bloom import bloom_build, bloom_probe
+
+    keys = spark.range(4000).select(F.col("id").alias("doc_id"))
+    members = keys.filter(F.col("doc_id") % 4 == 0)  # 1000 members
+    filt = bloom_build(members, ["doc_id"], num_bits=1 << 14)
+    out = bloom_probe(keys, filt, ["doc_id"], num_bits=1 << 14).toPandas()
+    flagged = set(out[out["maybe_member"]]["doc_id"])
+    member_ids = {i for i in range(4000) if i % 4 == 0}
+    assert member_ids <= flagged, "bloom must never miss a member"
+    fpr = len(flagged - member_ids) / (4000 - len(member_ids))
+    # k=4, m=2^14, n=1000 -> theoretical FPR ~ (1-e^{-kn/m})^k ~ 0.055
+    assert fpr < 0.15, fpr
+
+    unhinted = bloom_probe(
+        keys, filt, ["doc_id"], num_bits=1 << 14, broadcast_filter=False
+    ).toPandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = unhinted.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_hash32_range_and_determinism(spark):
     from datacurate4llms_spark.functions.hashing import hash32
 
