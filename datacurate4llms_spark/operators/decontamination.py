@@ -76,6 +76,88 @@ def contaminated_docs(
     )
 
 
+def contaminated_docs_bloom(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    n: int = 5,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Same result as :func:`contaminated_docs`, with a Bloom pre-filter on
+    the train gram stream — the 100 TB shape when the EVAL gram set outgrows
+    broadcast range (a 10⁸-gram eval suite is GBs of strings; its Bloom
+    filter at 1% FPR is ~100× smaller and shards on word_idx if it must).
+
+    Plan, one pipelined pass over the exploded train grams with ZERO extra
+    shuffle: the k bit-tests are k broadcast joins against the word table
+    (no per-gram regroup — regrouping to AND the bits would shuffle the
+    whole gram stream); non-candidate grams get their exact-join key
+    NULL-masked, so the exact verify touches candidates only. Bloom has no
+    false negatives, so masking cannot lose a true hit, and the exact join
+    kills the false positives — output is bit-identical to the exact path
+    (the registered query shares its oracle with ``decon_overlap``)."""
+    from .bloom import bloom_build
+    from ..functions.hashing import hash32
+
+    eval_grams = (
+        eval_df.select(F.explode(shingles(content_col, n)).alias("gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    words = bloom_build(
+        eval_grams, ["gram"], num_bits=num_bits, num_hashes=num_hashes
+    )
+
+    g = train.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(content_col, n)).alias("gram"),
+    )
+    cand = F.lit(True)
+    for i in range(num_hashes):
+        p = F.pmod(hash32("gram", seed=f"bloom{i}"), F.lit(num_bits))
+        wi = F.floor(p / F.lit(32)).cast("bigint")
+        bit = F.pmod(p, F.lit(32)).cast("int")
+        w = words.select(
+            F.col("word_idx").alias(f"_wi{i}"), F.col("word").alias(f"_w{i}")
+        )
+        g = g.withColumn(f"_wi{i}", wi).withColumn(f"_bit{i}", bit).join(
+            F.broadcast(w), f"_wi{i}", "left"
+        )
+        cand = cand & F.col(f"_w{i}").isNotNull() & (
+            F.expr(f"shiftright(_w{i}, _bit{i})").bitwiseAND(F.lit(1)) == 1
+        )
+    probed = g.select("doc_id", "gram", cand.alias("_cand"))
+
+    ev = eval_grams.select(F.col("gram").alias("_egram"), "_hit")
+    verified = probed.join(
+        F.broadcast(ev),
+        F.when(F.col("_cand"), F.col("gram")) == F.col("_egram"),
+        "left",
+    )
+    per_doc = (
+        verified.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_contaminated_grams"),
+        )
+        .filter(F.col("n_contaminated_grams") > 0)
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_contaminated_grams",
+        "n_grams",
+        (
+            F.col("n_contaminated_grams").cast("double")
+            / F.col("n_grams").cast("double")
+        ).alias("contamination_frac"),
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,

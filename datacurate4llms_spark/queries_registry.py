@@ -1236,6 +1236,36 @@ def q_decon_overlap(spark, sf_dir):
 
 
 @_register(
+    "decon_overlap_bloom",
+    # SAME oracle as decon_overlap: the bloom pre-filter must be invisible
+    # in the result (no false negatives; exact verify kills false positives)
+    contaminated_docs_sql(
+        _DUP_CORPUS_SQL,
+        "select doc_id, text from documents where doc_id % 10 = 0",
+        n=5,
+    ),
+)
+def q_decon_overlap_bloom(spark, sf_dir):
+    """Bloom-prefiltered decontamination
+    (operators/decontamination.contaminated_docs_bloom): k broadcast
+    bit-test joins prune the train gram stream before the exact verify —
+    the 100 TB shape when the eval gram set outgrows broadcast range.
+    Shares decon_overlap's oracle: the result must be bit-identical to the
+    exact path."""
+    from .operators.decontamination import contaminated_docs_bloom
+
+    train = _dup_corpus(spark, sf_dir)
+    ev = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", "text"
+    )
+    out = contaminated_docs_bloom(train, ev, n=5, content_col="text", num_bits=1 << 16)
+    return out.select(
+        "doc_id", "n_contaminated_grams", "n_grams",
+        _r6(F.col("contamination_frac")).alias("contamination_frac"),
+    )
+
+
+@_register(
     "dedup_embedding_near",
     f"""
     select a.vec_id as i, b.vec_id as j,

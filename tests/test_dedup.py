@@ -236,6 +236,45 @@ def test_decontaminate_drops_eval_overlap(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_decontaminate_bloom_identical_to_exact_under_fp_pressure(spark):
+    """contaminated_docs_bloom must equal contaminated_docs row-for-row even
+    with a deliberately TINY filter (heavy false-positive pressure) — bloom
+    has no false negatives and the exact verify kills the FPs — and its plan
+    must carry no extra shuffle beyond the exact path's aggregation."""
+    from datacurate4llms_spark.operators.decontamination import (
+        contaminated_docs,
+        contaminated_docs_bloom,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    copies = ev.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    train = docs.filter(F.col("doc_id") % 10 != 0).unionByName(copies)
+
+    exact = (
+        contaminated_docs(train, ev, n=5, content_col="text")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    bloom = contaminated_docs_bloom(
+        train, ev, n=5, content_col="text", num_bits=1 << 10  # ~saturated
+    ).toPandas().sort_values("doc_id").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(exact, bloom, check_dtype=False)
+
+    plan = contaminated_docs_bloom(
+        train, ev, n=5, content_col="text", num_bits=1 << 16
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # bit-test joins + exact verify are ALL broadcast — the gram stream
+    # shuffles only into the final per-doc aggregation
+    assert plan.count("BroadcastHashJoin") >= 5
+
+
 def test_dsir_weights_favor_target_language(spark):
     """DSIR sanity (Xie et al. 2023): with an English target sample, English
     source docs must receive systematically higher importance weights than
