@@ -126,6 +126,24 @@ def test_grouped_kmv_has_no_window_funnel(spark):
     assert plan.count("Exchange") == 2, plan
 
 
+def test_bloom_build_combines_map_side_and_probe_broadcasts(spark):
+    """bloom_build's exchange must carry PARTIAL words (partial_bit_or
+    before the shuffle — ≤ num_bits/32 rows per task), and the default
+    probe must be a broadcast join (no gram/key shuffle before the per-key
+    aggregation)."""
+    from datacurate4llms_spark.operators.bloom import bloom_build, bloom_probe
+
+    keys = spark.range(1000).selectExpr("id as doc_id")
+    filt = bloom_build(keys, ["doc_id"], num_bits=1 << 14)
+    build_plan = _plan(filt)
+    assert "partial_bit_or" in build_plan, "map-side combine must reduce words"
+    assert build_plan.count("Exchange") == 1
+
+    probe_plan = _plan(bloom_probe(keys, filt, ["doc_id"], num_bits=1 << 14))
+    assert "BroadcastHashJoin" in probe_plan
+    assert "SortMergeJoin" not in probe_plan
+
+
 def test_stratified_sample_is_salted_two_phase(spark):
     """stratified_sample must bound every window: phase-1 windows partition
     on (group, salt) so no task sees more than ~1/S of a stratum; the final
