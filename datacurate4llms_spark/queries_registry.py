@@ -1693,6 +1693,31 @@ def q_render_conv(spark, sf_dir):
 
 
 @_register(
+    "p2_instruction_prefix",
+    """
+    select doc_id,
+           'Represent this sentence for searching relevant passages: ' || text
+             as prefixed
+    from documents where doc_id < 200
+    """,
+)
+def q_instruction_prefix(spark, sf_dir):
+    """P2 instruction prefixing (functions/text.instruction_prefix — the
+    reference's BGE `_prepare_inputs` query-instruction prepend,
+    src/encoders/bge_unified_encoder.py:124-138) with the bge retrieval
+    instruction string."""
+    from .functions.text import instruction_prefix
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        instruction_prefix(
+            "text", "Represent this sentence for searching relevant passages:"
+        ).alias("prefixed"),
+    )
+
+
+@_register(
     "p10_render_chatml",
     """
     select doc_id,
