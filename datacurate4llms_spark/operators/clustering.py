@@ -97,6 +97,67 @@ def grouped_clusters_nested(assigned: DataFrame, records: DataFrame, id_col: str
     )
 
 
+def elbow_plot_svg(
+    gains: list[float],
+    knee: int | None = None,
+    *,
+    width: int = 640,
+    height: int = 400,
+    margin: int = 48,
+) -> str:
+    """S10 completed: the reference renders the greedy gain curve to PNG via
+    matplotlib (data_clustering.py:212-225 — plot of gains vs cluster count,
+    marker per point); this emits the same figure as a dependency-free
+    deterministic SVG string (polyline + point markers + axis labels, knee
+    marked with a vertical line when given). Driver-side over ≤ n floats —
+    the curve has one point per greedy pick by construction. Coordinates are
+    rounded to 2 decimals so the string is byte-stable across platforms."""
+    if not gains:
+        raise ValueError("elbow_plot_svg: empty gain curve")
+    lo, hi = min(gains), max(gains)
+    span = (hi - lo) or 1.0
+    n = len(gains)
+
+    def px(i: int) -> float:
+        return round(
+            margin + (width - 2 * margin) * (i / (n - 1) if n > 1 else 0.5), 2
+        )
+
+    def py(g: float) -> float:
+        return round(height - margin - (height - 2 * margin) * ((g - lo) / span), 2)
+
+    pts = [(px(i), py(g)) for i, g in enumerate(gains)]
+    polyline = " ".join(f"{x},{y}" for x, y in pts)
+    markers = "".join(
+        f'<circle cx="{x}" cy="{y}" r="3" fill="#1f77b4"/>' for x, y in pts
+    )
+    knee_mark = ""
+    if knee is not None and 1 <= knee <= n:
+        kx = px(knee - 1)
+        knee_mark = (
+            f'<line x1="{kx}" y1="{margin}" x2="{kx}" y2="{height - margin}" '
+            f'stroke="#d62728" stroke-dasharray="4 3"/>'
+            f'<text x="{kx}" y="{margin - 6}" font-size="12" fill="#d62728" '
+            f'text-anchor="middle">k={knee}</text>'
+        )
+    return (
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" height="{height}">'
+        f'<rect width="{width}" height="{height}" fill="white"/>'
+        f'<line x1="{margin}" y1="{height - margin}" x2="{width - margin}" '
+        f'y2="{height - margin}" stroke="black"/>'
+        f'<line x1="{margin}" y1="{margin}" x2="{margin}" y2="{height - margin}" '
+        f'stroke="black"/>'
+        f'<text x="{width // 2}" y="{height - 8}" font-size="13" '
+        f'text-anchor="middle">Number of Clusters</text>'
+        f'<text x="14" y="{height // 2}" font-size="13" text-anchor="middle" '
+        f'transform="rotate(-90 14 {height // 2})">Gains</text>'
+        f'<text x="{width // 2}" y="20" font-size="14" text-anchor="middle">'
+        f"Submodular Gains vs Number of Clusters</text>"
+        f'<polyline points="{polyline}" fill="none" stroke="#1f77b4" '
+        f'stroke-width="1.5"/>{markers}{knee_mark}</svg>'
+    )
+
+
 def detect_optimal_clusters(gains: list[float], default: int = 50) -> int:
     """O2: knee of the greedy gain curve (data_clustering.py:171-186).
 

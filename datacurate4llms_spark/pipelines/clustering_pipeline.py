@@ -66,6 +66,7 @@ def cluster_documents(
     dim: int = 16,
     max_curve_rows: int = 50_000,
     instruction: str = "",
+    elbow_svg_path: str | None = None,
 ) -> DataFrame:
     """DataFrame-level clustering: any (id, text) table → cluster assignment
     table. ``run_clustering`` is the parquet-table wrapper; this is the form
@@ -99,6 +100,17 @@ def cluster_documents(
     gains = [r.gain for r in picks]
     k = num_clusters or detect_optimal_clusters(gains)
     k = max(1, min(k, len(picks)))
+
+    if elbow_svg_path is not None:
+        # S10 sink: the reference's matplotlib elbow PNG
+        # (data_clustering.py:212-225,277 plots gains[1:]) as a
+        # dependency-free SVG — same skip-first-gain curve, knee marked
+        from ..operators.clustering import elbow_plot_svg
+
+        # plot x = 1..len(gains)-1 maps to cluster counts 2..len, so
+        # cluster k sits at plot position k-1 (k=1 -> no marker, guarded)
+        with open(elbow_svg_path, "w", encoding="utf-8") as f:
+            f.write(elbow_plot_svg(gains[1:], knee=k - 1))
 
     center_map = spark.createDataFrame(
         [(r.doc_id, r.pick_order) for r in picks[:k]], "doc_id bigint, center_id int"

@@ -35,6 +35,36 @@ def test_clustering_knee_detection_runs(spark):
     assert detect_optimal_clusters([1.0, 1.0]) == 50  # degenerate → default
 
 
+def test_elbow_plot_svg_deterministic_and_written_by_pipeline(spark, tmp_path):
+    """S10 elbow-plot sink (reference save_elbow_plot, data_clustering.py:
+    212-225): dependency-free SVG twin — well-formed XML, byte-stable
+    across calls, knee marker present iff in range, and the clustering
+    pipeline writes it when asked."""
+    import xml.etree.ElementTree as ET
+
+    from datacurate4llms_spark.operators.clustering import elbow_plot_svg
+    from datacurate4llms_spark.pipelines.clustering_pipeline import cluster_documents
+
+    gains = [100.0, 50.0, 25.0, 12.0, 6.0, 5.5, 5.2, 5.1, 5.05, 5.0]
+    svg = elbow_plot_svg(gains, knee=5)
+    assert svg == elbow_plot_svg(gains, knee=5)  # byte-stable
+    root = ET.fromstring(svg)  # well-formed
+    assert root.tag.endswith("svg")
+    assert "k=5" in svg and "polyline" in svg
+    assert svg.count("<circle") == len(gains)
+    assert "k=" not in elbow_plot_svg(gains, knee=0)  # out-of-range: no marker
+
+    docs = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+    )
+    out_path = tmp_path / "elbow.svg"
+    cluster_documents(docs, num_clusters=6, elbow_svg_path=str(out_path)).count()
+    written = out_path.read_text()
+    assert written.startswith("<svg") and "Submodular Gains" in written
+
+
 def test_clustering_knee_clamped_to_curve(spark):
     """Knee at the last curve point must not exceed len(gains)
     (reference clamp, data_clustering.py:180-181; ADVICE r1)."""
