@@ -177,6 +177,76 @@ def temperature_sample(
     )
 
 
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str],
+    group_by: list[str],
+    quantiles: list[float],
+    *,
+    k: int = 256,
+    seed: str = "qsk",
+    num_salts: int = 32,
+) -> DataFrame:
+    """Approximate per-group quantiles over a deterministic bottom-k-by-hash
+    sample — the mergeable/oracle-checkable alternative to engine-native
+    approx_percentile (whose sketch internals differ per engine and per
+    partitioning). The sample is a uniform random subset under the hash's
+    uniformity, so sample quantiles converge at O(1/√k); because the sample
+    is a pure function of hash32 the result is bit-identical across engines
+    AND stable across runs/partitionings — approx_percentile is neither.
+
+    Plan: the salted two-phase bottom-k (see :func:`stratified_sample`, no
+    stratum funnels through one task) then one exact percentile over ≤ k
+    rows per group. Exact interpolation semantics: Spark percentile() ==
+    DuckDB quantile_cont (verified bit-exact by rel_percentiles)."""
+    sample = stratified_sample(
+        df.select(*group_by, *key_cols, value_col),
+        key_cols, group_by, k, seed=seed, num_salts=num_salts,
+    )
+    agg_cols = [
+        F.expr(f"percentile({value_col}, {float(q)})").alias(f"q{int(q * 100)}")
+        for q in quantiles
+    ]
+    return sample.groupBy(*group_by).agg(
+        F.count("*").cast("bigint").alias("n_sample"), *agg_cols
+    )
+
+
+def quantile_sketch_sql(
+    from_sql: str,
+    value_col: str,
+    key_exprs: list[str],
+    group_by: list[str],
+    quantiles: list[float],
+    *,
+    k: int = 256,
+    seed: str = "qsk",
+) -> str:
+    """DuckDB twin of :func:`quantile_sketch`: same hash-ranked sample (the
+    salted two-phase plan is plan-shape only — its output equals the plain
+    per-group bottom-k), quantile_cont for the interpolation."""
+    g = ", ".join(group_by)
+    keys_order = ", ".join(key_exprs)
+    h = hash32_sql(*key_exprs, seed=seed)
+    qcols = ",\n           ".join(
+        f"round(cast(quantile_cont({value_col}, {float(q)}) as double), 6)"
+        f" as q{int(q * 100)}"
+        for q in quantiles
+    )
+    return f"""
+    with ranked as (
+      select *, row_number() over (partition by {g}
+                                   order by {h} asc, {keys_order}) as _rk
+      from ({from_sql})
+    ),
+    sample as (select * from ranked where _rk <= {k})
+    select {g}, cast(count(*) as bigint) as n_sample,
+           {qcols}
+    from sample group by {g}
+    """
+
+
 def stratified_sample(
     df: DataFrame,
     key_cols: list[str],

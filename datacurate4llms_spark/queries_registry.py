@@ -2298,6 +2298,38 @@ def q_kmv(spark, sf_dir):
 
 
 @_register(
+    "sketch_quantiles",
+    SK.quantile_sketch_sql(
+        "select l_returnflag, l_orderkey, l_linenumber, l_extendedprice from lineitem",
+        "l_extendedprice",
+        ["l_orderkey", "l_linenumber"],
+        ["l_returnflag"],
+        [0.5, 0.9, 0.99],
+        k=256,
+    ),
+)
+def q_quantile_sketch(spark, sf_dir):
+    """Mergeable quantile sketch (operators/sketches.quantile_sketch):
+    per-flag quantiles over a deterministic bottom-256-by-hash sample —
+    bit-identical across engines and partitionings, unlike engine-native
+    approx_percentile. The exact rel_percentiles query is this sketch's
+    ground truth."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    out = SK.quantile_sketch(
+        li, "l_extendedprice", ["l_orderkey", "l_linenumber"], ["l_returnflag"],
+        [0.5, 0.9, 0.99], k=256,
+    )
+    return out.select(
+        "l_returnflag", "n_sample",
+        _r6(F.col("q50")).alias("q50"),
+        _r6(F.col("q90")).alias("q90"),
+        _r6(F.col("q99")).alias("q99"),
+    )
+
+
+@_register(
     "sketch_bottomk_sample",
     f"""
     select doc_id, lang from documents

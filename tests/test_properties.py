@@ -173,6 +173,29 @@ def test_kmv_estimate_accuracy_and_merge_property(spark):
     assert repartitioned.n_estimate == est.n_estimate  # partitioning-invariant
 
 
+def test_quantile_sketch_accuracy_and_partition_invariance(spark):
+    """quantile_sketch: sample median within sampling error of the exact
+    median (O(1/sqrt(k))), exact when the group fits inside k, and invariant
+    to input partitioning (hash sample, no RNG)."""
+    from datacurate4llms_spark.operators.sketches import quantile_sketch
+
+    big = spark.range(20_000).selectExpr(
+        "'g' as grp", "id as k", "cast(id as double) as v"
+    )
+    sk = quantile_sketch(big, "v", ["k"], ["grp"], [0.5], k=256).collect()[0]
+    assert abs(sk.q50 - 9999.5) / 20_000 < 0.1  # within ~3/sqrt(256) of exact
+
+    again = quantile_sketch(
+        big.repartition(13), "v", ["k"], ["grp"], [0.5], k=256
+    ).collect()[0]
+    assert again.q50 == sk.q50  # partition-invariant
+
+    small = spark.range(100).selectExpr("'g' as grp", "id as k", "cast(id as double) as v")
+    ex = quantile_sketch(small, "v", ["k"], ["grp"], [0.5, 0.9], k=256).collect()[0]
+    # n < k → exact (q90 interpolates: 0.9*99 = 89.1 up to float repr)
+    assert ex.n_sample == 100 and ex.q50 == 49.5 and abs(ex.q90 - 89.1) < 1e-9
+
+
 def test_bottom_k_sample_consistent_across_tables(spark):
     """The same keys are sampled from two different tables sharing the key —
     the consistency property random sampling lacks."""
