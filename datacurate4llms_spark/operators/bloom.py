@@ -80,7 +80,11 @@ def bloom_probe(
     """(id_col, maybe_member): true iff every one of the key's k filter bits
     is set. Guaranteed no false negatives; false positives are deterministic
     (same hash math both engines). ``broadcast_filter=False`` for filters
-    past broadcast range — the join runs un-hinted on word_idx."""
+    past broadcast range — the join runs un-hinted on word_idx.
+
+    ``id_col`` must be unique per probe row (the standard document-id
+    contract): the per-key AND regroups on it, so duplicate ids would mix
+    two keys' bit tests."""
     qpos = keys.select(
         F.col(id_col),
         F.explode(F.array(*_positions(cols, num_bits, num_hashes, seed))).alias("p"),

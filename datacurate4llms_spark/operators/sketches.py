@@ -199,7 +199,10 @@ def quantile_sketch(
     Plan: the salted two-phase bottom-k (see :func:`stratified_sample`, no
     stratum funnels through one task) then one exact percentile over ≤ k
     rows per group. Exact interpolation semantics: Spark percentile() ==
-    DuckDB quantile_cont (verified bit-exact by rel_percentiles)."""
+    DuckDB quantile_cont (verified bit-exact by rel_percentiles).
+
+    Output columns are named ``q{int(q*100)}`` — quantiles must therefore be
+    distinct at 2-decimal granularity (0.999 would collide with 0.99)."""
     sample = stratified_sample(
         df.select(*group_by, *key_cols, value_col),
         key_cols, group_by, k, seed=seed, num_salts=num_salts,
