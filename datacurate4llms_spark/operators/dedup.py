@@ -176,6 +176,75 @@ def ngram_jaccard_pairs(
     )
 
 
+def crossdoc_dup_frac(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    *,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(doc_id, n_grams, n_dup_grams, dup_frac): per document, the fraction
+    of its distinct token n-grams that also appear in ≥ ``min_docs`` distinct
+    documents — the detection signal behind exact-substring dedup (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 — their ExactSubstr at 50 tokens; token n-grams stand
+    in for suffix-array spans). Cross-doc complement of the within-doc
+    Gopher repetition metrics and the line-level boilerplate detector.
+
+    Scale shape: grams reduce to 8-byte hash32 fingerprints BEFORE any
+    shuffle — the gram-count aggregation and the count-join move hashes
+    only, never text (the ids-only exact-dedup lesson, BENCH.md). Shingles
+    are distinct per doc, so gram counts are document frequencies."""
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(content_col, n)).alias("_g"),
+    ).select("doc_id", hash32("_g", seed="xdoc").alias("_h"))
+    counts = grams.groupBy("_h").agg(F.count("*").cast("bigint").alias("_df"))
+    return (
+        grams.join(counts, "_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum((F.col("_df") >= min_docs).cast("int"))
+            .cast("bigint")
+            .alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_dup_grams",
+            (F.col("n_dup_grams").cast("double") / F.col("n_grams").cast("double")
+             ).alias("dup_frac"),
+        )
+    )
+
+
+def crossdoc_dup_frac_sql(
+    from_sql: str, *, n: int = 8, min_docs: int = 2
+) -> str:
+    """DuckDB twin of :func:`crossdoc_dup_frac`; input exposes
+    (doc_id, text)."""
+    return f"""
+    with sh as materialized (
+      select doc_id, {shingles_sql('text', n)} as s from ({from_sql})
+    ),
+    grams as materialized (
+      select doc_id, {hash32_sql('g', seed='xdoc')} as _h
+      from (select doc_id, unnest(s) as g from sh) t
+    ),
+    counts as (
+      select _h, cast(count(*) as bigint) as _df from grams group by _h
+    )
+    select g.doc_id,
+           cast(count(*) as bigint) as n_grams,
+           cast(sum(case when c._df >= {min_docs} then 1 else 0 end) as bigint)
+             as n_dup_grams,
+           round(cast(sum(case when c._df >= {min_docs} then 1 else 0 end) as double)
+                 / cast(count(*) as double), 6) as dup_frac
+    from grams g join counts c using (_h)
+    group by g.doc_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -1236,6 +1236,23 @@ def q_decon_overlap(spark, sf_dir):
 
 
 @_register(
+    "dedup_crossdoc_ngrams",
+    DD.crossdoc_dup_frac_sql(_DUP_CORPUS_SQL, n=8, min_docs=2),
+)
+def q_crossdoc_ngrams(spark, sf_dir):
+    """Cross-doc duplicated-n-gram coverage (operators/dedup.crossdoc_dup_frac,
+    the Lee et al. 2022 ExactSubstr detection signal over token 8-grams):
+    per doc, the fraction of its distinct grams appearing in >= 2 docs —
+    exact copies surface at 1.0. Hash-only shuffle (8 B/gram, never text)."""
+    out = DD.crossdoc_dup_frac(
+        _dup_corpus(spark, sf_dir), content_col="text", n=8, min_docs=2
+    )
+    return out.select(
+        "doc_id", "n_grams", "n_dup_grams", _r6(F.col("dup_frac")).alias("dup_frac")
+    )
+
+
+@_register(
     "decon_overlap_bloom",
     # SAME oracle as decon_overlap: the bloom pre-filter must be invisible
     # in the result (no false negatives; exact verify kills false positives)

@@ -236,6 +236,30 @@ def test_decontaminate_drops_eval_overlap(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_crossdoc_dup_frac_flags_copies(spark):
+    """crossdoc_dup_frac (Lee et al. ExactSubstr signal over token 8-grams):
+    exact copies score 1.0, docs with unique text score 0, and the gram
+    stream reduces to hashes before the shuffle (no text in the exchange)."""
+    from datacurate4llms_spark.operators.dedup import crossdoc_dup_frac
+
+    docs = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+    )
+    copies = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 5000).alias("doc_id"), "text"
+    )
+    out = crossdoc_dup_frac(
+        docs.unionByName(copies), content_col="text", n=8
+    ).toPandas().set_index("doc_id")
+    assert (out.loc[out.index >= 5000, "dup_frac"] == 1.0).all()
+    originals = out.loc[out.index.isin(range(10)), "dup_frac"]
+    assert (originals == 1.0).all()  # originals of the copies
+    untouched = out.loc[(out.index >= 10) & (out.index < 60), "dup_frac"]
+    assert (untouched < 0.5).all()  # word-salad docs share few 8-grams
+
+
 def test_decontaminate_bloom_identical_to_exact_under_fp_pressure(spark):
     """contaminated_docs_bloom must equal contaminated_docs row-for-row even
     with a deliberately TINY filter (heavy false-positive pressure) — bloom
