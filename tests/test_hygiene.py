@@ -1,0 +1,62 @@
+"""Repo-wide invariants that guard the determinism contract mechanically
+(CLAUDE.md: all cross-engine determinism flows through md5-hash32; engine
+RNG and physical-row-order-dependent ids are silent parity killers)."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+PKG = Path(__file__).resolve().parent.parent / "datacurate4llms_spark"
+
+# engine-RNG / order-dependent primitives that would silently break the
+# DuckDB-oracle parity (results vary per run / per partitioning)
+_FORBIDDEN = [
+    r"F\.rand\(",
+    r"F\.randn\(",
+    r"\brand\(\)",                      # SQL rand()
+    r"monotonically_increasing_id",
+    r"\buuid\(",
+    r"np\.random\.(?!Generator|PCG64)",  # bare global-state numpy RNG
+    r"random\.random\(",
+    r"random\.shuffle\(",
+]
+
+
+# documented exceptions, reviewed individually:
+# - hashing.py / selection.py mention np.random only in DOCSTRINGS comparing
+#   against the reference's RNG (the code replaces it with hash32);
+# - readers.with_doc_id's un-ordered branch uses monotonically_increasing_id
+#   with an explicit within-run-only caveat — the ordered (oracle) variant
+#   is the deterministic path.
+_ALLOWED = {
+    ("hashing.py", r"np\.random\.(?!Generator|PCG64)"),
+    ("selection.py", r"np\.random\.(?!Generator|PCG64)"),
+    ("readers.py", r"monotonically_increasing_id"),
+}
+
+
+def test_no_engine_rng_in_package():
+    offenders = []
+    for path in sorted(PKG.rglob("*.py")):
+        text = path.read_text(encoding="utf-8")
+        for pat in _FORBIDDEN:
+            if (path.name, pat) in _ALLOWED:
+                continue
+            for m in re.finditer(pat, text):
+                line_no = text.count("\n", 0, m.start()) + 1
+                offenders.append(f"{path.name}:{line_no} matches {pat}")
+    assert not offenders, offenders
+
+
+def test_registry_oracles_subset_of_queries():
+    """Every oracle key must have a queries() entry (the driver joins them),
+    and the two documented rows-only queries are exactly the difference."""
+    import sys
+
+    sys.path.insert(0, str(PKG.parent))
+    from datacurate4llms_spark.queries_registry import ORACLES, QUERIES
+
+    assert set(ORACLES) <= set(QUERIES)
+    rows_only = set(QUERIES) - set(ORACLES)
+    assert rows_only == {"flagship_selection", "qf_full_pipeline"}, rows_only
