@@ -126,6 +126,26 @@ def test_grouped_kmv_has_no_window_funnel(spark):
     assert plan.count("Exchange") == 2, plan
 
 
+def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
+    """A filter on the partition column must become a PartitionFilter (scan
+    skips non-matching directories entirely) — the partition-pruning half of
+    pushdown; PushedFilters on data columns are pinned separately above."""
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = str(tmp_path / "by_lang")
+    docs.write.partitionBy("lang").parquet(out)
+
+    pruned = spark.read.parquet(out).filter(F.col("lang") == "en")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters", 1)[1][:120]
+    # the data-column filter list must NOT carry the partition predicate
+    # (it is pruned before the scan, not evaluated per row)
+    assert "EqualTo(lang,en)" not in plan.split("PushedFilters", 1)[1][:120]
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert pruned.count() == n_en
+
+
 def test_bloom_build_combines_map_side_and_probe_broadcasts(spark):
     """bloom_build's exchange must carry PARTIAL words (partial_bit_or
     before the shuffle — ≤ num_bits/32 rows per task), and the default
