@@ -1430,6 +1430,52 @@ def q_ev_window(spark, sf_dir):
     )
 
 
+@_register(
+    "stream_enriched_agg",
+    # batch-SQL oracle of the ACTUAL streaming run: left join the user dim,
+    # bucket by the same epoch-aligned 5-minute window
+    """
+    select cast(floor(epoch(e.ts) / 300) as bigint) as win,
+           coalesce(d.lang, 'unknown') as segment,
+           cast(count(*) as bigint) as n_events,
+           round(cast(sum(e.value) as double), 6) as total_value
+    from events e left join documents d on e.user_id = d.doc_id
+    group by 1, 2
+    """,
+)
+def q_stream_enriched(spark, sf_dir):
+    """Stream-static enrichment join (streaming/events.enriched_windowed_counts):
+    the events STREAM joins the static user dim (documents doc_id → lang) as
+    a per-micro-batch broadcast hash join, then aggregates per (window,
+    segment); drained with availableNow and compared against the plain batch
+    SQL — the stream-batch equivalence contract, oracle-checked."""
+    import tempfile
+
+    from .streaming.events import drain_available_now, enriched_windowed_counts
+
+    base = tempfile.mkdtemp(prefix="stream_enriched_")
+    e = _t(spark, sf_dir, "events")
+    e.write.mode("overwrite").parquet(f"{base}/src")
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    ).parquet(f"{base}/src")
+    dim = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("user_id"), F.col("lang").alias("segment")
+    )
+    out = drain_available_now(
+        enriched_windowed_counts(stream, dim),
+        f"{base}/ck",
+        output_mode="complete",
+    )
+    return out.select(
+        F.floor(F.unix_timestamp("win_start") / 300).cast("bigint").alias("win"),
+        "segment",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        _r6(F.col("total_value")).alias("total_value"),
+    )
+
+
 _EV_SESSION_SQL = """
     with gaps as (
       select user_id, ts, event_id,

@@ -46,6 +46,34 @@ def windowed_counts(events: DataFrame, window: str = "5 minutes",
     )
 
 
+def enriched_windowed_counts(
+    events: DataFrame,
+    dim: DataFrame,
+    *,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    dim_key: str = "user_id",
+    dim_col: str = "segment",
+) -> DataFrame:
+    """Stream-STATIC enrichment join + windowed agg — the standard
+    Structured Streaming pattern for joining a stream against a
+    slowly-changing dimension: the static side joins each micro-batch as a
+    broadcast hash join (stateless — no stream-stream watermark bookkeeping,
+    no state store), then the windowed aggregation groups by the enriched
+    attribute. Unmatched keys fall back to 'unknown' so the left join never
+    drops events."""
+    enriched = (
+        events.withWatermark("ts", watermark)
+        .join(F.broadcast(dim), dim_key, "left")
+        .withColumn(dim_col, F.coalesce(F.col(dim_col), F.lit("unknown")))
+    )
+    return (
+        enriched.groupBy(F.window("ts", window).alias("win"), dim_col)
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(F.col("win.start").alias("win_start"), dim_col, "n_events", "total_value")
+    )
+
+
 SESSION_OUTPUT_SCHEMA = "user_id bigint, session_id bigint, n_events bigint"
 SESSION_STATE_SCHEMA = "last_ts double, session_id bigint, n_events bigint"
 SESSION_GAP_SECONDS = 1800.0
