@@ -853,6 +853,51 @@ def q_qf_gopher_keep(spark, sf_dir):
 
 
 @_register(
+    "qf_length_outliers",
+    f"""
+    with source_files as ({source_files_sql()}),
+    lens as (
+      select doc_id, lang, cast(length(content) as bigint) as n_chars
+      from source_files
+    ),
+    bounds as (
+      select lang,
+             quantile_cont(n_chars, 0.25) as q1,
+             quantile_cont(n_chars, 0.75) as q3
+      from lens group by lang
+    )
+    select l.doc_id, l.lang, l.n_chars,
+           l.n_chars < b.q1 - 1.5 * (b.q3 - b.q1)
+             or l.n_chars > b.q3 + 1.5 * (b.q3 - b.q1) as is_outlier
+    from lens l join bounds b using (lang)
+    """,
+)
+def q_qf_length_outliers(spark, sf_dir):
+    """Per-language IQR length-outlier flags (the Tukey-fence length filter
+    common in curation recipes): exact per-lang quartiles of content length
+    (two tiny rows per lang) broadcast back over the corpus — the corpus
+    side never shuffles. Quartile interpolation is cross-engine-exact
+    (Spark percentile == DuckDB quantile_cont, pinned by rel_percentiles);
+    the comparison operands are exact ints and exact-int arithmetic, so the
+    flag is parity-safe without rounding."""
+    lens = source_files(spark, sf_dir).select(
+        "doc_id", "lang", F.length("content").cast("bigint").alias("n_chars")
+    )
+    bounds = lens.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.25)").alias("q1"),
+        F.expr("percentile(n_chars, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return lens.join(F.broadcast(bounds), "lang").select(
+        "doc_id", "lang", "n_chars",
+        (
+            (F.col("n_chars") < F.col("q1") - 1.5 * iqr)
+            | (F.col("n_chars") > F.col("q3") + 1.5 * iqr)
+        ).alias("is_outlier"),
+    )
+
+
+@_register(
     "qf_gopher_metrics",
     _QF_METRICS_CTE
     + """
