@@ -1521,6 +1521,48 @@ def q_stream_enriched(spark, sf_dir):
     )
 
 
+from .operators.sketches import kmv_distinct_sql as _kmv_sql  # noqa: E402
+
+
+@_register(
+    "stream_kmv_distinct_users",
+    _kmv_sql(
+        "select cast(floor(epoch(ts) / 300) as bigint) as win, event_type, user_id from events",
+        ["user_id"],
+        k=64,
+        group_by=["win", "event_type"],
+    ),
+)
+def q_stream_kmv(spark, sf_dir):
+    """Streaming × sketch composition (streaming/events.windowed_distinct_users):
+    KMV distinct-user estimate per (5-minute window, event_type), drained
+    with availableNow and compared bit-exactly against the BATCH KMV oracle
+    (operators/sketches.kmv_distinct_sql) — the estimator is a pure function
+    of hash32, so stream and batch agree to the last bit."""
+    import tempfile
+
+    from .streaming.events import drain_available_now, windowed_distinct_users
+
+    base = tempfile.mkdtemp(prefix="stream_kmv_")
+    e = _t(spark, sf_dir, "events")
+    e.write.mode("overwrite").parquet(f"{base}/src")
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    ).parquet(f"{base}/src")
+    out = drain_available_now(
+        windowed_distinct_users(stream, k=64),
+        f"{base}/ck",
+        output_mode="complete",
+    )
+    return out.select(
+        F.floor(F.unix_timestamp("win_start") / 300).cast("bigint").alias("win"),
+        "event_type",
+        "n_sketch",
+        _r6(F.col("n_estimate")).alias("n_estimate"),
+    )
+
+
 _EV_SESSION_SQL = """
     with gaps as (
       select user_id, ts, event_id,

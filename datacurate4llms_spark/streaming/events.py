@@ -74,6 +74,48 @@ def enriched_windowed_counts(
     )
 
 
+def windowed_distinct_users(
+    events: DataFrame,
+    *,
+    k: int = 64,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming KMV: distinct-user ESTIMATE per (window, event_type) — the
+    sketch composition for the count you cannot keep exactly in a stream
+    without per-cell distinct state. Same estimator as
+    ``operators/sketches.kmv_distinct`` (k-th smallest hash32), so the
+    drained result is oracle-checkable bit-exactly.
+
+    State honesty: this uses collect_set in the streaming aggregation, so
+    the per-cell state is the cell's DISTINCT hash set (the slice caps the
+    output, not the buffer) — fine when per-window cardinality is bounded
+    (users per 5-minute window); a corpus-cardinality streaming sketch needs
+    a custom bounded-buffer stateful op (applyInPandasWithState, the
+    sessionizer's shape)."""
+    from ..functions.hashing import HASH32_MOD, hash32
+
+    h = hash32("user_id", seed="kmv")
+    merged = F.array_sort(F.collect_set(h))
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(merged.alias("_m"))
+    )
+    est = F.when(
+        F.get("_m", k - 1).isNull(),
+        F.least(F.lit(k).cast("bigint"), F.size("_m").cast("bigint")).cast("double"),
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(HASH32_MOD)) / F.get("_m", k - 1).cast("double")
+    )
+    return agg.select(
+        F.col("win.start").alias("win_start"),
+        "event_type",
+        F.least(F.lit(k).cast("bigint"), F.size("_m").cast("bigint")).alias("n_sketch"),
+        est.alias("n_estimate"),
+    )
+
+
 SESSION_OUTPUT_SCHEMA = "user_id bigint, session_id bigint, n_events bigint"
 SESSION_STATE_SCHEMA = "last_ts double, session_id bigint, n_events bigint"
 SESSION_GAP_SECONDS = 1800.0
