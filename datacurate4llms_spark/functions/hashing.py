@@ -22,6 +22,18 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 HASH32_MOD = 1 << 32
+HASH60_MOD = 1 << 60
+
+
+def _payload(cols: tuple[Column | str, ...], seed: str) -> Column:
+    parts = [F.lit(seed)] + [
+        F.coalesce(
+            (F.col(c) if isinstance(c, str) else c).cast("string"),
+            F.lit("\x02null"),
+        )
+        for c in cols
+    ]
+    return F.concat_ws("\x01", *parts)
 
 
 def hash32(*cols: Column | str, seed: str = "") -> Column:
@@ -31,15 +43,26 @@ def hash32(*cols: Column | str, seed: str = "") -> Column:
     payload so independent hash families (minhash permutations, fold seeds,
     salts) come from the same primitive.
     """
-    parts = [F.lit(seed)] + [
-        F.coalesce(
-            (F.col(c) if isinstance(c, str) else c).cast("string"),
-            F.lit("\x02null"),
-        )
-        for c in cols
+    return F.conv(F.substring(F.md5(_payload(cols, seed)), 1, 8), 16, 10).cast("bigint")
+
+
+def hash60(*cols: Column | str, seed: str = "") -> Column:
+    """Uniform deterministic 60-bit hash (15 md5 hex chars) — the FINGERPRINT
+    primitive for corpus-scale count keys. 32 bits collide at ~n²/2^33 pairs
+    (ADVICE r4: crossdoc gram counts silently inflate at web scale); 60 bits
+    push the expected colliding-pair count to n²/2^61 — ≈ 0.5 spurious dup
+    grams corpus-wide at n = 10^9 distinct grams, and both engines can parse
+    15 hex chars into a signed bigint without overflow (16 would not fit)."""
+    return F.conv(F.substring(F.md5(_payload(cols, seed)), 1, 15), 16, 10).cast("bigint")
+
+
+def hash60_sql(*exprs: str, seed: str = "") -> str:
+    """DuckDB SQL text computing the identical 60-bit fingerprint."""
+    parts = [f"'{seed}'"] + [
+        f"coalesce(cast(({e}) as varchar), chr(2) || 'null')" for e in exprs
     ]
-    payload = F.concat_ws("\x01", *parts)
-    return F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("bigint")
+    payload = "concat_ws(chr(1), " + ", ".join(parts) + ")"
+    return f"(('0x' || substr(md5({payload}), 1, 15))::bigint)"
 
 
 def hash32_sql(*exprs: str, seed: str = "") -> str:

@@ -79,6 +79,14 @@ RULE_ORDER = [
 ]
 
 
+# The word-tokenizer split pattern, spelled out as an explicit char class:
+# engine-native \s classes DIVERGE (java \s includes \x0b, RE2's excludes it,
+# python re is additionally unicode-aware — ADVICE r4), so every dialect
+# (Spark split, DuckDB regexp_split_to_array, oracle/labels re.split) uses
+# this literal class and tokenizes bit-identically on any input.
+WS_SPLIT_RE = r"[ \t\n\x0b\x0c\r]+"
+
+
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
@@ -184,7 +192,7 @@ def top_ngram_char_frac(content: Column | str, n: int = 2) -> Column:
     Pure higher-order-function SQL (no python): O(|grams|·|distinct|) per
     row, bounded by document length, whole-stage-codegen eligible."""
     c = _c(content)
-    toks = F.filter(F.split(c, r"\s+"), lambda t: t != "")
+    toks = F.filter(F.split(c, WS_SPLIT_RE), lambda t: t != "")
     k = F.size(toks) - (n - 1)
     grams = F.when(k >= 1, F.transform(
         F.sequence(F.lit(0), k - 1),
@@ -269,7 +277,7 @@ def alnum_ratio(content: Column | str) -> Column:
 
 
 def word_count(content: Column | str) -> Column:
-    return F.size(F.split(F.trim(_c(content)), r"\s+")).cast("int")
+    return F.size(F.split(F.trim(_c(content)), WS_SPLIT_RE)).cast("int")
 
 
 def langid_score(content: Column | str) -> Column:
@@ -291,7 +299,7 @@ _BULLET_CHARS = ("•", "‣", "▪")
 
 def _ws_tokens(content: Column | str) -> Column:
     """Non-empty whitespace tokens (the Gopher word unit)."""
-    return F.filter(F.split(_c(content), r"\s+"), lambda t: t != "")
+    return F.filter(F.split(_c(content), WS_SPLIT_RE), lambda t: t != "")
 
 
 def symbol_word_ratio(content: Column | str, toks: Column | None = None) -> Column:
@@ -336,7 +344,7 @@ def ellipsis_line_frac(content: Column | str, ls: Column | None = None) -> Colum
     return F.size(F.filter(ls, ends_ellipsis)).cast("double") / F.size(ls).cast("double")
 
 
-_WS_CHARS = " \t\n\x0b\x0c\r"  # the java/RE2 \s class, kept in lockstep
+_WS_CHARS = " \t\n\x0b\x0c\r"  # the chars of WS_SPLIT_RE, for translate maps
 
 
 def mean_word_len(content: Column | str, toks: Column | None = None) -> Column:
@@ -453,10 +461,12 @@ def drop_reason(thresholds: dict | None = None) -> Column:
         r = r.when(F.col("bullet_line_frac") > t["max_bullet_line_frac"], F.lit("bullet_lines"))
     if "max_ellipsis_line_frac" in t:
         r = r.when(F.col("ellipsis_line_frac") > t["max_ellipsis_line_frac"], F.lit("ellipsis_lines"))
-    if "min_mean_word_len" in t:
+    if "min_mean_word_len" in t or "max_mean_word_len" in t:
+        # either bound alone is a valid profile (ADVICE r4: dict-surgery
+        # profiles with one bound must neither KeyError nor silently skip)
         r = r.when(
-            (F.col("mean_word_len") < t["min_mean_word_len"])
-            | (F.col("mean_word_len") > t["max_mean_word_len"]),
+            (F.col("mean_word_len") < t.get("min_mean_word_len", float("-inf")))
+            | (F.col("mean_word_len") > t.get("max_mean_word_len", float("inf"))),
             F.lit("word_length"),
         )
     if "min_stopword_hits" in t:
@@ -495,7 +505,7 @@ def metrics_sql(content: str = "content") -> dict[str, str]:
     # lambda bodies below reference only their parameter (x/l/t), never the
     # inlined split — so DuckDB's per-element re-expansion trap (CLAUDE.md)
     # does not bite even though the lists are inlined
-    toks = f"list_filter(regexp_split_to_array({content}, '\\s+'), t -> t <> '')"
+    toks = f"list_filter(regexp_split_to_array({content}, '{WS_SPLIT_RE}'), t -> t <> '')"
     ws_sql = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
     padded = (
         f"(' ' || translate(lower({content}), {ws_sql}, '      ') || ' ')"
@@ -522,7 +532,7 @@ def metrics_sql(content: str = "content") -> dict[str, str]:
             f"cast(length({content}) - length(translate({content}, '{_ALNUM}', '')) as double)"
             f" / cast(length({content}) as double)"
         ),
-        "word_count": f"cast(len(regexp_split_to_array(trim({content}), '\\s+')) as int)",
+        "word_count": f"cast(len(regexp_split_to_array(trim({content}), '{WS_SPLIT_RE}')) as int)",
         "langid_score": (
             f"cast(length({content}) - length(translate(lower({content}), '{_LOWER_SPACE}', '')) as double)"
             f" / cast(length({content}) as double)"
@@ -578,11 +588,13 @@ def drop_reason_sql(thresholds: dict | None = None) -> str:
         arms.append(
             f"when ellipsis_line_frac > {t['max_ellipsis_line_frac']} then 'ellipsis_lines'"
         )
-    if "min_mean_word_len" in t:
-        arms.append(
-            f"when mean_word_len < {t['min_mean_word_len']}"
-            f" or mean_word_len > {t['max_mean_word_len']} then 'word_length'"
-        )
+    if "min_mean_word_len" in t or "max_mean_word_len" in t:
+        conds = []
+        if "min_mean_word_len" in t:
+            conds.append(f"mean_word_len < {t['min_mean_word_len']}")
+        if "max_mean_word_len" in t:
+            conds.append(f"mean_word_len > {t['max_mean_word_len']}")
+        arms.append(f"when {' or '.join(conds)} then 'word_length'")
     if "min_stopword_hits" in t:
         arms.append(
             f"when stopword_hits < {t['min_stopword_hits']} then 'stopwords'"

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.quality import WS_SPLIT_RE
+
 TERMINAL_PUNCT = (".", "!", "?", '"', "'")
 MIN_WORDS_PER_LINE = 5
 MIN_LINES = 3
@@ -36,7 +38,7 @@ def c4_line_keep(line: Column, min_words_per_line: int = MIN_WORDS_PER_LINE) -> 
     for p in TERMINAL_PUNCT:
         cond = rt.endswith(p)
         ends_ok = cond if ends_ok is None else (ends_ok | cond)
-    n_words = F.size(F.filter(F.split(line, r"\s+"), lambda t: t != ""))
+    n_words = F.size(F.filter(F.split(line, WS_SPLIT_RE), lambda t: t != ""))
     return (
         ends_ok
         & (n_words >= min_words_per_line)
@@ -101,7 +103,7 @@ def c4_clean_sql(
     )
     line_keep = (
         f"({punct_ok}) "
-        f"and len(list_filter(regexp_split_to_array(line, '\\s+'), t -> t <> '')) >= {min_words_per_line} "
+        f"and len(list_filter(regexp_split_to_array(line, '{WS_SPLIT_RE}'), t -> t <> '')) >= {min_words_per_line} "
         f"and not contains(lower(line), 'javascript')"
     )
     return f"""

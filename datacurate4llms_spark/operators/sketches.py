@@ -177,6 +177,17 @@ def temperature_sample(
     )
 
 
+def _quantile_labels(quantiles: list[float]) -> list[str]:
+    """Shared q→column-name mapping for both dialects; rejects collisions."""
+    labels = [f"q{int(round(q * 100))}" for q in quantiles]
+    if len(set(labels)) != len(labels):
+        raise ValueError(
+            f"quantile_sketch: duplicate column labels {labels} — quantiles "
+            "must be distinct at 2-decimal granularity"
+        )
+    return labels
+
+
 def quantile_sketch(
     df: DataFrame,
     value_col: str,
@@ -201,15 +212,18 @@ def quantile_sketch(
     rows per group. Exact interpolation semantics: Spark percentile() ==
     DuckDB quantile_cont (verified bit-exact by rel_percentiles).
 
-    Output columns are named ``q{int(q*100)}`` — quantiles must therefore be
-    distinct at 2-decimal granularity (0.999 would collide with 0.99)."""
+    Output columns are named ``q{round(q*100)}`` — round, not int-truncate:
+    int(0.29*100) == 28 would mislabel the 29th percentile (ADVICE r4).
+    Quantiles must be distinct at 2-decimal granularity (0.999 would collide
+    with 0.99) — duplicate labels raise."""
+    labels = _quantile_labels(quantiles)
     sample = stratified_sample(
         df.select(*group_by, *key_cols, value_col),
         key_cols, group_by, k, seed=seed, num_salts=num_salts,
     )
     agg_cols = [
-        F.expr(f"percentile({value_col}, {float(q)})").alias(f"q{int(q * 100)}")
-        for q in quantiles
+        F.expr(f"percentile({value_col}, {float(q)})").alias(lab)
+        for q, lab in zip(quantiles, labels)
     ]
     return sample.groupBy(*group_by).agg(
         F.count("*").cast("bigint").alias("n_sample"), *agg_cols
@@ -229,13 +243,14 @@ def quantile_sketch_sql(
     """DuckDB twin of :func:`quantile_sketch`: same hash-ranked sample (the
     salted two-phase plan is plan-shape only — its output equals the plain
     per-group bottom-k), quantile_cont for the interpolation."""
+    labels = _quantile_labels(quantiles)
     g = ", ".join(group_by)
     keys_order = ", ".join(key_exprs)
     h = hash32_sql(*key_exprs, seed=seed)
     qcols = ",\n           ".join(
         f"round(cast(quantile_cont({value_col}, {float(q)}) as double), 6)"
-        f" as q{int(q * 100)}"
-        for q in quantiles
+        f" as {lab}"
+        for q, lab in zip(quantiles, labels)
     )
     return f"""
     with ranked as (

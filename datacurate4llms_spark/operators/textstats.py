@@ -12,6 +12,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash32, hash32_sql
+from ..functions.quality import WS_SPLIT_RE
 
 # BPE-ish pre-tokenizer: word pieces or single non-space symbols (the common
 # GPT-2-style pre-split regex family, simplified to the RE2/Java common set).
@@ -31,11 +32,11 @@ def _c(col: Column | str) -> Column:
 
 def token_count_ws(text: Column | str) -> Column:
     """Whitespace token count."""
-    return F.size(F.split(F.trim(_c(text)), r"\s+")).cast("int")
+    return F.size(F.split(F.trim(_c(text)), WS_SPLIT_RE)).cast("int")
 
 
 def token_count_ws_sql(expr: str) -> str:
-    return f"cast(len(regexp_split_to_array(trim({expr}), '\\s+')) as int)"
+    return f"cast(len(regexp_split_to_array(trim({expr}), '{WS_SPLIT_RE}')) as int)"
 
 
 def token_count_bpe(text: Column | str) -> Column:
@@ -50,7 +51,7 @@ def token_count_bpe_sql(expr: str) -> str:
 def fingerprint(text: Column | str, mod: int = 2147483648) -> Column:
     """Order-sensitive document fingerprint: polynomial rolling hash over
     token hashes — acc = (acc*31 + hash32(token)) mod 2³¹."""
-    tokens = F.split(F.trim(F.lower(_c(text))), r"\s+")
+    tokens = F.split(F.trim(F.lower(_c(text))), WS_SPLIT_RE)
     hashed = F.transform(tokens, lambda t: hash32(t, seed="fp"))
     return F.aggregate(
         hashed,
@@ -60,7 +61,7 @@ def fingerprint(text: Column | str, mod: int = 2147483648) -> Column:
 
 
 def fingerprint_sql(expr: str, mod: int = 2147483648) -> str:
-    toks = f"regexp_split_to_array(trim(lower({expr})), '\\s+')"
+    toks = f"regexp_split_to_array(trim(lower({expr})), '{WS_SPLIT_RE}')"
     hashed = f"list_transform({toks}, t -> {hash32_sql('t', seed='fp')})"
     return (
         f"list_reduce(list_prepend(cast(0 as bigint), {hashed}), "
@@ -71,14 +72,14 @@ def fingerprint_sql(expr: str, mod: int = 2147483648) -> str:
 def stopword_fraction(text: Column | str, lang: str) -> Column:
     """Fraction of whitespace tokens that are stopwords of ``lang``."""
     words = STOPWORDS[lang]
-    tokens = F.split(F.trim(F.lower(_c(text))), r"\s+")
+    tokens = F.split(F.trim(F.lower(_c(text))), WS_SPLIT_RE)
     hits = F.size(F.filter(tokens, lambda t: t.isin(words)))
     return hits.cast("double") / F.size(tokens).cast("double")
 
 
 def stopword_fraction_sql(expr: str, lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
-    toks = f"regexp_split_to_array(trim(lower({expr})), '\\s+')"
+    toks = f"regexp_split_to_array(trim(lower({expr})), '{WS_SPLIT_RE}')"
     return (
         f"cast(len(list_filter({toks}, t -> t in ({words}))) as double)"
         f" / cast(len({toks}) as double)"

@@ -19,12 +19,16 @@ from ..functions.scrub import SCRUB_RULES
 
 _ALPHA = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
 _BULLETS = ("•", "‣", "▪")
+# the shared explicit whitespace class (functions/quality.WS_SPLIT_RE):
+# python \s is unicode-aware and java/RE2 \s disagree on \x0b, so the labeler
+# splits on the same literal class as both engines (ADVICE r4)
+_WS_RE = re.compile(r"[ \t\n\x0b\x0c\r]+")
 
 
 def _top_ngram_char_frac(content: str, n: int) -> float:
     """Python twin of quality.top_ngram_char_frac: coverage of the MOST
     FREQUENT word n-gram (count ties break toward larger coverage)."""
-    toks = [x for x in re.split(r"\s+", content) if x != ""]
+    toks = [x for x in _WS_RE.split(content) if x != ""]
     if len(toks) < n or len(content) == 0:
         return 0.0
     grams: dict[str, int] = {}
@@ -75,7 +79,7 @@ def _repetition_reason(content: str, t: dict) -> str | None:
 def _gopher_reason(content: str, lines: list[str], t: dict) -> str | None:
     """The six Gopher §A1.1 rules (independent stdlib reimplementation of
     functions/quality — rules gated on threshold-key presence, same order)."""
-    toks = [x for x in re.split(r"\s+", content) if x != ""]
+    toks = [x for x in _WS_RE.split(content) if x != ""]
     n_lines = len(lines)
     if "max_symbol_word_ratio" in t:
         n_sym = content.count("#") + content.count("…") + content.count("...")
@@ -96,12 +100,14 @@ def _gopher_reason(content: str, lines: list[str], t: dict) -> str | None:
         )
         if n_ell / n_lines > t["max_ellipsis_line_frac"]:
             return "ellipsis_lines"
-    if "min_mean_word_len" in t:
+    if "min_mean_word_len" in t or "max_mean_word_len" in t:
         mwl = (sum(len(x) for x in toks) / len(toks)) if toks else 0.0
-        if mwl < t["min_mean_word_len"] or mwl > t["max_mean_word_len"]:
+        if mwl < t.get("min_mean_word_len", float("-inf")) or mwl > t.get(
+            "max_mean_word_len", float("inf")
+        ):
             return "word_length"
     if "min_stopword_hits" in t:
-        toks_lower = {x for x in re.split(r"\s+", content.lower()) if x != ""}
+        toks_lower = {x for x in _WS_RE.split(content.lower()) if x != ""}
         if len(toks_lower & set(STOPWORDS)) < t["min_stopword_hits"]:
             return "stopwords"
     if "min_alpha_word_frac" in t:
@@ -126,7 +132,9 @@ def reference_labels(corpus: pd.DataFrame, thresholds: dict | None = None) -> pd
         max_line = max(len(x) for x in lines)
         dup_frac = (n_lines - len(set(lines))) / n_lines
         alnum = sum(ch.isascii() and ch.isalnum() for ch in content) / len(content)
-        words = len(re.split(r"\s+", content.strip()))
+        # strip(" ") not strip(): Spark/DuckDB trim() remove spaces only —
+        # python strip() would also eat trailing newlines and diverge
+        words = len(_WS_RE.split(content.strip(" ")))
         lower = content.lower()
         langid = sum("a" <= ch <= "z" or ch == " " for ch in lower) / len(content)
 

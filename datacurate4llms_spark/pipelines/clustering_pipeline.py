@@ -108,9 +108,12 @@ def cluster_documents(
         from ..operators.clustering import elbow_plot_svg
 
         # plot x = 1..len(gains)-1 maps to cluster counts 2..len, so
-        # cluster k sits at plot position k-1 (k=1 -> no marker, guarded)
+        # cluster k sits at plot position k-1 (k=1 -> no marker, guarded).
+        # A 1-point curve has an empty gains[1:] (ADVICE r4: single-candidate
+        # corpus crashed the run) — plot the lone gain with no knee instead.
+        curve = gains[1:] if len(gains) > 1 else gains
         with open(elbow_svg_path, "w", encoding="utf-8") as f:
-            f.write(elbow_plot_svg(gains[1:], knee=k - 1))
+            f.write(elbow_plot_svg(curve, knee=k - 1 if len(gains) > 1 else None))
 
     center_map = spark.createDataFrame(
         [(r.doc_id, r.pick_order) for r in picks[:k]], "doc_id bigint, center_id int"

@@ -557,7 +557,7 @@ def q_tpch3(spark, sf_dir):
 # source_files corpus so every stage is oracle-checkable.
 # ---------------------------------------------------------------------------
 
-from .functions.quality import drop_reason_sql, metrics_sql  # noqa: E402
+from .functions.quality import WS_SPLIT_RE, drop_reason_sql, metrics_sql  # noqa: E402
 from .functions.scrub import scrub_sql  # noqa: E402
 from .pipelines.source_files import source_files, source_files_sql  # noqa: E402
 
@@ -741,7 +741,7 @@ def q_qf_repo_skew(spark, sf_dir):
     base as (select doc_id, content from source_files where doc_id < 300),
     t as materialized (
       select doc_id, content,
-             list_filter(string_split_regex(content, '\\s+'), t -> t <> '') as toks,
+             list_filter(string_split_regex(content, '{WS_SPLIT_RE}'), t -> t <> '') as toks,
              {paragraphs_sql('content')} as paras
       from base
     ),
@@ -791,7 +791,7 @@ _GOPHER_FULL_PROFILE = {**QUALITY_THRESHOLDS, **GOPHER_REPETITION_THRESHOLDS}
     base as (select * from source_files where doc_id < 300),
     t as materialized (
       select *,
-             list_filter(string_split_regex(content, '\\s+'), t -> t <> '') as toks,
+             list_filter(string_split_regex(content, '{WS_SPLIT_RE}'), t -> t <> '') as toks,
              string_split(content, chr(10)) as ls,
              {paragraphs_sql('content')} as paras
       from base

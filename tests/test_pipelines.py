@@ -302,3 +302,17 @@ def test_reference_shipped_json_clusters_e2e(spark):
         assert ranks == list(range(1, len(grp) + 1))
         by_rank = grp.sort_values("rank_in_cluster")["similarity_to_center"].to_numpy()
         assert (np.diff(by_rank) <= 1e-12).all()
+
+
+def test_elbow_svg_single_candidate_corpus(spark, tmp_path):
+    """ADVICE r4: a 1-row corpus produced an empty gains[1:] slice and
+    crashed the SVG sink — the pipeline now writes a degenerate one-point
+    figure instead."""
+    from datacurate4llms_spark.pipelines.clustering_pipeline import cluster_documents
+
+    docs = spark.createDataFrame([(1, "only document")], "doc_id bigint, text string")
+    out_path = tmp_path / "elbow1.svg"
+    res = cluster_documents(docs, num_clusters=1, elbow_svg_path=str(out_path))
+    assert res.count() == 1
+    svg = out_path.read_text()
+    assert svg.startswith("<svg") and "circle" in svg

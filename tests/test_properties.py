@@ -298,3 +298,41 @@ def test_top_ngram_frac_is_most_frequent_not_max_coverage(spark):
     )
     duck = con.execute(sql, [text]).fetchone()[0]
     assert abs(duck - got) < 1e-12, (duck, got)
+
+
+def test_hash60_range_parity_and_python_twin(spark, duck):
+    """hash60 (ADVICE r4: crossdoc fingerprints need >32 bits): value is the
+    first 15 md5 hex chars — identical in Spark, DuckDB, and python, and
+    always within [0, 2^60) so it fits a signed bigint in both engines."""
+    import hashlib
+
+    from datacurate4llms_spark.functions.hashing import hash60, hash60_sql
+
+    vals = ["a", "some gram text", ""]
+    df = spark.createDataFrame([(v,) for v in vals], "x string")
+    got_spark = [r.h for r in df.select(hash60("x", seed="xdoc").alias("h")).collect()]
+    got_duck = [
+        duck.execute(f"select {hash60_sql('?', seed='xdoc')}", [v]).fetchone()[0]
+        for v in vals
+    ]
+    expected = [
+        int(hashlib.md5(f"xdoc\x01{v}".encode()).hexdigest()[:15], 16) for v in vals
+    ]
+    assert got_spark == got_duck == expected
+    assert all(0 <= h < (1 << 60) for h in expected)
+
+
+def test_quantile_sketch_labels_round_not_truncate(spark):
+    """ADVICE r4: int(0.29*100) == 28 mislabeled q29; labels must round, and
+    2-decimal collisions must raise instead of silently duplicating."""
+    import pytest as _pytest
+
+    from datacurate4llms_spark.operators.sketches import quantile_sketch
+
+    df = spark.range(100).select(
+        F.lit("g").alias("grp"), F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    out = quantile_sketch(df, "v", ["k"], ["grp"], [0.29, 0.57], k=256)
+    assert {"q29", "q57"} <= set(out.columns)
+    with _pytest.raises(ValueError, match="duplicate column labels"):
+        quantile_sketch(df, "v", ["k"], ["grp"], [1.0, 0.999], k=256)

@@ -392,3 +392,71 @@ def test_strip_boilerplate_broadcast_is_size_conditional(spark):
     a = small.select("doc_id", "content_clean").toPandas().sort_values("doc_id")
     b = big.select("doc_id", "content_clean").toPandas().sort_values("doc_id")
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_tokenizer_lockstep_on_engine_divergent_whitespace(spark, duck):
+    """ADVICE r4: java \\s includes \\x0b, RE2's excludes it, python \\s is
+    unicode-aware. The explicit WS_SPLIT_RE class must make all three
+    dialects tokenize \\x0b and \\xa0 documents identically."""
+    from datacurate4llms_spark.functions.quality import metrics_sql, with_quality_metrics
+    from datacurate4llms_spark.oracle.labels import _WS_RE
+
+    texts = ["foo\x0bbar baz", "a\xa0b c", "tab\tand\nnewline end", "solo"]
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, content string"
+    )
+    srows = {
+        r.doc_id: r
+        for r in with_quality_metrics(sdf)
+        .select("doc_id", "mean_word_len", "alpha_word_frac", "word_count")
+        .collect()
+    }
+    m = metrics_sql("content")
+    for i, t in enumerate(texts):
+        drow = duck.execute(
+            f"select {m['mean_word_len']}, {m['alpha_word_frac']}, {m['word_count']} "
+            "from (select ? as content)",
+            [t],
+        ).fetchone()
+        toks = [x for x in _WS_RE.split(t) if x != ""]
+        py_mwl = sum(len(x) for x in toks) / len(toks)
+        assert abs(srows[i].mean_word_len - drow[0]) < 1e-12, t
+        assert abs(srows[i].mean_word_len - py_mwl) < 1e-12, t
+        assert abs(srows[i].alpha_word_frac - drow[1]) < 1e-12, t
+        assert srows[i].word_count == drow[2], t
+
+
+def test_word_length_rule_single_bound_profiles(spark, duck):
+    """ADVICE r4: a dict-surgery profile with only ONE mean-word-len bound
+    must neither KeyError (max-only) nor silently skip (min-only) — in the
+    Spark rule, the DuckDB twin, and the python labeler."""
+    import pandas as pd
+
+    from datacurate4llms_spark.functions.quality import (
+        QUALITY_THRESHOLDS,
+        drop_reason_sql,
+        with_keep_decision,
+        with_quality_metrics,
+    )
+    from datacurate4llms_spark.oracle.labels import reference_labels
+
+    base = {k: v for k, v in QUALITY_THRESHOLDS.items()
+            if k not in ("min_mean_word_len", "max_mean_word_len")}
+    # doc with mean word len ~14 (> 10), passing every other default rule
+    long_words = "considerations architectural deterministic " * 4 + "the be to of and"
+    docs = pd.DataFrame(
+        [{"doc_id": 0, "repo": "r", "path": "p", "commit": "c",
+          "lang": "en", "content": long_words}]
+    )
+    sdf = spark.createDataFrame(docs)
+
+    for profile, should_fire in (
+        ({**base, "max_mean_word_len": 10.0}, True),
+        ({**base, "min_mean_word_len": 3.0}, False),
+    ):
+        got = with_keep_decision(with_quality_metrics(sdf), profile).collect()[0]
+        ref = reference_labels(docs, profile).iloc[0]
+        assert got.drop_reason == ref.drop_reason
+        assert (got.drop_reason == "word_length") is should_fire
+        sql = drop_reason_sql(profile)
+        assert ("word_length" in sql) and ("inf" not in sql)
