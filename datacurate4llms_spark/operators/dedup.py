@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.hashing import hash32, hash32_sql
+from ..functions.quality import WS_SPLIT_RE
 from ..functions.text import normalize_document, normalize_document_sql
 from ..functions.vectors import cosine
 
@@ -192,14 +193,20 @@ def crossdoc_dup_frac(
     in for suffix-array spans). Cross-doc complement of the within-doc
     Gopher repetition metrics and the line-level boilerplate detector.
 
-    Scale shape: grams reduce to 8-byte hash32 fingerprints BEFORE any
-    shuffle — the gram-count aggregation and the count-join move hashes
-    only, never text (the ids-only exact-dedup lesson, BENCH.md). Shingles
-    are distinct per doc, so gram counts are document frequencies."""
+    Scale shape: grams reduce to 60-bit md5 fingerprints (hash60) BEFORE any
+    shuffle — the gram-count aggregation and the count-join move 8-byte
+    hashes only, never text (the ids-only exact-dedup lesson, BENCH.md).
+    60 bits, not 32: at web scale a 2^32 key space makes unrelated grams
+    collide at ~n²/2^33 pairs and systematically inflates dup_frac
+    (ADVICE r4); at 2^60 the expected spurious-dup count stays < 1 up to
+    ~10^9 distinct grams. Shingles are distinct per doc, so gram counts are
+    document frequencies."""
+    from ..functions.hashing import hash60
+
     grams = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles(content_col, n)).alias("_g"),
-    ).select("doc_id", hash32("_g", seed="xdoc").alias("_h"))
+    ).select("doc_id", hash60("_g", seed="xdoc").alias("_h"))
     counts = grams.groupBy("_h").agg(F.count("*").cast("bigint").alias("_df"))
     return (
         grams.join(counts, "_h")
@@ -223,12 +230,14 @@ def crossdoc_dup_frac_sql(
 ) -> str:
     """DuckDB twin of :func:`crossdoc_dup_frac`; input exposes
     (doc_id, text)."""
+    from ..functions.hashing import hash60_sql
+
     return f"""
     with sh as materialized (
       select doc_id, {shingles_sql('text', n)} as s from ({from_sql})
     ),
     grams as materialized (
-      select doc_id, {hash32_sql('g', seed='xdoc')} as _h
+      select doc_id, {hash60_sql('g', seed='xdoc')} as _h
       from (select doc_id, unnest(s) as g from sh) t
     ),
     counts as (
@@ -622,3 +631,146 @@ def near_dedup_transitive(
         F.col("node").alias(id_col)
     )
     return df.join(drop, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr duplicated-span REMOVAL (the transform half of Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+# raw token = one maximal non-whitespace run PLUS its trailing whitespace run,
+# using the explicit cross-dialect class (functions/quality.WS_SPLIT_RE):
+# content == leading_ws + concat(raw tokens), so an untouched document
+# rebuilds byte-identically (sha256-invariant), while gram MATCHING uses the
+# whitespace-free word list (same token stream regardless of \n vs ' ').
+_RAW_TOK_RE = r"[^ \t\n\x0b\x0c\r]+[ \t\n\x0b\x0c\r]*"
+_LEAD_WS_RE = r"^[ \t\n\x0b\x0c\r]*"
+
+
+def _word_grams(words: Column, n: int) -> Column:
+    """Position-preserving word n-grams (NOT distinct, NOT normalized —
+    unlike :func:`shingles`, every occurrence keeps its token offset)."""
+    k = F.size(words) - (n - 1)
+    return F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", *[F.get(words, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def strip_crossdoc_ngrams(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    *,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(doc_id, n_tokens, n_removed, text_stripped): EXCISE every token that
+    sits inside a token n-gram appearing in ≥ ``min_docs`` distinct documents
+    — the removal half of ExactSubstr dedup (Lee et al. 2022,
+    arXiv:2107.06499 §3.1; their suffix-array 50-token spans become token
+    8-grams, the same stand-in :func:`crossdoc_dup_frac` uses for detection).
+
+    Rebuild contract (the c4/boilerplate string-exact pattern): a document
+    with NO duplicated gram rebuilds **byte-identical** (leading whitespace +
+    raw word+trailing-ws tokens concatenate back to the exact input); removal
+    drops covered raw tokens (their trailing whitespace goes with them).
+
+    Scale shape: grams reduce to 60-bit hash60 fingerprints before any
+    shuffle — the doc-frequency count and the count-join move (hash, id, pos)
+    rows only, never text; the only content-bearing exchange is the final
+    left join of the bounded covered-position sets back onto the corpus scan.
+    The gram stream is read twice (count + join) — persist/localCheckpoint it
+    at cluster scale (CLAUDE.md lineage note; bounded here by contract).
+    """
+    from ..functions.hashing import hash60
+
+    c = F.col(content_col)
+    words = F.filter(F.split(c, WS_SPLIT_RE), lambda t: t != "")
+
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(_word_grams(words, n)).alias("pos", "_g"),
+    ).select("doc_id", "pos", hash60("_g", seed="xstrip").alias("_h"))
+    counts = grams.groupBy("_h").agg(
+        F.count_distinct("doc_id").alias("_df")
+    )
+    dup_pos = (
+        grams.join(counts, "_h")
+        .filter(F.col("_df") >= min_docs)
+        .select("doc_id", "pos")
+    )
+    covered = (
+        dup_pos.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("cov"),
+        )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("cov")).alias("_covered"))
+    )
+
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_extract_all(c, F.lit(_RAW_TOK_RE), F.lit(0)).alias("_raw"),
+        F.regexp_extract(c, _LEAD_WS_RE, 0).alias("_lead"),
+    )
+    out = staged.join(covered, "doc_id", "left")
+    cov_arr = F.coalesce(F.col("_covered"), F.array().cast("array<int>"))
+    surviving = F.filter(
+        F.col("_raw"), lambda t, i: ~F.array_contains(cov_arr, i)
+    )
+    return out.select(
+        "doc_id",
+        F.size("_raw").cast("bigint").alias("n_tokens"),
+        F.size(cov_arr).cast("bigint").alias("n_removed"),
+        F.concat(F.col("_lead"), F.array_join(surviving, "")).alias("text_stripped"),
+    )
+
+
+def strip_crossdoc_ngrams_sql(
+    from_sql: str, *, n: int = 8, min_docs: int = 2
+) -> str:
+    """DuckDB twin of :func:`strip_crossdoc_ngrams`; input exposes
+    (doc_id, text). Internally 1-based (DuckDB list/lambda indexing) but the
+    covered token SET — and therefore the rebuilt string — is identical."""
+    from ..functions.hashing import hash60_sql
+
+    ws = "[ \\t\\n\\x0b\\x0c\\r]"
+    gram_txt = f"array_to_string(words[i:i+{n - 1}], ' ')"
+    return f"""
+    with src as materialized ({from_sql}),
+    base as materialized (
+      select doc_id, text,
+             regexp_extract_all(text, '[^ \\t\\n\\x0b\\x0c\\r]+{ws}*') as raw,
+             regexp_extract(text, '^{ws}*') as lead,
+             list_filter(regexp_split_to_array(text, '{ws}+'), t -> t <> '') as words
+      from src
+    ),
+    grams as materialized (
+      select doc_id, i, {hash60_sql(gram_txt, seed="xstrip")} as _h
+      from (
+        select doc_id, words, unnest(range(1, len(words) - {n} + 2)) as i
+        from base
+      ) t
+    ),
+    counts as (
+      select _h, count(distinct doc_id) as _df from grams group by _h
+    ),
+    covered as (
+      select doc_id, list(distinct cov) as covered
+      from (
+        select g.doc_id, unnest(range(g.i, g.i + {n})) as cov
+        from grams g join counts c using (_h)
+        where c._df >= {min_docs}
+      ) t group by doc_id
+    )
+    select b.doc_id,
+           cast(len(b.raw) as bigint) as n_tokens,
+           cast(coalesce(len(c.covered), 0) as bigint) as n_removed,
+           b.lead || coalesce(array_to_string(
+             list_filter(b.raw, (t, i) -> not list_contains(coalesce(c.covered, []), i)),
+             ''), '') as text_stripped
+    from base b left join covered c using (doc_id)
+    """

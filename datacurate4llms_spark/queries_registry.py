@@ -1298,6 +1298,23 @@ def q_crossdoc_ngrams(spark, sf_dir):
 
 
 @_register(
+    "dedup_crossdoc_strip",
+    DD.strip_crossdoc_ngrams_sql(_DUP_CORPUS_SQL, n=8, min_docs=2),
+)
+def q_crossdoc_strip(spark, sf_dir):
+    """ExactSubstr duplicated-span REMOVAL (operators/dedup.strip_crossdoc_ngrams
+    — the transform half of Lee et al. 2022 §3.1, completing the
+    dedup_crossdoc_ngrams detection signal): every token inside a token
+    8-gram shared by ≥ 2 docs is excised and the document rebuilt
+    string-exactly; docs with no duplicated gram rebuild byte-identical.
+    Gram shuffle carries 60-bit fingerprints only — content moves only in
+    the final bounded covered-set join."""
+    return DD.strip_crossdoc_ngrams(
+        _dup_corpus(spark, sf_dir), content_col="text", n=8, min_docs=2
+    )
+
+
+@_register(
     "decon_overlap_bloom",
     # SAME oracle as decon_overlap: the bloom pre-filter must be invisible
     # in the result (no false negatives; exact verify kills false positives)

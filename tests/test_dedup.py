@@ -363,3 +363,77 @@ def test_exact_dedup_anti_matches_window_dedup(spark):
     # outputs are the hash and the id)
     assert "md5(" in first_proj, first_proj
     assert ", content#" not in first_proj and ", text#" not in first_proj, first_proj
+
+
+def test_strip_crossdoc_removes_spans_keeps_unique_sha_identical(spark):
+    """strip_crossdoc_ngrams (Lee et al. 2022 removal half): an 8-token span
+    shared by two docs is excised from both while every doc without a
+    duplicated gram rebuilds sha256-IDENTICAL (whitespace, tabs, newlines,
+    indentation all preserved)."""
+    import hashlib
+
+    from datacurate4llms_spark.operators.dedup import strip_crossdoc_ngrams
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [
+        (1, "unique one with its own  words\n  and indentation kept intact\t!"),
+        (2, f"prefix text here {span} suffix text follows now"),
+        (3, f"other document intro {span} and a different tail"),
+        (4, "short doc"),
+        (5, ""),
+        (6, "   \n "),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {
+        r.doc_id: r
+        for r in strip_crossdoc_ngrams(df, content_col="text", n=8, min_docs=2).collect()
+    }
+    sha = lambda s: hashlib.sha256(s.encode()).hexdigest()  # noqa: E731
+    for i in (1, 4, 5, 6):  # no duplicated gram → byte-identical rebuild
+        assert sha(out[i].text_stripped) == sha(docs[i - 1][1])
+        assert out[i].n_removed == 0
+    for i in (2, 3):  # shared span excised, surrounding text survives
+        assert "gamma" not in out[i].text_stripped
+        assert out[i].n_removed == 8
+    assert out[2].text_stripped == "prefix text here suffix text follows now"
+    assert out[3].text_stripped == "other document intro and a different tail"
+
+
+def test_strip_crossdoc_identity_on_dup_free_corpus(spark):
+    """With min_docs above the corpus size nothing qualifies as duplicated:
+    every real document must round-trip byte-identically through the
+    tokenize → rebuild path (the string-exact-rebuild contract)."""
+    from datacurate4llms_spark.operators.dedup import strip_crossdoc_ngrams
+
+    docs = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .filter(F.col("doc_id") < 80)
+        .select("doc_id", "text")
+    )
+    out = strip_crossdoc_ngrams(docs, content_col="text", n=8, min_docs=10**9)
+    joined = out.join(docs, "doc_id").filter(
+        (F.col("text_stripped") != F.col("text")) | (F.col("n_removed") != 0)
+    )
+    assert joined.count() == 0
+
+
+def test_strip_crossdoc_gram_exchanges_are_hash_keyed(spark):
+    """The gram-side shuffles must be keyed on the 60-bit fingerprint or
+    (doc_id, pos) bookkeeping — never on gram/document text (the ids-only
+    exact-dedup shape, VERDICT r4 'no content in the gram exchange')."""
+    import re
+
+    from datacurate4llms_spark.operators.dedup import strip_crossdoc_ngrams
+
+    docs = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+    )
+    plan = (
+        strip_crossdoc_ngrams(docs, content_col="text", n=8, min_docs=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
+    assert keys, plan
+    assert set(keys) <= {"_h", "doc_id", "pos", "cov"}, keys
