@@ -1108,6 +1108,59 @@ def q_minhash_verified(spark, sf_dir):
 
 
 @_register(
+    "dedup_keep_longest",
+    # survivor policy twin (operators/dedup.near_dedup_minhash keep=):
+    # the LOWER-length member of each verified pair loses (length ties →
+    # larger id loses, reproducing keep-first) — the '+200000 extratoken'
+    # near copies are LONGER than their originals, so the survivor set
+    # provably flips vs the keep-first default
+    f"""
+    with corpus as ({_DUP_CORPUS_SQL}),
+    small as materialized (select * from corpus where doc_id % 10 = 0),
+    sh as materialized (
+      select doc_id, {DD.shingles_sql('text')} as s from small
+    ),
+    bands as materialized (
+      {" union all ".join(
+          f"select {b} as band_no, {_band_sql(b)} as band_hash, doc_id from small"
+          for b in range(DD.NUM_BANDS))}
+    ),
+    cands as materialized (
+      select distinct a.doc_id as i, b.doc_id as j
+      from bands a join bands b on a.band_no = b.band_no and a.band_hash = b.band_hash
+      where a.doc_id < b.doc_id
+    ),
+    verified as (
+      select c.i, c.j
+      from cands c join sh x on c.i = x.doc_id join sh y on c.j = y.doc_id
+      where {DD.jaccard_sql('x.s', 'y.s')} >= 0.7
+    ),
+    m as (select doc_id, length(text) as _m from small),
+    losers as (
+      select distinct
+             case when (mi._m > mj._m) or (mi._m = mj._m and v.i < v.j)
+                  then v.j else v.i end as doc_id
+      from verified v
+      join m mi on v.i = mi.doc_id
+      join m mj on v.j = mj.doc_id
+    )
+    select s.doc_id from small s
+    where s.doc_id not in (select doc_id from losers)
+    """,
+)
+def q_dedup_keep_longest(spark, sf_dir):
+    """Survivor-policy near dedup (operators/dedup.near_dedup_minhash with
+    keep='longest', VERDICT r4 #3): the worse (shorter) member of each
+    verified near-dup pair is dropped instead of the larger id — real
+    pipelines keep the best duplicate. Tie-break = larger id loses, so
+    metric ties reproduce keep-first exactly."""
+    corpus = _dup_corpus(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    return DD.near_dedup_minhash(
+        corpus, content_col="text", threshold=0.7, keep="longest"
+    ).select("doc_id")
+
+
+@_register(
     "dedup_components",
     # transitive closure in pure DuckDB: WITH RECURSIVE reachability over the
     # symmetrized verified-pair edges, then component = min reachable node —
@@ -1552,31 +1605,50 @@ from .operators.sketches import kmv_distinct_sql as _kmv_sql  # noqa: E402
 )
 def q_stream_kmv(spark, sf_dir):
     """Streaming × sketch composition (streaming/events.windowed_distinct_users):
-    KMV distinct-user estimate per (5-minute window, event_type), drained
-    with availableNow and compared bit-exactly against the BATCH KMV oracle
-    (operators/sketches.kmv_distinct_sql) — the estimator is a pure function
-    of hash32, so stream and batch agree to the last bit."""
+    BOUNDED-STATE KMV distinct-user estimate per (5-minute window,
+    event_type) — applyInPandasWithState whose per-cell state is the
+    bottom-k hash array (VERDICT r4 #1), fed two time-ordered micro-batches
+    (file mtimes + maxFilesPerTrigger=1) so sketches MERGE across batches,
+    and still bit-exact vs the BATCH KMV oracle
+    (operators/sketches.kmv_distinct_sql): the estimator is a pure function
+    of hash32, and emissions are monotone so the final table is max() per
+    cell."""
+    import glob
+    import os
     import tempfile
+    import time
 
-    from .streaming.events import drain_available_now, windowed_distinct_users
+    from .streaming.events import (
+        EVENTS_SCHEMA,
+        drain_available_now,
+        windowed_distinct_users,
+    )
 
     base = tempfile.mkdtemp(prefix="stream_kmv_")
     e = _t(spark, sf_dir, "events")
-    e.write.mode("overwrite").parquet(f"{base}/src")
-    stream = spark.readStream.schema(
-        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
-        "value double, props string"
-    ).parquet(f"{base}/src")
+    ts_sec = F.col("ts").cast("timestamp").cast("double")
+    split_ts = e.agg(
+        F.expr("percentile(cast(cast(ts as timestamp) as double), 0.5)").alias("m")
+    ).collect()[0]["m"]
+    e.filter(ts_sec <= split_ts).coalesce(1).write.parquet(f"{base}/src/b1")
+    e.filter(ts_sec > split_ts).coalesce(1).write.parquet(f"{base}/src/b2")
+    now = time.time()
+    for off, sub in ((100.0, "b1"), (50.0, "b2")):
+        for p in glob.glob(f"{base}/src/{sub}/*.parquet"):
+            os.utime(p, (now - off, now - off))
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src/*")
+    )
     out = drain_available_now(
         windowed_distinct_users(stream, k=64),
         f"{base}/ck",
-        output_mode="complete",
+        output_mode="update",
     )
-    return out.select(
-        F.floor(F.unix_timestamp("win_start") / 300).cast("bigint").alias("win"),
-        "event_type",
-        "n_sketch",
-        _r6(F.col("n_estimate")).alias("n_estimate"),
+    return out.groupBy("win", "event_type").agg(
+        F.max("n_sketch").cast("bigint").alias("n_sketch"),
+        _r6(F.max("n_estimate")).alias("n_estimate"),
     )
 
 

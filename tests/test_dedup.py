@@ -437,3 +437,48 @@ def test_strip_crossdoc_gram_exchanges_are_hash_keyed(spark):
     keys = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
     assert keys, plan
     assert set(keys) <= {"_h", "doc_id", "pos", "cov"}, keys
+
+
+def test_survivor_policy_keep_longest_and_metric(spark):
+    """keep= survivor policy (VERDICT r4 #3): near dedup keeps the LONGEST
+    member of a dup chain; exact dedup with a metric Column keeps the
+    max-metric copy; ties reproduce keep-first; drop-ids/anti composition
+    agrees with the window form under every policy."""
+    from datacurate4llms_spark.operators.dedup import (
+        exact_dedup,
+        exact_dedup_anti,
+        near_dedup_minhash,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    df = spark.createDataFrame(
+        [
+            (1, base, 5.0),
+            (2, base + " extratoken", 1.0),  # longest (near copy, +1 token)
+            (3, "completely different unique document text here", 9.0),
+        ],
+        "doc_id bigint, text string, score double",
+    )
+    keep_first = near_dedup_minhash(df, "text", threshold=0.5)
+    assert {r.doc_id for r in keep_first.collect()} == {1, 3}
+    keep_long = near_dedup_minhash(df, "text", threshold=0.5, keep="longest")
+    assert {r.doc_id for r in keep_long.collect()} == {2, 3}
+
+    # exact dedup: identical content, metric column picks the survivor
+    ex = spark.createDataFrame(
+        [(1, "same text", 1.0), (2, "same text", 7.0), (3, "other", 0.0)],
+        "doc_id bigint, text string, score double",
+    )
+    got = exact_dedup(ex, "text", keep=F.col("score"))
+    assert {r.doc_id for r in got.collect()} == {2, 3}
+    got_anti = exact_dedup_anti(ex, "text", keep=F.col("score"))
+    assert {r.doc_id for r in got_anti.collect()} == {2, 3}
+    # metric ties → lowest id (keep-first semantics)
+    tie = spark.createDataFrame(
+        [(5, "same text", 1.0), (4, "same text", 1.0)],
+        "doc_id bigint, text string, score double",
+    )
+    assert [r.doc_id for r in exact_dedup(tie, "text", keep=F.col("score")).collect()] == [4]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="keep must be"):
+        exact_dedup(ex, "text", keep="best")
