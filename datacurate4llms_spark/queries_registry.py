@@ -898,6 +898,103 @@ def q_qf_length_outliers(spark, sf_dir):
 
 
 @_register(
+    "qf_length_outliers_sketch",
+    # sketch-vs-exact agreement (VERDICT r4 stretch #8): quartiles from the
+    # deterministic bottom-k-by-hash sample (operators/sketches.
+    # quantile_sketch shape, k=64 per lang — smaller than the en group,
+    # so the sketch genuinely approximates) against the exact quartiles,
+    # summarized as per-lang flag agreement. Sample quantiles converge at
+    # O(1/sqrt(k)) and the sampled q1/q3 land within the length
+    # distribution's dense region, so agreement stays near 1.0 — the
+    # documented accuracy bound for swapping the corpus-scale variant in.
+    f"""
+    with source_files as ({source_files_sql()}),
+    lens as materialized (
+      select doc_id, lang, cast(length(content) as bigint) as n_chars
+      from source_files
+    ),
+    bounds as (
+      select lang, quantile_cont(n_chars, 0.25) as q1,
+             quantile_cont(n_chars, 0.75) as q3
+      from lens group by lang
+    ),
+    ranked as (
+      select lang, n_chars,
+             row_number() over (partition by lang
+               order by {hash32_sql('doc_id', seed='qsk')} asc, doc_id) as _rk
+      from lens
+    ),
+    sbounds as (
+      select lang, quantile_cont(n_chars, 0.25) as sq1,
+             quantile_cont(n_chars, 0.75) as sq3
+      from ranked where _rk <= 64 group by lang
+    ),
+    flags as (
+      select l.lang,
+             (l.n_chars < b.q1 - 1.5 * (b.q3 - b.q1)
+              or l.n_chars > b.q3 + 1.5 * (b.q3 - b.q1)) as f_exact,
+             (l.n_chars < s.sq1 - 1.5 * (s.sq3 - s.sq1)
+              or l.n_chars > s.sq3 + 1.5 * (s.sq3 - s.sq1)) as f_sketch
+      from lens l join bounds b using (lang) join sbounds s using (lang)
+    )
+    select lang, cast(count(*) as bigint) as n_docs,
+           cast(sum(case when f_exact then 1 else 0 end) as bigint) as n_exact_outliers,
+           cast(sum(case when f_sketch then 1 else 0 end) as bigint) as n_sketch_outliers,
+           cast(sum(case when f_exact = f_sketch then 1 else 0 end) as bigint) as n_agree,
+           round(cast(sum(case when f_exact = f_sketch then 1 else 0 end) as double)
+                 / cast(count(*) as double), 6) as agreement_rate
+    from flags group by lang
+    """,
+)
+def q_qf_length_outliers_sketch(spark, sf_dir):
+    """Tukey length-outlier flags from SKETCHED quartiles vs exact quartiles
+    (per-lang agreement report): the corpus-scale variant of
+    qf_length_outliers — exact per-lang percentile state is bounded by
+    DISTINCT lengths (unbounded in adversarial corpora), while the
+    hash-ranked bottom-k sample is O(k) rows per lang by construction.
+    Both bounds tables broadcast back; the corpus never shuffles."""
+    from .operators.sketches import quantile_sketch
+
+    lens = source_files(spark, sf_dir).select(
+        "doc_id", "lang", F.length("content").cast("bigint").alias("n_chars")
+    )
+    exact_b = lens.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.25)").alias("q1"),
+        F.expr("percentile(n_chars, 0.75)").alias("q3"),
+    )
+    sk = quantile_sketch(
+        lens, "n_chars", ["doc_id"], ["lang"], [0.25, 0.75], k=64
+    ).select("lang", F.col("q25").alias("sq1"), F.col("q75").alias("sq3"))
+    iqr = F.col("q3") - F.col("q1")
+    siqr = F.col("sq3") - F.col("sq1")
+    flags = (
+        lens.join(F.broadcast(exact_b), "lang")
+        .join(F.broadcast(sk), "lang")
+        .select(
+            "lang",
+            (
+                (F.col("n_chars") < F.col("q1") - 1.5 * iqr)
+                | (F.col("n_chars") > F.col("q3") + 1.5 * iqr)
+            ).alias("f_exact"),
+            (
+                (F.col("n_chars") < F.col("sq1") - 1.5 * siqr)
+                | (F.col("n_chars") > F.col("sq3") + 1.5 * siqr)
+            ).alias("f_sketch"),
+        )
+    )
+    agree = (F.col("f_exact") == F.col("f_sketch")).cast("int")
+    return flags.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.col("f_exact").cast("int")).cast("bigint").alias("n_exact_outliers"),
+        F.sum(F.col("f_sketch").cast("int")).cast("bigint").alias("n_sketch_outliers"),
+        F.sum(agree).cast("bigint").alias("n_agree"),
+        _r6(F.sum(agree).cast("double") / F.count("*").cast("double")).alias(
+            "agreement_rate"
+        ),
+    )
+
+
+@_register(
     "qf_gopher_metrics",
     _QF_METRICS_CTE
     + """
@@ -1499,6 +1596,56 @@ def q_langid_sw(spark, sf_dir):
     )
 
 
+from .functions import langid_model as LM  # noqa: E402
+
+_LM_SCORE_SQL = {
+    lang: f"round(cast({LM.lang_score_sql('_b', lang)} as double), 6)"
+    for lang in LM.LANGS
+}
+
+
+@_register(
+    "ts_langid_model",
+    f"""
+    with w as materialized ({LM.weights_cte_sql()}),
+    staged as materialized (
+      select doc_id, {LM.bucket_stream_sql('text')} as _b,
+             {', '.join(f'w_{lang}' for lang in LM.LANGS)}
+      from (select * from documents where doc_id < 200) cross join w
+    ),
+    scored as materialized (
+      select doc_id, len(_b) as _n,
+             {', '.join(f'{_LM_SCORE_SQL[lang]} as score_{lang}' for lang in LM.LANGS)}
+      from staged
+    )
+    select doc_id,
+           {LM.lang_pred_sql({lang: f'score_{lang}' for lang in LM.LANGS}, '_n')}
+             as lang_pred,
+           {', '.join(f'score_{lang}' for lang in LM.LANGS)}
+    from scored
+    """,
+)
+def q_langid_model(spark, sf_dir):
+    """Hashed linear language-ID model (functions/langid_model — fastText-
+    style hashed char-trigram naive Bayes, VERDICT r4 #4): per-doc argmax of
+    the per-language left-fold scores. The weight table is a deterministic
+    plan literal; both engines fold the SAME doubles in the SAME order, so
+    scores AND decisions are bit-identical. Bounded to 200 docs: scoring is
+    an md5 per char trigram (the hash32 primitive's cost)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    staged = d.withColumn("_b", LM.bucket_stream("text"))
+    scored = staged.withColumns(
+        {f"score_{lang}": _r6(LM.lang_score(F.col("_b"), lang)) for lang in LM.LANGS}
+    )
+    return scored.select(
+        "doc_id",
+        LM.lang_pred(
+            {lang: F.col(f"score_{lang}") for lang in LM.LANGS}, F.size("_b")
+        ).alias("lang_pred"),
+        *[f"score_{lang}" for lang in LM.LANGS],
+    )
+
+
 @_register(
     "ts_quality_score",
     _QF_METRICS_CTE
@@ -2079,6 +2226,90 @@ def q_rollup(spark, sf_dir):
             "n",
             "total_chars",
         )
+    )
+
+
+@_register(
+    "tpch_q5_local_supplier_volume",
+    """
+    select n_name,
+           round(cast(sum(l_extendedprice * (1 - l_discount)) as double), 6) as revenue,
+           cast(count(*) as bigint) as n_lineitems
+    from customer
+    join orders   on c_custkey = o_custkey
+    join lineitem on l_orderkey = o_orderkey
+    join supplier on l_suppkey = s_suppkey and c_nationkey = s_nationkey
+    join nation   on s_nationkey = n_nationkey
+    join region   on n_regionkey = r_regionkey
+    where r_name = 'EUROPE'
+      and o_orderdate >= timestamp '1996-01-01'
+      and o_orderdate <  timestamp '1998-01-01'
+    group by n_name
+    """,
+)
+def q_tpch5(spark, sf_dir):
+    """TPC-H q5 shape (local supplier volume): the 6-table join chain with a
+    region filter and an order-date range. Plan: region/nation/supplier are
+    dims → broadcast hash joins; the only shuffles are the fact-side
+    customer⋈orders⋈lineitem equi-joins and the final n_name aggregation;
+    the date predicate pushes to the orders scan."""
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    joined = (
+        cu.join(o, cu["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (cu["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(na), s["s_nationkey"] == na["n_nationkey"])
+        .join(F.broadcast(r), na["n_regionkey"] == r["r_regionkey"])
+    )
+    return joined.groupBy("n_name").agg(
+        _r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+        F.count("*").cast("bigint").alias("n_lineitems"),
+    )
+
+
+@_register(
+    "rel_grouping_sets",
+    # explicit GROUPING SETS (finer than rel_rollup_counts' rollup): the
+    # (flag, status) detail, status-only margins, and the grand total, with
+    # the grouping bitmask disambiguating NULL-valued groups — Spark
+    # grouping_id() == DuckDB grouping(flag, status), verified bit-exact
+    """
+    select coalesce(l_returnflag, '<all>') as l_returnflag,
+           coalesce(l_linestatus, '<all>') as l_linestatus,
+           cast(grouping(l_returnflag, l_linestatus) as bigint) as gid,
+           cast(count(*) as bigint) as n,
+           round(cast(sum(l_quantity) as double), 6) as sum_qty
+    from lineitem
+    group by grouping sets ((l_returnflag, l_linestatus), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    """GROUPING SETS aggregation over lineitem — the arbitrary-margin form
+    rollup cannot express ((flag, status), (status), ()); one Expand +
+    one aggregation exchange, gid = the standard grouping bitmask."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        select coalesce(l_returnflag, '<all>') as l_returnflag,
+               coalesce(l_linestatus, '<all>') as l_linestatus,
+               cast(grouping_id(l_returnflag, l_linestatus) as bigint) as gid,
+               cast(count(*) as bigint) as n,
+               round(cast(sum(l_quantity) as double), 6) as sum_qty
+        from _gs_lineitem
+        group by grouping sets ((l_returnflag, l_linestatus), (l_linestatus), ())
+        """
     )
 
 
@@ -2710,6 +2941,37 @@ def q_pack_sequences(spark, sf_dir):
         d, "n_tokens", capacity=512, key_cols=["doc_id"], num_shards=8
     )
     return out.select("doc_id", "shard", "seq_id", "start_offset", "n_tokens")
+
+
+@_register(
+    "pack_sequences_bpe",
+    # same packing kernel, BPE-ish token costs (VERDICT r4 #5): the packing
+    # operator is pluggable in its token column, so LLM-token budgeting is
+    # the same plan with token_count_bpe staged instead of whitespace counts
+    "select doc_id, shard, seq_id, start_offset, n_tokens_bpe from ("
+    + pack_sequences_sql(
+        f"select doc_id, text, {TS.token_count_bpe_sql('text')} as n_tokens_bpe from documents",
+        "n_tokens_bpe",
+        ["doc_id"],
+        capacity=512,
+        num_shards=8,
+    )
+    + ")",
+)
+def q_pack_sequences_bpe(spark, sf_dir):
+    """BPE-aware sequence packing (operators/packing.pack_sequences over
+    operators/textstats.token_count_bpe): stream positions budgeted in
+    LLM-ish token counts (GPT-2-style pre-split regex) instead of
+    whitespace words — capacity 512, 8 hash shards, bit-exact positions."""
+    from .operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", TS.token_count_bpe(F.col("text")).alias("n_tokens_bpe")
+    )
+    out = pack_sequences(
+        d, "n_tokens_bpe", capacity=512, key_cols=["doc_id"], num_shards=8
+    )
+    return out.select("doc_id", "shard", "seq_id", "start_offset", "n_tokens_bpe")
 
 
 @_register(

@@ -221,3 +221,31 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("drop table if exists bkt_docs")
         spark.sql("drop table if exists bkt_emb")
+
+
+def test_tpch_q5_pushdown_and_broadcast_dims(spark):
+    """q5 six-table chain: the order-date range and region name must reach
+    their parquet scans as PushedFilters, dims join as broadcast hash joins,
+    and no join degenerates to a cartesian product."""
+    from datacurate4llms_spark import queries_registry as QR
+
+    df = QR.QUERIES["tpch_q5_local_supplier_volume"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # date range on the scan
+    assert "EqualTo(r_name,EUROPE)" in plan          # region filter on the scan
+    # projection pruning: the lineitem scan reads only the join/agg columns
+    assert "l_comment" not in plan
+
+
+def test_grouping_sets_is_one_expand_one_aggregate_exchange(spark):
+    """GROUPING SETS = Expand (3 grouping sets) + ONE aggregation exchange —
+    not a union of three scans."""
+    from datacurate4llms_spark import queries_registry as QR
+
+    df = QR.QUERIES["rel_grouping_sets"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert plan.count("Expand") >= 1
+    assert plan.count("FileScan") == 1, "grouping sets must not rescan per set"
+    assert plan.count("Exchange") == 1

@@ -336,3 +336,43 @@ def test_quantile_sketch_labels_round_not_truncate(spark):
     assert {"q29", "q57"} <= set(out.columns)
     with _pytest.raises(ValueError, match="duplicate column labels"):
         quantile_sketch(df, "v", ["k"], ["grp"], [1.0, 0.999], k=256)
+
+
+def test_pack_sequences_bpe_token_column_plugs_through(spark):
+    """BPE-aware packing (VERDICT r4 #5): the packing kernel budgets in
+    whatever token column it is given — BPE counts change stream positions
+    vs whitespace counts (punctuation splits), while per-shard offsets stay
+    contiguous (offset_next == offset_prev + tokens_prev within a shard's
+    hash order)."""
+    from datacurate4llms_spark.operators.packing import pack_sequences
+    from datacurate4llms_spark.operators.textstats import token_count_bpe, token_count_ws
+
+    # BPE pre-split counts punctuation/camel-case pieces as tokens → more
+    # tokens than whitespace words on punctuated text
+    punct = spark.createDataFrame(
+        [(1, "def foo(x, y): return x+y  # add"), (2, "plain words only here")],
+        "doc_id bigint, text string",
+    ).select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("n_ws"),
+        token_count_bpe(F.col("text")).alias("n_bpe"),
+    ).collect()
+    assert punct[0].n_bpe > punct[0].n_ws
+    assert punct[1].n_bpe == punct[1].n_ws
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").select(
+        "doc_id", "text", token_count_bpe(F.col("text")).alias("n_bpe")
+    )
+
+    packed = pack_sequences(
+        docs, "n_bpe", capacity=512, key_cols=["doc_id"], num_shards=4
+    ).toPandas()
+    from datacurate4llms_spark.functions.hashing import hash32
+    order = spark.createDataFrame(packed).withColumn(
+        "_h", hash32("doc_id", seed="pack")
+    ).toPandas().sort_values(["shard", "_h", "doc_id"])
+    for shard, grp in order.groupby("shard"):
+        start = (grp["seq_id"] * 512 + grp["start_offset"]).to_numpy()
+        toks = grp["n_bpe"].to_numpy()
+        assert start[0] == 0
+        assert (start[1:] == start[:-1] + toks[:-1]).all()
