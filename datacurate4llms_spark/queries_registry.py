@@ -1910,6 +1910,68 @@ def q_stream_dedup_state(spark, sf_dir):
 
 
 @_register(
+    "stream_near_dedup_flags",
+    # batch twin of the stateful LSH rule: with arrival order aligned to id
+    # order, "bucket already holds a smaller id (state or same batch)"
+    # reduces to "has a smaller-id bucketmate" — pure SQL over band hashes
+    f"""
+    with corpus as ({_DUP_CORPUS_SQL}),
+    small as materialized (select * from corpus where doc_id % 10 = 0),
+    bands as materialized (
+      {" union all ".join(
+          f"select {b} as band_no, {_band_sql(b)} as band_hash, doc_id from small"
+          for b in range(DD.NUM_BANDS))}
+    ),
+    bmin as (
+      select band_no, band_hash, min(doc_id) as _bmin
+      from bands group by band_no, band_hash
+    )
+    select b.doc_id,
+           cast(sum(case when b.doc_id > m._bmin then 1 else 0 end) as bigint)
+             as n_hit_bands,
+           bool_or(b.doc_id > m._bmin) as is_candidate
+    from bands b join bmin m using (band_no, band_hash)
+    group by b.doc_id
+    """,
+)
+def q_stream_near_dedup(spark, sf_dir):
+    """Incremental MinHash-LSH near-dedup (streaming/dedup.
+    streaming_near_dedup_flags): per-bucket min-id state across two
+    time-ordered micro-batches (originals, then exact + near copies) flags
+    every later-arriving near-copy candidate — the streaming complement of
+    stream_dedup_state, which only catches byte-identical content. Bit-exact
+    vs the batch smaller-id-bucketmate SQL rule."""
+    import glob
+    import os
+    import tempfile
+    import time
+
+    from .streaming.dedup import streaming_near_dedup_flags
+    from .streaming.events import drain_available_now
+
+    base = tempfile.mkdtemp(prefix="stream_near_")
+    corpus = _dup_corpus(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    corpus.filter(F.col("doc_id") < 100000).coalesce(1).write.parquet(f"{base}/src/b1")
+    corpus.filter(F.col("doc_id") >= 100000).coalesce(1).write.parquet(f"{base}/src/b2")
+    now = time.time()
+    for off, sub in ((100.0, "b1"), (50.0, "b2")):
+        for p in glob.glob(f"{base}/src/{sub}/*.parquet"):
+            os.utime(p, (now - off, now - off))
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src/*")
+    )
+    out = drain_available_now(
+        streaming_near_dedup_flags(stream), f"{base}/ck", output_mode="update"
+    )
+    return out.groupBy("doc_id").agg(
+        F.sum(F.col("is_hit").cast("int")).cast("bigint").alias("n_hit_bands"),
+        F.max("is_hit").alias("is_candidate"),
+    )
+
+
+@_register(
     "stream_sessionization_state",
     # identical oracle to the batch twin: the stateful streaming sessionizer,
     # drained with availableNow over two time-ordered micro-batches, must

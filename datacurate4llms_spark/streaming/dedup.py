@@ -59,3 +59,86 @@ def streaming_exact_dedup(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming NEAR-dedup: stateful LSH band buckets across micro-batches
+# ---------------------------------------------------------------------------
+
+NEAR_OUTPUT_SCHEMA = "doc_id bigint, band_no int, is_hit boolean"
+NEAR_STATE_SCHEMA = "min_id bigint"
+
+
+def _near_group(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per (band_no, band_hash) bucket: state = the smallest doc_id ever
+    seen. A doc's band HITS when the bucket already holds a smaller id —
+    from an earlier micro-batch (state) or this one. With arrival order
+    aligned to id order (the registry forces it via file mtimes) the flag
+    equals the batch LSH rule "has a smaller-id bucketmate"."""
+    ids: list[int] = []
+    for pdf in pdfs:
+        if len(pdf):
+            ids.extend(int(x) for x in pdf["doc_id"])
+    if not ids:
+        return
+    prev = int(state.get[0]) if state.exists else None
+    overall_min = min(ids) if prev is None else min(prev, min(ids))
+    state.update((overall_min,))
+    yield pd.DataFrame(
+        {
+            "doc_id": ids,
+            "band_no": [int(key[0])] * len(ids),
+            "is_hit": [i > overall_min for i in ids],
+        }
+    )
+
+
+def streaming_near_dedup_flags(
+    docs_stream: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Incremental MinHash-LSH near-dup candidate flags: the streaming twin
+    of operators/dedup.lsh_candidate_pairs for the "have we ever seen
+    something NEAR this" question — exact streaming dedup catches byte
+    duplicates only; this catches near-copies arriving in later batches.
+
+    Shape: the minhash signature + band keys are pure column expressions
+    (they run unchanged on a stream), one explode to (band_no, band_hash,
+    doc_id), then a stateful op keyed by the bucket whose state is ONE
+    bigint (the bucket's min id) — state is O(distinct buckets), the same
+    footprint batch LSH shuffles, and TTL-evictable for bounded dedup
+    windows. Emissions are per (doc, band); a doc is a near-dup CANDIDATE
+    when any band hits (downstream verify applies exact Jaccard on the
+    flagged minority, exactly like the batch path)."""
+    from ..operators.dedup import NUM_BANDS, band_hashes, with_minhash
+
+    sigs = with_minhash(
+        docs_stream.select(F.col(id_col).alias("doc_id"), content_col),
+        content_col,
+    ).select("doc_id", *band_hashes())
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("band_no"),
+                        F.col(f"band_{b}").alias("band_hash"),
+                    )
+                    for b in range(NUM_BANDS)
+                ]
+            )
+        ).alias("_bh"),
+    ).select(
+        F.col("_bh.band_no").alias("band_no"),
+        F.col("_bh.band_hash").alias("band_hash"),
+        "doc_id",
+    )
+    return bands.groupBy("band_no", "band_hash").applyInPandasWithState(
+        _near_group,
+        outputStructType=NEAR_OUTPUT_SCHEMA,
+        stateStructType=NEAR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -263,3 +263,59 @@ def test_streaming_kmv_state_bounded_by_k(spark, tmp_path):
     assert abs(final.n_estimate - expected) < 1e-9
     # plausibility: KMV error is O(1/sqrt(k)) ~ 12.5%
     assert 0.6 * 5000 < final.n_estimate < 1.6 * 5000
+
+
+def test_streaming_near_dedup_catches_cross_batch_near_copies(spark, tmp_path):
+    """streaming_near_dedup_flags: a NEAR copy (one extra token) arriving in
+    a later micro-batch is flagged via the per-bucket min-id state, while
+    exact streaming dedup structurally cannot catch it (different bytes).
+    Unique docs stay unflagged."""
+    import glob
+    import os
+    import time
+
+    from datacurate4llms_spark.streaming.dedup import (
+        streaming_exact_dedup,
+        streaming_near_dedup_flags,
+    )
+    from datacurate4llms_spark.streaming.events import drain_available_now
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    b1 = [(1, base), (2, "a completely different unique document lives here now")]
+    b2 = [(10, base + " extratoken"), (11, "another unrelated fresh text body entirely")]
+    spark.createDataFrame(b1, "doc_id bigint, text string").coalesce(1).write.parquet(
+        f"{tmp_path}/src/b1"
+    )
+    spark.createDataFrame(b2, "doc_id bigint, text string").coalesce(1).write.parquet(
+        f"{tmp_path}/src/b2"
+    )
+    now = time.time()
+    for off, sub in ((100.0, "b1"), (50.0, "b2")):
+        for p in glob.glob(f"{tmp_path}/src/{sub}/*.parquet"):
+            os.utime(p, (now - off, now - off))
+
+    def stream():
+        return (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp_path}/src/*")
+        )
+
+    near = drain_available_now(
+        streaming_near_dedup_flags(stream()), f"{tmp_path}/ck_near", "update"
+    )
+    flags = {
+        r.doc_id: r.hit
+        for r in near.groupBy("doc_id").agg(F.max("is_hit").alias("hit")).collect()
+    }
+    assert flags[10] is True  # near copy, later batch → flagged
+    assert flags[1] is False and flags[2] is False and flags[11] is False
+
+    exact = drain_available_now(
+        streaming_exact_dedup(stream(), content_col="text"),
+        f"{tmp_path}/ck_exact",
+        "update",
+    ).collect()
+    # exact dedup emits every distinct content as first-seen — the near copy
+    # is NOT recognized as a duplicate there
+    assert {r.doc_id for r in exact} == {1, 2, 10, 11}
