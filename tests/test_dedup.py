@@ -482,3 +482,29 @@ def test_survivor_policy_keep_longest_and_metric(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="keep must be"):
         exact_dedup(ex, "text", keep="best")
+
+
+def test_r5_operators_handle_empty_and_null_inputs(spark):
+    """Edge hygiene for the r5 additions: empty corpora produce empty
+    results (not errors) through strip/keep-policy paths; null text maps to
+    'unk' in the langid model."""
+    from pyspark.sql import functions as F
+
+    from datacurate4llms_spark.functions import langid_model as LM
+    from datacurate4llms_spark.operators.dedup import (
+        near_dedup_minhash,
+        strip_crossdoc_ngrams,
+    )
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    assert strip_crossdoc_ngrams(empty, content_col="text").count() == 0
+    assert near_dedup_minhash(empty, "text", keep="longest").count() == 0
+
+    nulls = spark.createDataFrame([(1, None)], "doc_id bigint, text string")
+    pred = nulls.select(
+        LM.lang_pred(
+            {l: LM.lang_score(LM.bucket_stream("text"), l) for l in LM.LANGS},
+            F.size(LM.bucket_stream("text")),
+        ).alias("p")
+    ).collect()[0].p
+    assert pred == "unk"
