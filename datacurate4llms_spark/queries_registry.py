@@ -3214,3 +3214,76 @@ def q_curation_e2e(spark, sf_dir):
     from .pipelines.curation_e2e import run_curation_e2e
 
     return run_curation_e2e(spark, sf_dir)
+
+
+_STRIP_CHAIN_SQL = f"""
+    with source_files as ({{src}}),
+    strip as materialized (
+      {{strip_sql}}
+    ),
+    alive as materialized (
+      select doc_id, text_stripped as content from strip
+      where length(text_stripped) > 0
+    ),
+    dedup as materialized (
+      select doc_id, content from (
+        select doc_id, content,
+               row_number() over (partition by md5(content) order by doc_id) as rn
+        from alive
+      ) t where rn = 1
+    ),
+    qm as materialized (
+      select doc_id, content, {{metric_cols}}
+      from dedup
+    ),
+    reasons as (
+      select doc_id, md5(content) as content_md5,
+             ({{reason}}) as _r
+      from qm
+    )
+    select doc_id, content_md5, _r is null as keep,
+           coalesce(_r, '') as drop_reason
+    from reasons
+"""
+
+
+def _strip_chain_oracle() -> str:
+    m = metrics_sql("content")
+    return _STRIP_CHAIN_SQL.format(
+        src=source_files_sql(),
+        strip_sql=DD.strip_crossdoc_ngrams_sql(
+            "select doc_id, content as text from source_files", n=8, min_docs=10
+        ),
+        metric_cols=",\n             ".join(f"{sql} as {name}" for name, sql in m.items()),
+        reason=drop_reason_sql(),
+    )
+
+
+@_register("curation_strip_chain", _strip_chain_oracle())
+def q_curation_strip_chain(spark, sf_dir):
+    """Composed chain exercising the r5 ExactSubstr REMOVAL in context:
+    crossdoc span strip (grams in ≥ 10 docs excised, empty docs dropped) →
+    ids-only exact dedup → quality keep/drop over the REWRITTEN text.
+    Hash-exact on md5(stripped content) + the keep decision — proves the
+    new transform chains with the dedup and quality stages on the same
+    column contracts (the curation_e2e pattern, lighter chain)."""
+    from .functions.quality import with_keep_decision, with_quality_metrics
+
+    corpus = source_files(spark, sf_dir).select("doc_id", "content")
+    stripped = DD.strip_crossdoc_ngrams(
+        corpus, content_col="content", n=8, min_docs=10
+    )
+    alive = stripped.filter(F.length("text_stripped") > 0).select(
+        "doc_id", F.col("text_stripped").alias("content")
+    )
+    # stage boundary: dedup reads its input twice (drop list + anti join) —
+    # same lineage lesson as curation_e2e
+    alive = alive.localCheckpoint(eager=True)
+    deduped = DD.exact_dedup_anti(alive, "content", "doc_id")
+    out = with_keep_decision(with_quality_metrics(deduped, "content"))
+    return out.select(
+        "doc_id",
+        F.md5("content").alias("content_md5"),
+        "keep",
+        F.coalesce(F.col("drop_reason"), F.lit("")).alias("drop_reason"),
+    )

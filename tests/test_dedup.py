@@ -508,3 +508,35 @@ def test_r5_operators_handle_empty_and_null_inputs(spark):
         ).alias("p")
     ).collect()[0].p
     assert pred == "unk"
+
+
+def test_strip_crossdoc_rebuild_identity_adversarial_whitespace(spark):
+    """Rebuild-identity invariant under whitespace pathologies: for ANY
+    document with no duplicated gram, lead-ws + raw-token concat must be
+    byte-identical to the input — leading/trailing runs, tabs, CR, \\x0b,
+    \\x0c, unicode NBSP (NOT a split char), empty and ws-only docs."""
+    from datacurate4llms_spark.operators.dedup import strip_crossdoc_ngrams
+
+    cases = [
+        "",
+        " ",
+        "\t\t\n",
+        "   leading run",
+        "trailing run   \n\n",
+        "a  b   c    d",
+        "tab\tsep\tand\r\ncrlf",
+        "\x0bvertical\x0ctabs\x0b mixed \x0c",
+        "nbsp\xa0stays\xa0inside one token",
+        "mixed \t \n runs \x0b between words",
+        "x",
+        "ends with tab\t",
+        "\n\nstarts with newlines",
+        "unicode ellipsis … and bullets • inside",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id bigint, text string"
+    )
+    out = strip_crossdoc_ngrams(df, content_col="text", n=8, min_docs=10**9)
+    got = {r.doc_id: r.text_stripped for r in out.collect()}
+    for i, t in enumerate(cases):
+        assert got[i] == t, (i, repr(t), repr(got[i]))
