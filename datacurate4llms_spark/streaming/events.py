@@ -76,20 +76,53 @@ def enriched_windowed_counts(
     )
 
 
-KMV_OUTPUT_SCHEMA = "win bigint, event_type string, n_sketch bigint, n_estimate double"
+KMV_OUTPUT_SCHEMA = (
+    "win bigint, event_type string, n_sketch bigint, n_estimate double, "
+    "final boolean"
+)
 KMV_STATE_SCHEMA = "bottomk array<bigint>"
 
 
-def _kmv_group_factory(k: int):
+def _kmv_row(key, merged: list[int], k: int, final: bool):
+    import pandas as pd  # executor-side
+
+    n_sketch = len(merged)
+    est = (
+        float(n_sketch)  # < k distinct → exact
+        if n_sketch < k
+        else float(k - 1) * float(HASH32_MOD) / float(merged[k - 1])
+    )
+    return pd.DataFrame(
+        {
+            "win": [int(key[0])],
+            "event_type": [key[1]],
+            "n_sketch": [n_sketch],
+            "n_estimate": [est],
+            "final": [final],
+        }
+    )
+
+
+def _kmv_group_factory(k: int, window_seconds: int, finalize: bool):
     """Per-(window, event_type) bottom-k merge with cross-micro-batch state:
     the state IS the bottom-k hash array (merge incoming, keep k smallest) —
     O(k) per cell regardless of the cell's true cardinality. Factory, not a
     module-level closure: ``k`` must be captured per call (CLAUDE.md lambda
-    note) and the function ships to python workers via cloudpickle."""
+    note) and the function ships to python workers via cloudpickle.
+
+    With ``finalize`` the cell arms an EVENT-TIME timeout at window end +
+    the watermark delay: when the stream's watermark passes it, the group
+    fires once more with ``hasTimedOut``, emits its FINAL row (final=true)
+    and removes its state — watermark-driven window finalization + state
+    eviction, deterministic because the watermark advances with data."""
 
     def _kmv_group(key, pdfs, state):
-        import pandas as pd  # executor-side
-
+        if finalize and state.hasTimedOut:
+            (prev,) = state.get
+            merged = [int(x) for x in prev]
+            state.remove()
+            yield _kmv_row(key, merged, k, True)
+            return
         hs: set[int] = set()
         for p in pdfs:
             if len(p):
@@ -101,20 +134,17 @@ def _kmv_group_factory(k: int):
             hs.update(int(x) for x in prev)
         merged = sorted(hs)[:k]
         state.update((merged,))
-        n_sketch = len(merged)
-        est = (
-            float(n_sketch)  # < k distinct → exact
-            if n_sketch < k
-            else float(k - 1) * float(HASH32_MOD) / float(merged[k - 1])
-        )
-        yield pd.DataFrame(
-            {
-                "win": [int(key[0])],
-                "event_type": [key[1]],
-                "n_sketch": [n_sketch],
-                "n_estimate": [est],
-            }
-        )
+        if finalize:
+            # window close = (win+1)·window_seconds; the watermark delay is
+            # already the late-data horizon, so close time is the earliest
+            # moment the watermark can pass — clamp above the current
+            # watermark (a cell fed late-but-admissible data may already be
+            # past its close)
+            close_ms = (int(key[0]) + 1) * window_seconds * 1000
+            state.setTimeoutTimestamp(
+                max(close_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        yield _kmv_row(key, merged, k, False)
 
     return _kmv_group
 
@@ -124,6 +154,7 @@ def windowed_distinct_users(
     *,
     k: int = 64,
     window_seconds: int = 300,
+    late_horizon: str | None = None,
 ) -> DataFrame:
     """Streaming KMV with BOUNDED state: distinct-user estimate per
     (epoch-aligned window, event_type). Same estimator as
@@ -140,24 +171,39 @@ def windowed_distinct_users(
     decreases, so n_estimate only grows) — the final table under ``update``
     draining is ``max()`` per cell.
 
-    State shards by (win, event_type); windows are closed by time, so add a
-    ProcessingTimeTimeout TTL eviction when running unbounded streams."""
+    State shards by (win, event_type). On unbounded streams pass
+    ``late_horizon`` (e.g. ``'10 minutes'``): it becomes the stream's
+    watermark delay AND arms an event-time timeout at each window's close —
+    once the watermark passes it, the cell emits its FINAL row
+    (``final=true``) and its state is REMOVED, so total state stays
+    O(k · open windows). Late rows beyond the horizon are dropped by the
+    watermark (standard semantics); rows within it keep merging and re-arm
+    the timeout. Without ``late_horizon`` state lives forever (the bounded
+    drain / replay regime the oracle checks)."""
     from ..functions.hashing import hash32
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    if late_horizon is not None:
+        events = events.withWatermark("ts", late_horizon)
     prepared = events.select(
+        "ts",  # carries the event-time/watermark column through the plan
         F.floor(F.col("ts").cast("timestamp").cast("double") / window_seconds)
         .cast("bigint")
         .alias("win"),
         "event_type",
         hash32("user_id", seed="kmv").alias("_h"),
     )
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if late_horizon is None
+        else GroupStateTimeout.EventTimeTimeout
+    )
     return prepared.groupBy("win", "event_type").applyInPandasWithState(
-        _kmv_group_factory(k),
+        _kmv_group_factory(k, window_seconds, late_horizon is not None),
         outputStructType=KMV_OUTPUT_SCHEMA,
         stateStructType=KMV_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 

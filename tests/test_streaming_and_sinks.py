@@ -319,3 +319,64 @@ def test_streaming_near_dedup_catches_cross_batch_near_copies(spark, tmp_path):
     # exact dedup emits every distinct content as first-seen — the near copy
     # is NOT recognized as a duplicate there
     assert {r.doc_id for r in exact} == {1, 2, 10, 11}
+
+
+
+def test_streaming_kmv_event_time_finalization(spark, tmp_path):
+    """late_horizon arms an EVENT-TIME timeout at each window's close: once
+    the watermark (data-driven, deterministic under availableNow) passes it,
+    the cell emits exactly one final=true row and its state is removed;
+    still-open windows emit update rows only. This is the unbounded-stream
+    eviction story for the KMV state (VERDICT r4 #1 follow-through)."""
+    import glob
+    import os
+    import time
+
+    from datacurate4llms_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        drain_available_now,
+        windowed_distinct_users,
+    )
+
+    T0 = 1_700_000_100
+
+    def mk(rows, sub, off):
+        df = spark.createDataFrame(
+            rows,
+            "event_id bigint, ts_epoch bigint, user_id bigint, "
+            "event_type string, value double, props string",
+        ).select(
+            "event_id", F.col("ts_epoch").cast("timestamp").alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        df.coalesce(1).write.parquet(f"{tmp_path}/src/{sub}")
+        now = time.time()
+        for p in glob.glob(f"{tmp_path}/src/{sub}/*.parquet"):
+            os.utime(p, (now - off, now - off))
+
+    mk([(i, T0 + i, i, "click", 1.0, "{}") for i in range(10)], "b1", 100)
+    mk([(100, T0 + 2000, 100, "click", 1.0, "{}")], "b2", 50)
+    mk([(200, T0 + 4000, 200, "click", 1.0, "{}")], "b3", 25)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp_path}/src/*")
+    )
+    rows = drain_available_now(
+        windowed_distinct_users(stream, k=64, late_horizon="10 seconds"),
+        f"{tmp_path}/ck",
+        "update",
+    ).collect()
+    w1 = T0 // 300
+    finals = [r for r in rows if r.final]
+    # both passed-over windows finalized exactly once, with the full sketch
+    assert sorted((r.win, r.n_sketch) for r in finals) == [
+        (w1, 10),
+        ((T0 + 2000) // 300, 1),
+    ]
+    # the newest window is still open: update row only, no final
+    open_rows = [r for r in rows if r.win == (T0 + 4000) // 300]
+    assert len(open_rows) == 1 and not open_rows[0].final
+    # update rows and final rows agree on the sketch (nothing lost/gained)
+    upd = {(r.win, r.n_sketch) for r in rows if not r.final}
+    assert {(r.win, r.n_sketch) for r in finals} <= upd
