@@ -207,64 +207,111 @@ def windowed_distinct_users(
     )
 
 
-SESSION_OUTPUT_SCHEMA = "user_id bigint, session_id bigint, n_events bigint"
+SESSION_OUTPUT_SCHEMA = (
+    "user_id bigint, session_id bigint, n_events bigint, final boolean"
+)
 SESSION_STATE_SCHEMA = "last_ts double, session_id bigint, n_events bigint"
 SESSION_GAP_SECONDS = 1800.0
 
 
-def _sessionize_group(key, pdfs, state):
+def _sessionize_group_factory(finalize: bool):
     """Per-user session assignment with cross-micro-batch state:
     (last event time, open session counter, its event count). Emits every
     session touched this batch with its cumulative n_events — downstream
-    takes the latest emission per (user, session)."""
-    import pandas as pd  # executor-side
+    takes the latest emission per (user, session).
 
-    parts = [p for p in pdfs if len(p)]
-    if not parts:
-        return
-    ev = pd.concat(parts).sort_values(["ts_sec", "event_id"])
-    if state.exists:
-        last_ts, sess, n = state.get
-    else:
-        last_ts, sess, n = None, 0, 0
-    touched: dict[int, int] = {}
-    for t in ev["ts_sec"]:
-        if last_ts is None or t - last_ts > SESSION_GAP_SECONDS:
-            sess += 1
-            n = 0
-        n += 1
-        last_ts = t
-        touched[sess] = n
-    state.update((float(last_ts), int(sess), int(n)))
-    yield pd.DataFrame(
-        {
-            "user_id": [key[0]] * len(touched),
-            "session_id": list(touched),
-            "n_events": list(touched.values()),
-        }
-    )
+    With ``finalize`` the user arms an event-time timeout at
+    last_ts + gap: a session is definitionally CLOSED once the watermark
+    passes that point (any later admissible event would start a new
+    session), so the timed-out user emits its open session once more with
+    ``final=true`` and drops its state — idle-user eviction for unbounded
+    populations."""
+
+    def _sessionize_group(key, pdfs, state):
+        import pandas as pd  # executor-side
+
+        if finalize and state.hasTimedOut:
+            last_ts, sess, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_id": [int(sess)],
+                    "n_events": [int(n)],
+                    "final": [True],
+                }
+            )
+            return
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        ev = pd.concat(parts).sort_values(["ts_sec", "event_id"])
+        if state.exists:
+            last_ts, sess, n = state.get
+        else:
+            last_ts, sess, n = None, 0, 0
+        touched: dict[int, int] = {}
+        for t in ev["ts_sec"]:
+            if last_ts is None or t - last_ts > SESSION_GAP_SECONDS:
+                sess += 1
+                n = 0
+            n += 1
+            last_ts = t
+            touched[sess] = n
+        state.update((float(last_ts), int(sess), int(n)))
+        if finalize:
+            close_ms = int((last_ts + SESSION_GAP_SECONDS) * 1000)
+            state.setTimeoutTimestamp(
+                max(close_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(touched),
+                "session_id": list(touched),
+                "n_events": list(touched.values()),
+                "final": [False] * len(touched),
+            }
+        )
+
+    return _sessionize_group
 
 
-def streaming_sessionization(events: DataFrame) -> DataFrame:
+def streaming_sessionization(
+    events: DataFrame, late_horizon: str | None = None
+) -> DataFrame:
     """Gap-based sessionization as a custom stateful streaming operator
     (``applyInPandasWithState`` keyed by user) — the streaming twin of the
     batch ``ev_sessionization`` query: identical (ts, event_id) ordering and
     fractional-epoch gap math, with session state carried across
-    micro-batches. State shards by user_id; add an idle-timeout TTL when the
-    user population is unbounded."""
+    micro-batches. State shards by user_id.
+
+    Pass ``late_horizon`` on unbounded user populations: it becomes the
+    watermark delay and arms an event-time timeout at last_ts + gap — when
+    the watermark passes a user's session close, the session emits its
+    ``final=true`` row and the user's state is evicted (same mechanism as
+    ``windowed_distinct_users``; deterministic under availableNow because
+    the watermark advances with data)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    if late_horizon is not None:
+        events = events.withWatermark("ts", late_horizon)
     prepared = events.select(
+        "ts",  # carries the event-time/watermark column through the plan
         "user_id",
         F.col("ts").cast("double").alias("ts_sec"),
         "event_id",
     )
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if late_horizon is None
+        else GroupStateTimeout.EventTimeTimeout
+    )
     return prepared.groupBy("user_id").applyInPandasWithState(
-        _sessionize_group,
+        _sessionize_group_factory(late_horizon is not None),
         outputStructType=SESSION_OUTPUT_SCHEMA,
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 

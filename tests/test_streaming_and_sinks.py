@@ -380,3 +380,57 @@ def test_streaming_kmv_event_time_finalization(spark, tmp_path):
     # update rows and final rows agree on the sketch (nothing lost/gained)
     upd = {(r.win, r.n_sketch) for r in rows if not r.final}
     assert {(r.win, r.n_sketch) for r in finals} <= upd
+
+
+def test_streaming_sessionization_event_time_finalization(spark, tmp_path):
+    """Session finalization: a user's open session closes (final=true, state
+    evicted) once the watermark passes last_ts + gap — any later admissible
+    event would start a new session anyway. After eviction the per-user
+    counter restarts (closed sessions are identified by their final rows,
+    not by a global counter)."""
+    import glob
+    import os
+    import time
+
+    from datacurate4llms_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        drain_available_now,
+        streaming_sessionization,
+    )
+
+    T0 = 1_700_000_000
+
+    def mk(rows, sub, off):
+        spark.createDataFrame(
+            rows,
+            "event_id bigint, ts_epoch bigint, user_id bigint, "
+            "event_type string, value double, props string",
+        ).select(
+            "event_id", F.col("ts_epoch").cast("timestamp").alias("ts"),
+            "user_id", "event_type", "value", "props",
+        ).coalesce(1).write.parquet(f"{tmp_path}/src/{sub}")
+        now = time.time()
+        for p in glob.glob(f"{tmp_path}/src/{sub}/*.parquet"):
+            os.utime(p, (now - off, now - off))
+
+    mk([(1, T0, 1, "a", 1.0, "{}"), (2, T0 + 10, 1, "a", 1.0, "{}")], "b1", 100)
+    mk([(3, T0 + 5000, 2, "a", 1.0, "{}")], "b2", 75)   # watermark passes u1 close
+    mk([(4, T0 + 9000, 3, "a", 1.0, "{}")], "b3", 50)   # u1 timeout fires here
+    mk([(5, T0 + 9500, 1, "a", 1.0, "{}")], "b4", 25)   # u1 returns post-eviction
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp_path}/src/*")
+    )
+    rows = drain_available_now(
+        streaming_sessionization(stream, late_horizon="10 seconds"),
+        f"{tmp_path}/ck",
+        "update",
+    ).collect()
+    finals = [(r.user_id, r.session_id, r.n_events) for r in rows if r.final]
+    assert (1, 1, 2) in finals          # u1's 2-event session closed exactly once
+    assert finals.count((1, 1, 2)) == 1
+    assert not any(u == 3 for u, _s, _n in finals)  # newest user still open
+    # post-eviction return: fresh state, counter restarts at 1, not final
+    u1_after = [r for r in rows if r.user_id == 1 and not r.final]
+    assert (1, 1) in {(r.session_id, r.n_events) for r in u1_after}
