@@ -56,25 +56,29 @@ def hash60(*cols: Column | str, seed: str = "") -> Column:
     return F.conv(F.substring(F.md5(_payload(cols, seed)), 1, 15), 16, 10).cast("bigint")
 
 
-def hash60_sql(*exprs: str, seed: str = "") -> str:
-    """DuckDB SQL text computing the identical 60-bit fingerprint."""
+def _payload_sql(exprs: tuple[str, ...], seed: str) -> str:
+    """DuckDB twin of :func:`_payload` — the ONE place the separator and
+    NULL sentinel are spelled in SQL (CLAUDE.md: keep the dialects in
+    lockstep; concat_ws silently drops NULLs without the sentinel)."""
     parts = [f"'{seed}'"] + [
         f"coalesce(cast(({e}) as varchar), chr(2) || 'null')" for e in exprs
     ]
-    payload = "concat_ws(chr(1), " + ", ".join(parts) + ")"
-    return f"(('0x' || substr(md5({payload}), 1, 15))::bigint)"
+    return "concat_ws(chr(1), " + ", ".join(parts) + ")"
+
+
+def hash60_sql(*exprs: str, seed: str = "") -> str:
+    """DuckDB SQL text computing the identical 60-bit fingerprint."""
+    return f"(('0x' || substr(md5({_payload_sql(exprs, seed)}), 1, 15))::bigint)"
 
 
 def hash32_sql(*exprs: str, seed: str = "") -> str:
-    """DuckDB SQL text computing the identical hash32 over SQL expressions."""
-    # NULL columns coalesce to a reserved sentinel in BOTH engines — without
-    # it concat_ws silently drops NULLs, so hash32('a', NULL) == hash32('a')
-    # and NULL-keyed rows collapse into shared fold/salt buckets (ADVICE r1).
-    parts = [f"'{seed}'"] + [
-        f"coalesce(cast(({e}) as varchar), chr(2) || 'null')" for e in exprs
-    ]
-    payload = "concat_ws(chr(1), " + ", ".join(parts) + ")"
-    return f"(('0x' || substr(md5({payload}), 1, 8))::bigint)"
+    """DuckDB SQL text computing the identical hash32 over SQL expressions.
+
+    NULL columns coalesce to a reserved sentinel in BOTH engines — without
+    it concat_ws silently drops NULLs, so hash32('a', NULL) == hash32('a')
+    and NULL-keyed rows collapse into shared fold/salt buckets (ADVICE r1).
+    The payload layout lives in :func:`_payload_sql`, shared with hash60."""
+    return f"(('0x' || substr(md5({_payload_sql(exprs, seed)}), 1, 8))::bigint)"
 
 
 def fold_assign(id_col: Column | str, num_folds: int, seed: int = 42) -> Column:

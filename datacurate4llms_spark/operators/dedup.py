@@ -62,13 +62,23 @@ def _survivor_order(
     default); ``"longest"`` → max ``length(content_col)``; any Column →
     max of that metric. Tie-break is always **lowest id** (deterministic,
     matches the keep-first semantics when metrics tie)."""
+    if isinstance(keep, str) and keep == "first":
+        return [F.asc(id_col)]
+    return [F.desc(_keep_metric(keep, content_col)), F.asc(id_col)]
+
+
+def _keep_metric(keep: str | Column, content_col: str) -> Column:
+    """The survivor metric for a non-'first' policy — the ONE place
+    'longest' → length(content) is spelled (three call sites encode the
+    policy; a divergence would make the window and drop-list dedup forms
+    silently pick different survivors)."""
     if isinstance(keep, str):
-        if keep == "first":
-            return [F.asc(id_col)]
         if keep == "longest":
-            return [F.desc(F.length(F.col(content_col))), F.asc(id_col)]
-        raise ValueError(f"keep must be 'first', 'longest', or a Column (got {keep!r})")
-    return [F.desc(keep), F.asc(id_col)]
+            return F.length(F.col(content_col))
+        raise ValueError(
+            f"keep must be 'first', 'longest', or a Column (got {keep!r})"
+        )
+    return keep
 
 
 def exact_dedup(
@@ -112,13 +122,11 @@ def duplicate_drop_ids(
     A non-'first' ``keep`` policy rides the same shape: the survivor metric
     travels in the narrow shuffle as one extra numeric column (~24 B/row
     total), never the content."""
-    order = _survivor_order(keep, content_col, id_col)
     cols = [F.md5(F.col(content_col)).alias("_h"), F.col(id_col).alias(id_col)]
-    if not (isinstance(keep, str) and keep == "first"):
-        metric = (
-            F.length(F.col(content_col)) if isinstance(keep, str) else keep
-        )
-        cols.append(metric.alias("_m"))
+    if isinstance(keep, str) and keep == "first":
+        order = [F.asc(id_col)]
+    else:
+        cols.append(_keep_metric(keep, content_col).alias("_m"))
         order = [F.desc("_m"), F.asc(id_col)]
     pairs = df.select(*cols)
     w = Window.partitionBy("_h").orderBy(*order)
@@ -424,10 +432,7 @@ def near_dedup_minhash(
     if isinstance(keep, str) and keep == "first":
         dups = pairs.select(F.col("j").alias(id_col)).distinct()
     else:
-        _survivor_order(keep, content_col, id_col)  # validates the policy
-        metric = (
-            F.length(F.col(content_col)) if isinstance(keep, str) else keep
-        )
+        metric = _keep_metric(keep, content_col)
         m = df.select(F.col(id_col).alias("_mid"), metric.alias("_m"))
         mi = m.select(F.col("_mid").alias("i"), F.col("_m").alias("_mi"))
         mj = m.select(F.col("_mid").alias("j"), F.col("_m").alias("_mj"))
@@ -780,10 +785,16 @@ def strip_crossdoc_ngrams(
         .agg(F.array_sort(F.collect_set("cov")).alias("_covered"))
     )
 
+    # NULL content coalesces to 0 tokens / '' rebuild in BOTH dialects —
+    # size(NULL) is -1 under Spark's legacy default and len(NULL) is NULL in
+    # DuckDB, so uncoalesced NULL rows would hash-mismatch the oracle
     staged = df.select(
         F.col(id_col).alias("doc_id"),
-        F.regexp_extract_all(c, F.lit(_RAW_TOK_RE), F.lit(0)).alias("_raw"),
-        F.regexp_extract(c, _LEAD_WS_RE, 0).alias("_lead"),
+        F.coalesce(
+            F.regexp_extract_all(c, F.lit(_RAW_TOK_RE), F.lit(0)),
+            F.array().cast("array<string>"),
+        ).alias("_raw"),
+        F.coalesce(F.regexp_extract(c, _LEAD_WS_RE, 0), F.lit("")).alias("_lead"),
     )
     out = staged.join(covered, "doc_id", "left")
     cov_arr = F.coalesce(F.col("_covered"), F.array().cast("array<int>"))
@@ -812,8 +823,9 @@ def strip_crossdoc_ngrams_sql(
     with src as materialized ({from_sql}),
     base as materialized (
       select doc_id, text,
-             regexp_extract_all(text, '[^ \\t\\n\\x0b\\x0c\\r]+{ws}*') as raw,
-             regexp_extract(text, '^{ws}*') as lead,
+             coalesce(regexp_extract_all(text, '[^ \\t\\n\\x0b\\x0c\\r]+{ws}*'),
+                      cast([] as varchar[])) as raw,
+             coalesce(regexp_extract(text, '^{ws}*'), '') as lead,
              list_filter(regexp_split_to_array(text, '{ws}+'), t -> t <> '') as words
       from src
     ),

@@ -955,9 +955,12 @@ def q_qf_length_outliers_sketch(spark, sf_dir):
     Both bounds tables broadcast back; the corpus never shuffles."""
     from .operators.sketches import quantile_sketch
 
+    # three subtrees read lens (exact bounds, sketch sample, flags join) —
+    # eager checkpoint stops the source_files scan evaluating 3× per action
+    # and shrinks the per-rep optimizer tree (CLAUDE.md lineage note)
     lens = source_files(spark, sf_dir).select(
         "doc_id", "lang", F.length("content").cast("bigint").alias("n_chars")
-    )
+    ).localCheckpoint(eager=True)
     exact_b = lens.groupBy("lang").agg(
         F.expr("percentile(n_chars, 0.25)").alias("q1"),
         F.expr("percentile(n_chars, 0.75)").alias("q3"),
@@ -1760,15 +1763,13 @@ def q_stream_kmv(spark, sf_dir):
     (operators/sketches.kmv_distinct_sql): the estimator is a pure function
     of hash32, and emissions are monotone so the final table is max() per
     cell."""
-    import glob
-    import os
     import tempfile
-    import time
 
     from .streaming.events import (
         EVENTS_SCHEMA,
         drain_available_now,
         windowed_distinct_users,
+        write_time_ordered_batches,
     )
 
     base = tempfile.mkdtemp(prefix="stream_kmv_")
@@ -1777,16 +1778,13 @@ def q_stream_kmv(spark, sf_dir):
     split_ts = e.agg(
         F.expr("percentile(cast(cast(ts as timestamp) as double), 0.5)").alias("m")
     ).collect()[0]["m"]
-    e.filter(ts_sec <= split_ts).coalesce(1).write.parquet(f"{base}/src/b1")
-    e.filter(ts_sec > split_ts).coalesce(1).write.parquet(f"{base}/src/b2")
-    now = time.time()
-    for off, sub in ((100.0, "b1"), (50.0, "b2")):
-        for p in glob.glob(f"{base}/src/{sub}/*.parquet"):
-            os.utime(p, (now - off, now - off))
+    glob_path = write_time_ordered_batches(
+        [e.filter(ts_sec <= split_ts), e.filter(ts_sec > split_ts)], base
+    )
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{base}/src/*")
+        .parquet(glob_path)
     )
     out = drain_available_now(
         windowed_distinct_users(stream, k=64),
@@ -1871,35 +1869,24 @@ def q_stream_dedup_state(spark, sf_dir):
     batch 2 = exact copies of every doc_id % 10 == 0 row shifted +100000.
     Every copy's content was first seen in batch 1, so the state table must
     contain one emission per distinct content with the global-min doc_id."""
-    import glob
-    import os
     import tempfile
-    import time
 
     from .streaming.dedup import streaming_exact_dedup
-    from .streaming.events import drain_available_now
+    from .streaming.events import drain_available_now, write_time_ordered_batches
 
     base = tempfile.mkdtemp(prefix="stream_dedup_state_")
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    d.coalesce(1).write.mode("overwrite").parquet(f"{base}/src/b1")
-    (
-        d.filter(F.col("doc_id") % 10 == 0)
-        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{base}/src/b2")
+    copies = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
-    # FileStreamSource orders files by modification time: pin b1 strictly
-    # before b2 so micro-batch order (and therefore first-sight ids) is
-    # deterministic regardless of write latency
-    now = time.time()
-    for off, sub in ((100.0, "b1"), (50.0, "b2")):
-        for p in glob.glob(f"{base}/src/{sub}/*.parquet"):
-            os.utime(p, (now - off, now - off))
+    # FileStreamSource orders files by modification time: the helper pins
+    # b1 strictly before b2 so micro-batch order (and therefore first-sight
+    # ids) is deterministic regardless of write latency
+    glob_path = write_time_ordered_batches([d, copies], base)
     stream = (
         spark.readStream.schema("doc_id bigint, text string")
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{base}/src/*")
+        .parquet(glob_path)
     )
     out = drain_available_now(
         streaming_exact_dedup(stream, content_col="text"),
@@ -1941,26 +1928,24 @@ def q_stream_near_dedup(spark, sf_dir):
     every later-arriving near-copy candidate — the streaming complement of
     stream_dedup_state, which only catches byte-identical content. Bit-exact
     vs the batch smaller-id-bucketmate SQL rule."""
-    import glob
-    import os
     import tempfile
-    import time
 
     from .streaming.dedup import streaming_near_dedup_flags
-    from .streaming.events import drain_available_now
+    from .streaming.events import drain_available_now, write_time_ordered_batches
 
     base = tempfile.mkdtemp(prefix="stream_near_")
     corpus = _dup_corpus(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
-    corpus.filter(F.col("doc_id") < 100000).coalesce(1).write.parquet(f"{base}/src/b1")
-    corpus.filter(F.col("doc_id") >= 100000).coalesce(1).write.parquet(f"{base}/src/b2")
-    now = time.time()
-    for off, sub in ((100.0, "b1"), (50.0, "b2")):
-        for p in glob.glob(f"{base}/src/{sub}/*.parquet"):
-            os.utime(p, (now - off, now - off))
+    glob_path = write_time_ordered_batches(
+        [
+            corpus.filter(F.col("doc_id") < 100000),
+            corpus.filter(F.col("doc_id") >= 100000),
+        ],
+        base,
+    )
     stream = (
         spark.readStream.schema("doc_id bigint, text string")
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{base}/src/*")
+        .parquet(glob_path)
     )
     out = drain_available_now(
         streaming_near_dedup_flags(stream), f"{base}/ck", output_mode="update"
@@ -1985,15 +1970,13 @@ def q_stream_sessionization_state(spark, sf_dir):
     events split into two micro-batches at the median timestamp (time-ordered
     via file mtimes + maxFilesPerTrigger=1); emissions carry cumulative
     per-session counts, so the final table is max(n_events) per session."""
-    import glob
-    import os
     import tempfile
-    import time
 
     from .streaming.events import (
         EVENTS_SCHEMA,
         drain_available_now,
         streaming_sessionization,
+        write_time_ordered_batches,
     )
 
     base = tempfile.mkdtemp(prefix="stream_sessions_")
@@ -2004,16 +1987,13 @@ def q_stream_sessionization_state(spark, sf_dir):
     split_ts = ev.agg(
         F.expr("percentile(cast(cast(ts as timestamp) as double), 0.5)").alias("m")
     ).collect()[0]["m"]
-    ev.filter(ts_sec <= split_ts).coalesce(1).write.parquet(f"{base}/src/b1")
-    ev.filter(ts_sec > split_ts).coalesce(1).write.parquet(f"{base}/src/b2")
-    now = time.time()
-    for off, sub in ((100.0, "b1"), (50.0, "b2")):
-        for p in glob.glob(f"{base}/src/{sub}/*.parquet"):
-            os.utime(p, (now - off, now - off))
+    glob_path = write_time_ordered_batches(
+        [ev.filter(ts_sec <= split_ts), ev.filter(ts_sec > split_ts)], base
+    )
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{base}/src/*")
+        .parquet(glob_path)
     )
     out = drain_available_now(
         streaming_sessionization(stream), f"{base}/ck", output_mode="update"

@@ -32,6 +32,28 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
 
 
+def write_time_ordered_batches(dfs: list[DataFrame], base_dir: str) -> str:
+    """Write each frame as one parquet file with strictly increasing mtimes
+    so a FileStreamSource with ``maxFilesPerTrigger=1`` replays them as
+    ordered micro-batches (the source orders files by modification time).
+    The single place the mtime-offset convention lives — registry queries
+    and tests that need deterministic micro-batch order all route through
+    here. Returns the glob path for ``readStream``."""
+    import glob
+    import os
+    import time
+
+    now = time.time()
+    n = len(dfs)
+    for i, df in enumerate(dfs):
+        sub = f"{base_dir}/src/b{i + 1}"
+        df.coalesce(1).write.parquet(sub)
+        off = (n - i) * 50.0
+        for p in glob.glob(f"{sub}/*.parquet"):
+            os.utime(p, (now - off, now - off))
+    return f"{base_dir}/src/*"
+
+
 def windowed_counts(events: DataFrame, window: str = "5 minutes",
                     watermark: str = "10 minutes") -> DataFrame:
     """Tumbling-window count+sum per event_type with late-data watermark."""
@@ -208,36 +230,44 @@ def windowed_distinct_users(
 
 
 SESSION_OUTPUT_SCHEMA = (
-    "user_id bigint, session_id bigint, n_events bigint, final boolean"
+    "user_id bigint, session_id bigint, n_events bigint, "
+    "session_start double, final boolean"
 )
-SESSION_STATE_SCHEMA = "last_ts double, session_id bigint, n_events bigint"
+SESSION_STATE_SCHEMA = (
+    "last_ts double, session_id bigint, n_events bigint, start_ts double"
+)
 SESSION_GAP_SECONDS = 1800.0
 
 
 def _sessionize_group_factory(finalize: bool):
     """Per-user session assignment with cross-micro-batch state:
-    (last event time, open session counter, its event count). Emits every
-    session touched this batch with its cumulative n_events — downstream
-    takes the latest emission per (user, session).
+    (last event time, open session counter, its event count, its start
+    time). Emits every session touched this batch with its cumulative
+    n_events — WITHOUT finalize, downstream takes the latest emission per
+    (user, session_id). WITH finalize the per-user counter restarts after
+    eviction, so session_id is only unique per state lifetime — consumers
+    key on (user_id, session_start) instead (the session's first event
+    time, unique across evictions by the gap definition: two sessions of
+    one user cannot start at the same instant).
 
-    With ``finalize`` the user arms an event-time timeout at
-    last_ts + gap: a session is definitionally CLOSED once the watermark
-    passes that point (any later admissible event would start a new
-    session), so the timed-out user emits its open session once more with
-    ``final=true`` and drops its state — idle-user eviction for unbounded
-    populations."""
+    ``finalize``: the user arms an event-time timeout at last_ts + gap — a
+    session is definitionally CLOSED once the watermark passes that point
+    (any later admissible event would start a new session), so the
+    timed-out user emits its open session once more with ``final=true``
+    and drops its state — idle-user eviction for unbounded populations."""
 
     def _sessionize_group(key, pdfs, state):
         import pandas as pd  # executor-side
 
         if finalize and state.hasTimedOut:
-            last_ts, sess, n = state.get
+            last_ts, sess, n, start = state.get
             state.remove()
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
                     "session_id": [int(sess)],
                     "n_events": [int(n)],
+                    "session_start": [float(start)],
                     "final": [True],
                 }
             )
@@ -247,18 +277,19 @@ def _sessionize_group_factory(finalize: bool):
             return
         ev = pd.concat(parts).sort_values(["ts_sec", "event_id"])
         if state.exists:
-            last_ts, sess, n = state.get
+            last_ts, sess, n, start = state.get
         else:
-            last_ts, sess, n = None, 0, 0
-        touched: dict[int, int] = {}
+            last_ts, sess, n, start = None, 0, 0, 0.0
+        touched: dict[int, tuple[int, float]] = {}
         for t in ev["ts_sec"]:
             if last_ts is None or t - last_ts > SESSION_GAP_SECONDS:
                 sess += 1
                 n = 0
+                start = float(t)
             n += 1
             last_ts = t
-            touched[sess] = n
-        state.update((float(last_ts), int(sess), int(n)))
+            touched[sess] = (n, start)
+        state.update((float(last_ts), int(sess), int(n), float(start)))
         if finalize:
             close_ms = int((last_ts + SESSION_GAP_SECONDS) * 1000)
             state.setTimeoutTimestamp(
@@ -268,7 +299,8 @@ def _sessionize_group_factory(finalize: bool):
             {
                 "user_id": [key[0]] * len(touched),
                 "session_id": list(touched),
-                "n_events": list(touched.values()),
+                "n_events": [v[0] for v in touched.values()],
+                "session_start": [v[1] for v in touched.values()],
                 "final": [False] * len(touched),
             }
         )
@@ -290,7 +322,9 @@ def streaming_sessionization(
     the watermark passes a user's session close, the session emits its
     ``final=true`` row and the user's state is evicted (same mechanism as
     ``windowed_distinct_users``; deterministic under availableNow because
-    the watermark advances with data)."""
+    the watermark advances with data). After eviction the per-user
+    session_id counter restarts — in this mode identify sessions by
+    (user_id, session_start), which is unique across evictions."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     if late_horizon is not None:

@@ -500,6 +500,18 @@ def test_r5_operators_handle_empty_and_null_inputs(spark):
     assert strip_crossdoc_ngrams(empty, content_col="text").count() == 0
     assert near_dedup_minhash(empty, "text", keep="longest").count() == 0
 
+    # NULL content → 0 tokens / '' rebuild (both dialects coalesce; Spark's
+    # legacy size(NULL) == -1 would otherwise hash-mismatch the oracle)
+    withnull = spark.createDataFrame(
+        [(1, None), (2, "a b")], "doc_id bigint, text string"
+    )
+    rows = {
+        r.doc_id: r
+        for r in strip_crossdoc_ngrams(withnull, content_col="text").collect()
+    }
+    assert rows[1].n_tokens == 0 and rows[1].text_stripped == ""
+    assert rows[2].text_stripped == "a b"
+
     nulls = spark.createDataFrame([(1, None)], "doc_id bigint, text string")
     pred = nulls.select(
         LM.lang_pred(

@@ -115,23 +115,28 @@ def test_streaming_stateful_dedup_across_microbatches(spark, tmp_path):
     """applyInPandasWithState: a duplicate arriving in a LATER micro-batch
     must be suppressed by state (batch dedup can't see across batches)."""
     from datacurate4llms_spark.streaming.dedup import streaming_exact_dedup
-    from datacurate4llms_spark.streaming.events import run_available_now
+    from datacurate4llms_spark.streaming.events import (
+        run_available_now,
+        write_time_ordered_batches,
+    )
 
-    src = tmp_path / "stream_src"
-    src.mkdir()
     schema = "doc_id bigint, content string"
     # batch 1: A, B (+ in-batch dup of A); batch 2: dup of A, dup of B, new C
-    spark.createDataFrame(
-        [(0, "content A"), (1, "content B"), (2, "content A")], schema
-    ).coalesce(1).write.parquet(str(src / "b1"))
-    spark.createDataFrame(
-        [(10, "content A"), (11, "content B"), (12, "content C")], schema
-    ).coalesce(1).write.parquet(str(src / "b2"))
-
+    glob_path = write_time_ordered_batches(
+        [
+            spark.createDataFrame(
+                [(0, "content A"), (1, "content B"), (2, "content A")], schema
+            ),
+            spark.createDataFrame(
+                [(10, "content A"), (11, "content B"), (12, "content C")], schema
+            ),
+        ],
+        str(tmp_path),
+    )
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)  # -> one micro-batch per file
-        .parquet(str(src / "*"))
+        .parquet(glob_path)
     )
     rows = run_available_now(
         streaming_exact_dedup(stream), str(tmp_path / "ck"), output_mode="update"
@@ -144,47 +149,30 @@ def test_streaming_stateful_dedup_across_microbatches(spark, tmp_path):
 def test_streaming_sessionization_matches_batch(spark, tmp_path):
     """Stream-batch equivalence for the stateful sessionizer, including
     sessions spanning micro-batches (maxFilesPerTrigger=1 forces two)."""
-    import shutil
-
     from datacurate4llms_spark import queries_registry as QR
     from datacurate4llms_spark.streaming.events import (
         EVENTS_SCHEMA,
         run_available_now,
         streaming_sessionization,
+        write_time_ordered_batches,
     )
 
-    # split the events by TIME into two files → two micro-batches: stream
-    # arrival order must match event time for the stateful operator to agree
-    # with the batch (time-ordered) answer; sessions crossing the split
-    # continue via state
-    import os
-
+    # split the events by TIME into two micro-batches: stream arrival order
+    # must match event time for the stateful operator to agree with the
+    # batch (time-ordered) answer; sessions crossing the split continue via
+    # state
     ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").withColumn(
         "_tsd", F.col("ts").cast("timestamp").cast("double")
     )
     cut = ev.approxQuantile("_tsd", [0.5], 0.0)[0]
-    src = tmp_path / "sess_stream"
-    src.mkdir()
     early = ev.filter(F.col("_tsd") <= cut).drop("_tsd")
     late = ev.filter(F.col("_tsd") > cut).drop("_tsd")
     assert early.count() > 0 and late.count() > 0
-    early.coalesce(1).write.parquet(str(src / "a"))
-    late.coalesce(1).write.parquet(str(src / "b"))
-    files_a = sorted((src / "a").glob("part-*.parquet"))
-    files_b = sorted((src / "b").glob("part-*.parquet"))
-    assert len(files_a) == 1 and len(files_b) == 1
-    flat = tmp_path / "flat"
-    flat.mkdir()
-    # the file source orders by modification time: pin it explicitly
-    shutil.copy(files_a[0], flat / "0.parquet")
-    shutil.copy(files_b[0], flat / "1.parquet")
-    os.utime(flat / "0.parquet", (1_000_000, 1_000_000))
-    os.utime(flat / "1.parquet", (2_000_000, 2_000_000))
-
+    glob_path = write_time_ordered_batches([early, late], str(tmp_path))
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
-        .parquet(str(flat))
+        .parquet(glob_path)
     )
     got = run_available_now(
         streaming_sessionization(stream), str(tmp_path / "ck_sess"),
@@ -209,16 +197,14 @@ def test_streaming_kmv_state_bounded_by_k(spark, tmp_path):
     emits len(state) by construction) is ≤ k, the final sketch is exactly k,
     and the merged estimate is bit-equal to the batch KMV over the union —
     i.e. state merging across batches lost nothing the sketch should keep."""
-    import glob
     import hashlib
-    import os
-    import time
 
     from datacurate4llms_spark.functions.hashing import HASH32_MOD
     from datacurate4llms_spark.streaming.events import (
         EVENTS_SCHEMA,
         drain_available_now,
         windowed_distinct_users,
+        write_time_ordered_batches,
     )
 
     k = 64
@@ -235,16 +221,14 @@ def test_streaming_kmv_state_bounded_by_k(spark, tmp_path):
         "event_id", F.col("ts_epoch").cast("timestamp").alias("ts"),
         "user_id", "event_type", "value", "props",
     )
-    df.filter(F.col("user_id") < 2500).coalesce(1).write.parquet(f"{tmp_path}/src/b1")
-    df.filter(F.col("user_id") >= 2500).coalesce(1).write.parquet(f"{tmp_path}/src/b2")
-    now = time.time()
-    for off, sub in ((100.0, "b1"), (50.0, "b2")):
-        for p in glob.glob(f"{tmp_path}/src/{sub}/*.parquet"):
-            os.utime(p, (now - off, now - off))
+    glob_path = write_time_ordered_batches(
+        [df.filter(F.col("user_id") < 2500), df.filter(F.col("user_id") >= 2500)],
+        str(tmp_path),
+    )
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{tmp_path}/src/*")
+        .parquet(glob_path)
     )
     emissions = drain_available_now(
         windowed_distinct_users(stream, k=k), f"{tmp_path}/ck", "update"
@@ -270,35 +254,31 @@ def test_streaming_near_dedup_catches_cross_batch_near_copies(spark, tmp_path):
     a later micro-batch is flagged via the per-bucket min-id state, while
     exact streaming dedup structurally cannot catch it (different bytes).
     Unique docs stay unflagged."""
-    import glob
-    import os
-    import time
-
     from datacurate4llms_spark.streaming.dedup import (
         streaming_exact_dedup,
         streaming_near_dedup_flags,
     )
-    from datacurate4llms_spark.streaming.events import drain_available_now
+    from datacurate4llms_spark.streaming.events import (
+        drain_available_now,
+        write_time_ordered_batches,
+    )
 
     base = "the quick brown fox jumps over the lazy dog again and again ok"
     b1 = [(1, base), (2, "a completely different unique document lives here now")]
     b2 = [(10, base + " extratoken"), (11, "another unrelated fresh text body entirely")]
-    spark.createDataFrame(b1, "doc_id bigint, text string").coalesce(1).write.parquet(
-        f"{tmp_path}/src/b1"
+    glob_path = write_time_ordered_batches(
+        [
+            spark.createDataFrame(b1, "doc_id bigint, text string"),
+            spark.createDataFrame(b2, "doc_id bigint, text string"),
+        ],
+        str(tmp_path),
     )
-    spark.createDataFrame(b2, "doc_id bigint, text string").coalesce(1).write.parquet(
-        f"{tmp_path}/src/b2"
-    )
-    now = time.time()
-    for off, sub in ((100.0, "b1"), (50.0, "b2")):
-        for p in glob.glob(f"{tmp_path}/src/{sub}/*.parquet"):
-            os.utime(p, (now - off, now - off))
 
     def stream():
         return (
             spark.readStream.schema("doc_id bigint, text string")
             .option("maxFilesPerTrigger", 1)
-            .parquet(f"{tmp_path}/src/*")
+            .parquet(glob_path)
         )
 
     near = drain_available_now(
@@ -328,20 +308,17 @@ def test_streaming_kmv_event_time_finalization(spark, tmp_path):
     the cell emits exactly one final=true row and its state is removed;
     still-open windows emit update rows only. This is the unbounded-stream
     eviction story for the KMV state (VERDICT r4 #1 follow-through)."""
-    import glob
-    import os
-    import time
-
     from datacurate4llms_spark.streaming.events import (
         EVENTS_SCHEMA,
         drain_available_now,
         windowed_distinct_users,
+        write_time_ordered_batches,
     )
 
     T0 = 1_700_000_100
 
-    def mk(rows, sub, off):
-        df = spark.createDataFrame(
+    def mk(rows):
+        return spark.createDataFrame(
             rows,
             "event_id bigint, ts_epoch bigint, user_id bigint, "
             "event_type string, value double, props string",
@@ -349,18 +326,19 @@ def test_streaming_kmv_event_time_finalization(spark, tmp_path):
             "event_id", F.col("ts_epoch").cast("timestamp").alias("ts"),
             "user_id", "event_type", "value", "props",
         )
-        df.coalesce(1).write.parquet(f"{tmp_path}/src/{sub}")
-        now = time.time()
-        for p in glob.glob(f"{tmp_path}/src/{sub}/*.parquet"):
-            os.utime(p, (now - off, now - off))
 
-    mk([(i, T0 + i, i, "click", 1.0, "{}") for i in range(10)], "b1", 100)
-    mk([(100, T0 + 2000, 100, "click", 1.0, "{}")], "b2", 50)
-    mk([(200, T0 + 4000, 200, "click", 1.0, "{}")], "b3", 25)
+    glob_path = write_time_ordered_batches(
+        [
+            mk([(i, T0 + i, i, "click", 1.0, "{}") for i in range(10)]),
+            mk([(100, T0 + 2000, 100, "click", 1.0, "{}")]),
+            mk([(200, T0 + 4000, 200, "click", 1.0, "{}")]),
+        ],
+        str(tmp_path),
+    )
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{tmp_path}/src/*")
+        .parquet(glob_path)
     )
     rows = drain_available_now(
         windowed_distinct_users(stream, k=64, late_horizon="10 seconds"),
@@ -388,39 +366,38 @@ def test_streaming_sessionization_event_time_finalization(spark, tmp_path):
     event would start a new session anyway. After eviction the per-user
     counter restarts (closed sessions are identified by their final rows,
     not by a global counter)."""
-    import glob
-    import os
-    import time
-
     from datacurate4llms_spark.streaming.events import (
         EVENTS_SCHEMA,
         drain_available_now,
         streaming_sessionization,
+        write_time_ordered_batches,
     )
 
     T0 = 1_700_000_000
 
-    def mk(rows, sub, off):
-        spark.createDataFrame(
+    def mk(rows):
+        return spark.createDataFrame(
             rows,
             "event_id bigint, ts_epoch bigint, user_id bigint, "
             "event_type string, value double, props string",
         ).select(
             "event_id", F.col("ts_epoch").cast("timestamp").alias("ts"),
             "user_id", "event_type", "value", "props",
-        ).coalesce(1).write.parquet(f"{tmp_path}/src/{sub}")
-        now = time.time()
-        for p in glob.glob(f"{tmp_path}/src/{sub}/*.parquet"):
-            os.utime(p, (now - off, now - off))
+        )
 
-    mk([(1, T0, 1, "a", 1.0, "{}"), (2, T0 + 10, 1, "a", 1.0, "{}")], "b1", 100)
-    mk([(3, T0 + 5000, 2, "a", 1.0, "{}")], "b2", 75)   # watermark passes u1 close
-    mk([(4, T0 + 9000, 3, "a", 1.0, "{}")], "b3", 50)   # u1 timeout fires here
-    mk([(5, T0 + 9500, 1, "a", 1.0, "{}")], "b4", 25)   # u1 returns post-eviction
+    glob_path = write_time_ordered_batches(
+        [
+            mk([(1, T0, 1, "a", 1.0, "{}"), (2, T0 + 10, 1, "a", 1.0, "{}")]),
+            mk([(3, T0 + 5000, 2, "a", 1.0, "{}")]),  # watermark passes u1 close
+            mk([(4, T0 + 9000, 3, "a", 1.0, "{}")]),  # u1 timeout fires here
+            mk([(5, T0 + 9500, 1, "a", 1.0, "{}")]),  # u1 returns post-eviction
+        ],
+        str(tmp_path),
+    )
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{tmp_path}/src/*")
+        .parquet(glob_path)
     )
     rows = drain_available_now(
         streaming_sessionization(stream, late_horizon="10 seconds"),
@@ -434,3 +411,8 @@ def test_streaming_sessionization_event_time_finalization(spark, tmp_path):
     # post-eviction return: fresh state, counter restarts at 1, not final
     u1_after = [r for r in rows if r.user_id == 1 and not r.final]
     assert (1, 1) in {(r.session_id, r.n_events) for r in u1_after}
+    # session_id collides across the eviction — session_start disambiguates:
+    # (user_id, session_start) stays unique, so the closed session's count
+    # cannot be conflated with the new session's under a latest-per-key merge
+    u1_starts = {round(r.session_start, 3) for r in rows if r.user_id == 1}
+    assert u1_starts == {float(T0), float(T0 + 9500)}
