@@ -104,3 +104,32 @@ def run_quality_filter(
     if with_model_scores:
         cols += ["gzip_len", "bits_per_char", "lang_pred", "lang_conf", "perplexity"]
     return out.select(*cols)
+
+
+def suggest_salt_buckets(
+    df: DataFrame,
+    repo_col: str = "repo",
+    *,
+    target_rows_per_task: int = 100_000,
+) -> int:
+    """Size the skew-breaking salt from the corpus's measured repo skew
+    (the qf_repo_skew report's purpose, made actionable): buckets =
+    ceil(largest repo's row count / target task size), floored at 1 — so
+    the hottest repo spreads across just enough salted partitions for its
+    tasks to hit the target, while unskewed corpora stay at 1 (no shuffle:
+    ``quality_filter(salt_buckets=None-or-1-equivalent)`` only repartitions
+    when a salt is requested).
+
+    Driver-side cost: one tiny two-level count aggregation (map-side combine
+    reduces each task to ≤ |repos| rows) collecting a single scalar."""
+    import math
+
+    top = (
+        df.groupBy(repo_col)
+        .count()
+        .agg(F.max("count").alias("m"))
+        .collect()[0]["m"]
+    )
+    if top is None:
+        return 1
+    return max(1, math.ceil(top / target_rows_per_task))

@@ -460,3 +460,20 @@ def test_word_length_rule_single_bound_profiles(spark, duck):
         assert (got.drop_reason == "word_length") is should_fire
         sql = drop_reason_sql(profile)
         assert ("word_length" in sql) and ("inf" not in sql)
+
+
+def test_suggest_salt_buckets_sizes_from_skew(spark):
+    """suggest_salt_buckets: the salt knob derives from the measured hottest
+    repo — ceil(max repo rows / target), 1 for unskewed/empty corpora —
+    turning the qf_repo_skew report into the north rule's explicit
+    skew-breaking parameter."""
+    from datacurate4llms_spark.pipelines.quality_filter import suggest_salt_buckets
+
+    df = spark.createDataFrame(
+        [(f"r{j}", i) for j, n in enumerate([250, 10, 5]) for i in range(n)],
+        "repo string, x int",
+    )
+    assert suggest_salt_buckets(df, target_rows_per_task=100) == 3  # ceil(250/100)
+    assert suggest_salt_buckets(df, target_rows_per_task=1000) == 1
+    empty = spark.createDataFrame([], "repo string, x int")
+    assert suggest_salt_buckets(empty) == 1
