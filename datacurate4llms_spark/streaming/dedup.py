@@ -8,12 +8,21 @@ emitted with its canonical (lowest) id, every later duplicate — same batch or
 any later batch — is dropped.
 
 At scale the state store shards by the group key (content hash — uniform by
-construction), so state size is O(distinct contents) spread across
-executors; pair with a TTL timeout when the dedup window is bounded.
+construction), so state size is O(distinct contents) spread across executors.
+Exact ever-seen semantics are inherently unbounded-state (no bounded-state
+algorithm can preserve them); for unbounded streams pass ``late_horizon`` to
+BOTH operators to switch to bounded "seen within the last horizon" semantics:
+it becomes the stream's watermark delay and arms an event-time timeout at
+each key's last-seen event time + horizon — once the watermark passes it, the
+key's state is evicted (the KMV/sessionizer mechanism,
+streaming/events.py:141-168), so a duplicate arriving later re-emits as a
+fresh first sighting. In-horizon duplicates still flag, and every sighting
+re-arms the clock (idle keys evict, hot keys stay).
 """
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 from typing import Any
 
@@ -25,39 +34,103 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 OUTPUT_SCHEMA = "content_hash string, doc_id bigint, batch_first boolean"
 STATE_SCHEMA = "seen boolean, canonical_id bigint"
 
+_HORIZON_RE = re.compile(r"^\s*(\d+)\s*(second|minute|hour|day)s?\s*$")
+_UNIT_MS = {"second": 1000, "minute": 60_000, "hour": 3_600_000, "day": 86_400_000}
 
-def _dedup_group(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    min_id: Any = None
-    for pdf in pdfs:
-        if len(pdf):
-            batch_min = int(pdf["doc_id"].min())
-            min_id = batch_min if min_id is None else min(min_id, batch_min)
-    if min_id is None:
-        return
-    if state.exists:
-        return  # content already emitted in an earlier micro-batch
-    state.update((True, min_id))
-    yield pd.DataFrame(
-        {"content_hash": [key[0]], "doc_id": [min_id], "batch_first": [True]}
-    )
+
+def _horizon_ms(late_horizon: str) -> int:
+    """'10 minutes'-style interval → milliseconds (the subset of Spark's
+    CalendarInterval grammar these operators need)."""
+    m = _HORIZON_RE.match(late_horizon)
+    if not m:
+        raise ValueError(
+            f"late_horizon {late_horizon!r} must look like '<n> seconds|minutes|hours|days'"
+        )
+    return int(m.group(1)) * _UNIT_MS[m.group(2)]
+
+
+def _arm_eviction(state: GroupState, last_ts_sec: float, horizon_ms: int) -> None:
+    """Re-arm the idle-eviction clock at last-seen event time + horizon,
+    clamped above the current watermark (Spark rejects timeouts at/behind
+    it — a key fed late-but-admissible data can already be past its close)."""
+    close_ms = int(last_ts_sec * 1000) + horizon_ms
+    state.setTimeoutTimestamp(max(close_ms, state.getCurrentWatermarkMs() + 1))
+
+
+def _dedup_group_factory(horizon_ms: int | None):
+    """Factory (CLAUDE.md lambda note): ``horizon_ms`` must be captured per
+    call; the closure ships to python workers via cloudpickle."""
+
+    def _dedup_group(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if horizon_ms is not None and state.hasTimedOut:
+            state.remove()  # idle beyond the horizon — forget this content
+            return
+        min_id: Any = None
+        last_ts: float | None = None
+        for pdf in pdfs:
+            if len(pdf):
+                batch_min = int(pdf["doc_id"].min())
+                min_id = batch_min if min_id is None else min(min_id, batch_min)
+                if horizon_ms is not None:
+                    t = float(pdf["_ts_sec"].max())
+                    last_ts = t if last_ts is None else max(last_ts, t)
+        if min_id is None:
+            return
+        seen = state.exists
+        if not seen:
+            state.update((True, min_id))
+        if horizon_ms is not None:
+            _arm_eviction(state, last_ts, horizon_ms)  # every sighting re-arms
+        if seen:
+            return  # content already emitted while its state was alive
+        yield pd.DataFrame(
+            {"content_hash": [key[0]], "doc_id": [min_id], "batch_first": [True]}
+        )
+
+    return _dedup_group
 
 
 def streaming_exact_dedup(
-    files_stream: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+    files_stream: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    *,
+    ts_col: str = "ts",
+    late_horizon: str | None = None,
 ) -> DataFrame:
-    """First-ever occurrence per content hash across all micro-batches."""
-    hashed = files_stream.select(
+    """First occurrence per content hash across micro-batches.
+
+    Default (``late_horizon=None``): ever-seen semantics, state lives forever
+    (the bounded drain / replay regime the oracle checks). With
+    ``late_horizon`` (e.g. ``'10 minutes'``): ``ts_col`` becomes the stream's
+    watermark column with that delay, and content idle past the horizon is
+    EVICTED — "seen within the window" dedup for unbounded streams. A
+    duplicate arriving after its content's eviction is emitted again as a
+    fresh first sighting (by construction: bounded windows forget).
+    """
+    cols = [
         F.md5(F.col(content_col)).alias("content_hash"),
         F.col(id_col).alias("doc_id"),
+    ]
+    if late_horizon is not None:
+        files_stream = files_stream.withWatermark(ts_col, late_horizon)
+        # keep the event-time column itself so the watermark survives the
+        # projection; the group fn reads the fractional-epoch twin
+        cols += [F.col(ts_col), F.col(ts_col).cast("double").alias("_ts_sec")]
+    hashed = files_stream.select(*cols)
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if late_horizon is None
+        else GroupStateTimeout.EventTimeTimeout
     )
     return hashed.groupBy("content_hash").applyInPandasWithState(
-        _dedup_group,
+        _dedup_group_factory(None if late_horizon is None else _horizon_ms(late_horizon)),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 
@@ -69,56 +142,94 @@ NEAR_OUTPUT_SCHEMA = "doc_id bigint, band_no int, is_hit boolean"
 NEAR_STATE_SCHEMA = "min_id bigint"
 
 
-def _near_group(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Per (band_no, band_hash) bucket: state = the smallest doc_id ever
-    seen. A doc's band HITS when the bucket already holds a smaller id —
-    from an earlier micro-batch (state) or this one. With arrival order
-    aligned to id order (the registry forces it via file mtimes) the flag
-    equals the batch LSH rule "has a smaller-id bucketmate"."""
-    ids: list[int] = []
-    for pdf in pdfs:
-        if len(pdf):
-            ids.extend(int(x) for x in pdf["doc_id"])
-    if not ids:
-        return
-    prev = int(state.get[0]) if state.exists else None
-    overall_min = min(ids) if prev is None else min(prev, min(ids))
-    state.update((overall_min,))
-    yield pd.DataFrame(
-        {
-            "doc_id": ids,
-            "band_no": [int(key[0])] * len(ids),
-            "is_hit": [i > overall_min for i in ids],
-        }
-    )
+def _near_group_factory(horizon_ms: int | None):
+    def _near_group(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Per (band_no, band_hash) bucket: state = the smallest doc_id ever
+        seen while the bucket's state is alive. A doc's band HITS when the
+        bucket already holds a smaller id — from an earlier micro-batch
+        (state) or this one. With arrival order aligned to id order (the
+        registry forces it via file mtimes) the flag equals the batch LSH
+        rule "has a smaller-id bucketmate"."""
+        if horizon_ms is not None and state.hasTimedOut:
+            state.remove()  # bucket idle beyond the horizon
+            return
+        ids: list[int] = []
+        last_ts: float | None = None
+        for pdf in pdfs:
+            if len(pdf):
+                ids.extend(int(x) for x in pdf["doc_id"])
+                if horizon_ms is not None:
+                    t = float(pdf["_ts_sec"].max())
+                    last_ts = t if last_ts is None else max(last_ts, t)
+        if not ids:
+            return
+        prev = int(state.get[0]) if state.exists else None
+        overall_min = min(ids) if prev is None else min(prev, min(ids))
+        state.update((overall_min,))
+        if horizon_ms is not None:
+            _arm_eviction(state, last_ts, horizon_ms)
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "band_no": [int(key[0])] * len(ids),
+                "is_hit": [i > overall_min for i in ids],
+            }
+        )
+
+    return _near_group
 
 
 def streaming_near_dedup_flags(
-    docs_stream: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+    docs_stream: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    ts_col: str = "ts",
+    late_horizon: str | None = None,
 ) -> DataFrame:
     """Incremental MinHash-LSH near-dup candidate flags: the streaming twin
     of operators/dedup.lsh_candidate_pairs for the "have we ever seen
     something NEAR this" question — exact streaming dedup catches byte
     duplicates only; this catches near-copies arriving in later batches.
 
+    PRECONDITION (public contract, not just an implementation note): the
+    flags match the batch rule "has a smaller-id bucketmate" only when
+    arrival order is aligned with ``id_col`` order — a smaller-id doc
+    arriving in a LATER micro-batch lowers the bucket's min for the future
+    but can never retro-flag earlier bucketmates (streaming emits once, at
+    sight). Feed id-ordered streams (the registry pins micro-batch order via
+    file mtimes), or treat the flags as "saw an earlier smaller-id
+    bucketmate" — still a valid candidate signal, just not the batch twin.
+
     Shape: the minhash signature + band keys are pure column expressions
     (they run unchanged on a stream), one explode to (band_no, band_hash,
     doc_id), then a stateful op keyed by the bucket whose state is ONE
     bigint (the bucket's min id) — state is O(distinct buckets), the same
-    footprint batch LSH shuffles, and TTL-evictable for bounded dedup
-    windows. Emissions are per (doc, band); a doc is a near-dup CANDIDATE
-    when any band hits (downstream verify applies exact Jaccard on the
-    flagged minority, exactly like the batch path)."""
+    footprint batch LSH shuffles. Default: state lives forever (ever-seen
+    buckets). With ``late_horizon`` (e.g. ``'10 minutes'``): ``ts_col``
+    becomes the watermark column and buckets idle past the horizon are
+    EVICTED — bounded-window near-dedup; a near-copy arriving after its
+    bucket's eviction reads as fresh (is_hit=false). Emissions are per
+    (doc, band); a doc is a near-dup CANDIDATE when any band hits
+    (downstream verify applies exact Jaccard on the flagged minority,
+    exactly like the batch path)."""
     from ..operators.dedup import NUM_BANDS, band_hashes, with_minhash
 
-    sigs = with_minhash(
-        docs_stream.select(F.col(id_col).alias("doc_id"), content_col),
-        content_col,
-    ).select("doc_id", *band_hashes())
+    base_cols = [F.col(id_col).alias("doc_id"), F.col(content_col)]
+    if late_horizon is not None:
+        docs_stream = docs_stream.withWatermark(ts_col, late_horizon)
+        base_cols.append(F.col(ts_col))
+    sig_cols = ["doc_id", *band_hashes()]
+    carry = []
+    if late_horizon is not None:
+        sig_cols.append(ts_col)
+        carry = [F.col(ts_col), F.col(ts_col).cast("double").alias("_ts_sec")]
+    sigs = with_minhash(docs_stream.select(*base_cols), content_col).select(*sig_cols)
     bands = sigs.select(
         "doc_id",
+        *carry,
         F.explode(
             F.array(
                 *[
@@ -134,11 +245,17 @@ def streaming_near_dedup_flags(
         F.col("_bh.band_no").alias("band_no"),
         F.col("_bh.band_hash").alias("band_hash"),
         "doc_id",
+        *([ts_col, "_ts_sec"] if late_horizon is not None else []),
+    )
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if late_horizon is None
+        else GroupStateTimeout.EventTimeTimeout
     )
     return bands.groupBy("band_no", "band_hash").applyInPandasWithState(
-        _near_group,
+        _near_group_factory(None if late_horizon is None else _horizon_ms(late_horizon)),
         outputStructType=NEAR_OUTPUT_SCHEMA,
         stateStructType=NEAR_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

@@ -416,3 +416,95 @@ def test_streaming_sessionization_event_time_finalization(spark, tmp_path):
     # cannot be conflated with the new session's under a latest-per-key merge
     u1_starts = {round(r.session_start, 3) for r in rows if r.user_id == 1}
     assert u1_starts == {float(T0), float(T0 + 9500)}
+
+
+def test_streaming_exact_dedup_ttl_eviction(spark, tmp_path):
+    """VERDICT r5 #2: with late_horizon, idle content-hash state is evicted
+    once the watermark passes last-seen + horizon — in-window duplicates
+    still suppress, a post-eviction duplicate re-emits as a fresh first
+    sighting ("seen within the window" semantics for unbounded streams)."""
+    from datacurate4llms_spark.streaming.dedup import streaming_exact_dedup
+    from datacurate4llms_spark.streaming.events import (
+        run_available_now,
+        write_time_ordered_batches,
+    )
+
+    T0 = 1_700_000_000
+    schema = "doc_id bigint, content string, ts_epoch bigint"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema).select(
+            "doc_id", "content", F.col("ts_epoch").cast("timestamp").alias("ts")
+        )
+
+    glob_path = write_time_ordered_batches(
+        [
+            mk([(0, "content A", T0)]),          # first sight -> emitted
+            mk([(1, "content A", T0 + 30)]),     # in-window dup -> suppressed
+            mk([(2, "filler one", T0 + 300)]),   # watermark passes A's close
+            mk([(3, "filler two", T0 + 310)]),   # A's timeout fires: evicted
+            mk([(4, "content A", T0 + 320)]),    # post-eviction -> fresh emit
+        ],
+        str(tmp_path),
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, content string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(glob_path)
+    )
+    rows = run_available_now(
+        streaming_exact_dedup(stream, late_horizon="1 minute"),
+        str(tmp_path / "ck"),
+        output_mode="update",
+    )
+    ids = sorted(r.doc_id for r in rows)
+    assert ids == [0, 2, 3, 4], f"expected in-window dup 1 suppressed, 4 re-emitted: {rows}"
+    a_hashes = {r.content_hash for r in rows if r.doc_id in (0, 4)}
+    assert len(a_hashes) == 1  # same content, two lifetimes
+
+
+def test_streaming_near_dedup_ttl_eviction(spark, tmp_path):
+    """Bounded-window near-dedup: an in-horizon near-copy flags in every
+    band; after its buckets idle past the horizon and evict, the same text
+    reads as fresh (is_hit=false everywhere)."""
+    from datacurate4llms_spark.streaming.dedup import streaming_near_dedup_flags
+    from datacurate4llms_spark.streaming.events import (
+        run_available_now,
+        write_time_ordered_batches,
+    )
+
+    T0 = 1_700_000_000
+    DOC = "the quick brown fox jumps over the lazy dog again and again"
+    schema = "doc_id bigint, text string, ts_epoch bigint"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema).select(
+            "doc_id", "text", F.col("ts_epoch").cast("timestamp").alias("ts")
+        )
+
+    glob_path = write_time_ordered_batches(
+        [
+            mk([(0, DOC, T0)]),
+            mk([(1, DOC, T0 + 30)]),                       # in-window copy
+            mk([(2, "totally different words entirely", T0 + 300)]),
+            mk([(3, "yet another unrelated filler text", T0 + 310)]),
+            mk([(4, DOC, T0 + 320)]),                      # post-eviction copy
+        ],
+        str(tmp_path),
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(glob_path)
+    )
+    rows = run_available_now(
+        streaming_near_dedup_flags(stream, late_horizon="1 minute"),
+        str(tmp_path / "ck"),
+        output_mode="update",
+    )
+    hits = {}
+    for r in rows:
+        hits.setdefault(r.doc_id, []).append(r.is_hit)
+    assert all(hits[1]), f"in-window copy must hit every band: {hits}"
+    assert not any(hits[4]), f"post-eviction copy must read fresh: {hits}"
+    assert not any(hits[0])
