@@ -740,12 +740,27 @@ def strip_crossdoc_ngrams(
     *,
     n: int = 8,
     min_docs: int = 2,
+    within_doc: bool = False,
+    checkpoint_grams: bool = False,
 ) -> DataFrame:
     """(doc_id, n_tokens, n_removed, text_stripped): EXCISE every token that
     sits inside a token n-gram appearing in ≥ ``min_docs`` distinct documents
     — the removal half of ExactSubstr dedup (Lee et al. 2022,
     arXiv:2107.06499 §3.1; their suffix-array 50-token spans become token
     8-grams, the same stand-in :func:`crossdoc_dup_frac` uses for detection).
+
+    ``within_doc=True`` counts total OCCURRENCES instead of distinct docs, so
+    a gram repeated ``min_docs`` times inside ONE document also strips —
+    Lee et al.'s ExactSubstr removes within-doc repeats too; the default
+    (distinct docs) is the cross-doc-only variant matched to
+    :func:`crossdoc_dup_frac`'s detection rule.
+
+    ``checkpoint_grams=True`` eagerly localCheckpoints the (doc_id, pos,
+    hash) gram stream, which the operator reads twice (doc-frequency count +
+    count-join) — without it an unbroken lineage re-evaluates the upstream
+    stages 2× (the curation_e2e lineage lesson). Off by default: standalone
+    runs over a raw scan re-read cheap parquet; turn it on when the input is
+    itself a computed stage (composed chains do).
 
     Rebuild contract (the c4/boilerplate string-exact pattern): a document
     with NO duplicated gram rebuilds **byte-identical** (leading whitespace +
@@ -768,9 +783,10 @@ def strip_crossdoc_ngrams(
         F.col(id_col).alias("doc_id"),
         F.posexplode(_word_grams(words, n)).alias("pos", "_g"),
     ).select("doc_id", "pos", hash60("_g", seed="xstrip").alias("_h"))
-    counts = grams.groupBy("_h").agg(
-        F.count_distinct("doc_id").alias("_df")
-    )
+    if checkpoint_grams:
+        grams = grams.localCheckpoint(eager=True)
+    occurrences = F.count("*") if within_doc else F.count_distinct("doc_id")
+    counts = grams.groupBy("_h").agg(occurrences.alias("_df"))
     dup_pos = (
         grams.join(counts, "_h")
         .filter(F.col("_df") >= min_docs)
@@ -810,13 +826,14 @@ def strip_crossdoc_ngrams(
 
 
 def strip_crossdoc_ngrams_sql(
-    from_sql: str, *, n: int = 8, min_docs: int = 2
+    from_sql: str, *, n: int = 8, min_docs: int = 2, within_doc: bool = False
 ) -> str:
     """DuckDB twin of :func:`strip_crossdoc_ngrams`; input exposes
     (doc_id, text). Internally 1-based (DuckDB list/lambda indexing) but the
     covered token SET — and therefore the rebuilt string — is identical."""
     from ..functions.hashing import hash60_sql
 
+    occurrences = "count(*)" if within_doc else "count(distinct doc_id)"
     ws = "[ \\t\\n\\x0b\\x0c\\r]"
     gram_txt = f"array_to_string(words[i:i+{n - 1}], ' ')"
     return f"""
@@ -837,7 +854,7 @@ def strip_crossdoc_ngrams_sql(
       ) t
     ),
     counts as (
-      select _h, count(distinct doc_id) as _df from grams group by _h
+      select _h, {occurrences} as _df from grams group by _h
     ),
     covered as (
       select doc_id, list(distinct cov) as covered

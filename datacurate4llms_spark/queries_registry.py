@@ -1467,6 +1467,40 @@ def q_crossdoc_strip(spark, sf_dir):
     )
 
 
+# within-doc strip corpus: docs %3==0 appear ONLY self-concatenated, so their
+# repeated grams live in exactly one doc (>= 2 occurrences) — stripped by the
+# within_doc occurrence rule, invisible to the distinct-doc rule. NULL-safe:
+# concat/|| both propagate NULL (concat_ws would silently drop it).
+_WITHIN_CORPUS_SQL = """
+    select doc_id, text from documents where doc_id < 200 and doc_id % 3 <> 0
+    union all
+    select doc_id, text || ' ' || text as text
+    from documents where doc_id < 200 and doc_id % 3 = 0
+"""
+
+
+@_register(
+    "dedup_crossdoc_strip_withindoc",
+    DD.strip_crossdoc_ngrams_sql(_WITHIN_CORPUS_SQL, n=8, min_docs=2, within_doc=True),
+)
+def q_crossdoc_strip_withindoc(spark, sf_dir):
+    """ExactSubstr removal, within-doc mode (VERDICT r5 #3): within_doc=True
+    counts total gram OCCURRENCES instead of distinct docs, so spans repeated
+    inside ONE document strip too — Lee et al. 2022's actual rule (their
+    suffix array sees all repeats; the default distinct-doc mode is the
+    cross-doc-only variant). Corpus: self-concatenated docs whose repeated
+    grams exist in exactly one document each."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    corpus = d.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text").unionByName(
+        d.filter(F.col("doc_id") % 3 == 0).select(
+            "doc_id", F.concat(F.col("text"), F.lit(" "), F.col("text")).alias("text")
+        )
+    )
+    return DD.strip_crossdoc_ngrams(
+        corpus, content_col="text", n=8, min_docs=2, within_doc=True
+    )
+
+
 @_register(
     "decon_overlap_bloom",
     # SAME oracle as decon_overlap: the bloom pre-filter must be invisible
@@ -3250,8 +3284,10 @@ def q_curation_strip_chain(spark, sf_dir):
     from .functions.quality import with_keep_decision, with_quality_metrics
 
     corpus = source_files(spark, sf_dir).select("doc_id", "content")
+    # checkpoint_grams: the strip reads its gram stream twice and the input
+    # here is a computed stage (source_files), not a raw scan (ADVICE r5)
     stripped = DD.strip_crossdoc_ngrams(
-        corpus, content_col="content", n=8, min_docs=10
+        corpus, content_col="content", n=8, min_docs=10, checkpoint_grams=True
     )
     alive = stripped.filter(F.length("text_stripped") > 0).select(
         "doc_id", F.col("text_stripped").alias("content")

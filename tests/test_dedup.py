@@ -399,6 +399,53 @@ def test_strip_crossdoc_removes_spans_keeps_unique_sha_identical(spark):
     assert out[3].text_stripped == "other document intro and a different tail"
 
 
+def test_strip_crossdoc_within_doc_mode(spark):
+    """within_doc=True (VERDICT r5 #3): a span repeated twice INSIDE one doc
+    strips under the occurrence rule but survives the default distinct-doc
+    rule; cross-doc spans strip under both; clean docs stay byte-identical."""
+    from datacurate4llms_spark.operators.dedup import strip_crossdoc_ngrams
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [
+        (1, f"intro words {span} middle filler then again {span} tail end"),
+        (2, "a perfectly ordinary document with no repeats\n at all kept"),
+        (3, f"other doc shares {span} across corpus"),
+        (4, f"fourth doc also has {span} from elsewhere"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    within = {
+        r.doc_id: r
+        for r in strip_crossdoc_ngrams(
+            df, content_col="text", n=8, min_docs=2, within_doc=True
+        ).collect()
+    }
+    # doc 1's span occurs 2x in one doc + once each in docs 3/4 -> stripped
+    # everywhere under the occurrence rule; doc 2 untouched byte-identically
+    for i in (1, 3, 4):
+        assert "gamma" not in within[i].text_stripped, within[i]
+    assert within[2].text_stripped == docs[1][1]
+    assert within[2].n_removed == 0
+
+    # default rule on a corpus where the repeat exists in ONE doc only:
+    # distinct-doc count is 1 -> nothing strips
+    solo = spark.createDataFrame(docs[:2], "doc_id bigint, text string")
+    crossdoc = {
+        r.doc_id: r
+        for r in strip_crossdoc_ngrams(
+            solo, content_col="text", n=8, min_docs=2
+        ).collect()
+    }
+    assert crossdoc[1].n_removed == 0
+    within_solo = {
+        r.doc_id: r
+        for r in strip_crossdoc_ngrams(
+            solo, content_col="text", n=8, min_docs=2, within_doc=True
+        ).collect()
+    }
+    assert within_solo[1].n_removed > 0
+    assert "gamma" not in within_solo[1].text_stripped
+
+
 def test_strip_crossdoc_identity_on_dup_free_corpus(spark):
     """With min_docs above the corpus size nothing qualifies as duplicated:
     every real document must round-trip byte-identically through the
