@@ -87,6 +87,47 @@ SEED_CORPORA: dict[str, list[str]] = {
         "veuillez ecrire votre nom et votre adresse en haut de la premiere page",
         "la plupart des gens de la ville prennent le train pour aller au travail chaque matin",
     ],
+    # CJK + Cyrillic (VERDICT r5 #5: the corpus contains zh; ru adds a second
+    # non-Latin script). Char trigrams work unchanged on both — substr/length
+    # are codepoint-based in Spark AND DuckDB, md5 hashes the UTF-8 bytes.
+    # zh sentences are SHORTER in codepoints than Latin ones in letters, so
+    # more of them: naive Bayes' smoothing denominator scales with a class's
+    # total trigram mass — an underfed class is penalized LESS for unseen
+    # grams and swallows borderline sentences of other languages (measured:
+    # 135 zh trigrams vs ~550 Latin broke held-out en at 8 seeds). Masses are
+    # kept within ~±20% across languages.
+    "zh": [
+        "今天天气很好我们应该出去散散步",
+        "她上个星期买了三本关于科学历史的书",
+        "这个房子有一个小花园里面有很多花和一棵老树",
+        "我觉得我们明天会有足够的时间完成这项工作",
+        "孩子们在河边的公园里踢足球",
+        "他想不起来把汽车钥匙放在哪里了",
+        "请把你的名字和地址写在第一页的上面",
+        "城里的大多数人每天早上坐火车去上班",
+        "昨天晚上我们在家里做了很多好吃的菜大家一起吃得很开心",
+        "学校的老师告诉学生们下个月要举行一次重要的考试请好好准备",
+        "这个城市的夏天非常热很多人喜欢去海边游泳或者在树下休息",
+        "我的朋友住在一个安静的小镇上那里的空气很新鲜风景也很美",
+        "每年春天公园里的花都开得很漂亮吸引了很多人来拍照",
+        "他每天早上六点起床先跑步半个小时然后吃早饭再去上班",
+        "妈妈在厨房里准备晚饭爸爸在客厅里看报纸孩子在写作业",
+        "这家商店的东西价格便宜质量也不错所以附近的人都喜欢来买",
+        "周末的时候我们常常去图书馆借书或者去电影院看电影",
+        "火车站离我们家不远走路只要十分钟坐公共汽车就更快了",
+        "冬天下雪的时候整个城市都变成了白色孩子们在外面堆雪人",
+        "她学习中文已经三年了现在可以和中国朋友用中文聊天",
+    ],
+    "ru": [
+        "погода сегодня очень хорошая и нам стоит пойти погулять",
+        "она купила три книги об истории науки на прошлой неделе",
+        "в этом доме есть маленький сад с цветами и старым деревом",
+        "я думаю что завтра у нас будет достаточно времени закончить работу",
+        "дети играли в футбол в парке недалеко от реки",
+        "он не мог вспомнить куда положил ключи от машины",
+        "пожалуйста напишите ваше имя и адрес вверху первой страницы",
+        "большинство людей в городе ездят на работу на поезде каждое утро",
+    ],
 }
 
 LANGS = sorted(SEED_CORPORA)
@@ -170,11 +211,21 @@ def lang_pred(score_cols: dict[str, Column], n_grams: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def bucket_stream_sql(expr: str) -> str:
-    padded = f"(' ' || lower({expr}) || ' ')"
+def padded_sql(expr: str) -> str:
+    """``' ' + lower(text) + ' '`` — materialize this as a CTE COLUMN and
+    hand the column name to :func:`bucket_stream_sql`."""
+    return f"(' ' || lower({expr}) || ' ')"
+
+
+def bucket_stream_sql(padded_col: str) -> str:
+    """Twin of :func:`bucket_stream` over a PRE-MATERIALIZED padded column
+    (:func:`padded_sql` in its own CTE). The gram lambda's body references
+    ``padded_col`` per element — an inlined padded EXPRESSION would re-expand
+    there per trigram, O(len²) per doc (ADVICE r5; the CLAUDE.md lambda
+    re-expansion trap) — so this accepts a column name, never an expression."""
     grams = (
-        f"(case when length({padded}) >= 3 then "
-        f"list_transform(range(1, length({padded}) - 1), i -> substr({padded}, cast(i as int), 3)) "
+        f"(case when length({padded_col}) >= 3 then "
+        f"list_transform(range(1, length({padded_col}) - 1), i -> substr({padded_col}, cast(i as int), 3)) "
         f"else [] end)"
     )
     return (

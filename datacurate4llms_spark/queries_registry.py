@@ -1645,10 +1645,16 @@ _LM_SCORE_SQL = {
     "ts_langid_model",
     f"""
     with w as materialized ({LM.weights_cte_sql()}),
+    padded as materialized (
+      -- padded text as a CTE COLUMN: inlining it into the gram lambda body
+      -- re-expands it per trigram element, O(len^2) per doc (ADVICE r5)
+      select doc_id, {LM.padded_sql('text')} as _p
+      from documents where doc_id < 200
+    ),
     staged as materialized (
-      select doc_id, {LM.bucket_stream_sql('text')} as _b,
+      select doc_id, {LM.bucket_stream_sql('_p')} as _b,
              {', '.join(f'w_{lang}' for lang in LM.LANGS)}
-      from (select * from documents where doc_id < 200) cross join w
+      from padded cross join w
     ),
     scored as materialized (
       select doc_id, len(_b) as _n,
