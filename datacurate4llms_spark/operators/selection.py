@@ -55,6 +55,7 @@ def select_per_fold(
     percent: float | None = 10.0,
     absolute: int | None = None,
     seed: int = 42,
+    max_fold_rows: int | None = 50_000,
 ) -> DataFrame:
     """O1: per-fold facility-location greedy → (doc_id, fold, pick_order, gain).
 
@@ -63,6 +64,13 @@ def select_per_fold(
     the global top-k stage (the reference converts it per-fold via
     ``ceil(abs * fold_n / total)``, which we mirror by over-selecting
     percent-equivalently; final size is enforced by :func:`global_top_k`).
+
+    ``max_fold_rows`` (SURVEY §7.4.4 scale guard, VERDICT r5 #6): the kernel
+    builds an O(fold_n²) float32 similarity block per task — the default cap
+    of 50k rows is ~10 GiB; an over-full fold raises a sized ``ValueError``
+    naming the num_folds that fits instead of silently OOMing the executor.
+    Checked inside the task against the ACTUAL fold size (no extra count
+    job). ``None`` disables (caller owns the memory math).
     """
     if percent is None and absolute is None:
         raise ValueError("one of percent/absolute required")
@@ -76,6 +84,16 @@ def select_per_fold(
         frac = min(1.0, absolute / max(total, 1))
 
     def run_fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        if max_fold_rows is not None and len(pdf) > max_fold_rows:
+            gib = len(pdf) ** 2 * 4 / 2**30
+            need = math.ceil(len(pdf) * num_folds / max_fold_rows)
+            raise ValueError(
+                f"fold of {len(pdf)} rows exceeds max_fold_rows={max_fold_rows}: "
+                f"the facility-location kernel would build a ~{gib:.1f} GiB "
+                f"float32 similarity block in one task. Raise num_folds to "
+                f">= {need} (or raise max_fold_rows if the executors have "
+                f"the memory)."
+            )
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         emb = np.asarray([np.asarray(v, dtype=np.float32) for v in pdf[emb_col]])
         budget = max(1, math.ceil(frac * len(ids)))
@@ -125,6 +143,7 @@ def select_subset(
     percent: float | None = 10.0,
     absolute: int | None = None,
     seed: int = 42,
+    max_fold_rows: int | None = 50_000,
 ) -> DataFrame:
     """End-to-end selection (the §7.1 flagship slice, minus ingest/encode):
     folds → per-fold greedy → global top-k → semi-join materialization.
@@ -137,6 +156,7 @@ def select_subset(
     per_fold = select_per_fold(
         df, id_col=id_col, emb_col=emb_col, num_folds=num_folds,
         percent=percent, absolute=absolute, seed=seed,
+        max_fold_rows=max_fold_rows,
     )
     top = global_top_k(per_fold, k)
     return materialize_subset(df, top, id_col)
