@@ -266,6 +266,199 @@ def ivf_topk(
     )
 
 
+def ivf_train_centroids(
+    df: DataFrame,
+    k: int = 8,
+    *,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    seed: str = "ivfinit",
+) -> DataFrame:
+    """Deterministic k-means for DATA-ADAPTIVE IVF cells (VERDICT r5 #4).
+    The reference TRAINS its IVFFlat index on the corpus
+    (compute_pairwise_similarity.py:140-168, ``index.train(t2_np)``) —
+    hash-derived or caller-supplied centroids ignore the data distribution,
+    costing recall at scale. Returns (cell_id int, cemb array<double>) for
+    :func:`ivf_topk`.
+
+    Oracle-reproducible by construction (no RNG, no engine state):
+
+    - **init**: the k corpus rows with the smallest ``hash32(id)`` (seeded
+      bottom-k sample — TakeOrderedAndProject, one pass, k rows ever leave
+      the executors);
+    - a FIXED number of Lloyd rounds, each: plan-literal cosine argmax
+      assignment (ties → lowest cell_id; zero joins, zero shuffle) + one
+      k-cell groupBy of per-dimension avgs;
+    - every centroid component is ``round(cast(.,6))`` (the repo float
+      convention) after init AND after every update, so both engines run
+      the next round on IDENTICAL literals — sum-order noise in avg cannot
+      compound across rounds;
+    - empty cells keep their previous centroid (same rule both dialects).
+
+    The k×dim centroid table is collected per round — a bounded artifact
+    (like the knee curve / dim probe), re-entering the plan as literals: at
+    100 TB the corpus is scanned once per round, all map-side except the
+    k-row avg shuffle."""
+    from ..functions.hashing import hash32
+
+    spark = df.sparkSession
+    dim_row = (
+        df.filter(F.col(emb_col).isNotNull())
+        .select(F.size(emb_col).alias("d"))
+        .limit(1)
+        .collect()
+    )
+    if not dim_row or int(dim_row[0]["d"]) <= 0:
+        raise ValueError("ivf_train_centroids: no non-empty embeddings to train on")
+    dim = int(dim_row[0]["d"])
+
+    init = (
+        df.filter(F.col(emb_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.transform(F.col(emb_col), lambda x: F.round(x.cast("double"), 6)).alias("_e"),
+            hash32(id_col, seed=seed).alias("_h"),
+        )
+        .orderBy("_h", "_id")
+        .limit(k)
+        .collect()
+    )
+    cents: list[list[float]] = [list(r["_e"]) for r in init]
+
+    for _ in range(rounds):
+        assigned = _assign_cells_literal(df, cents, id_col, emb_col)
+        upd = (
+            assigned.groupBy("cell_id")
+            .agg(
+                *[
+                    F.round(F.avg(F.get(F.col(emb_col), i).cast("double")), 6).alias(f"c{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        new = {int(r["cell_id"]): [float(r[f"c{i}"]) for i in range(dim)] for r in upd}
+        cents = [new.get(i, cents[i]) for i in range(len(cents))]
+
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cell_id int, cemb array<double>"
+    )
+
+
+def _assign_cells_literal(
+    df: DataFrame, cents: list[list[float]], id_col: str, emb_col: str
+) -> DataFrame:
+    """(id, emb, cell_id): cosine argmax against PLAN-LITERAL centroids —
+    the k sims are staged as real columns (CollapseProject lesson: each is
+    referenced twice by the when-chain) and the argmax is a strict-> fold,
+    ties → lowest cell_id (= the SQL twin's row_number ordering)."""
+    staged = df.filter(F.col(emb_col).isNotNull()).select(
+        id_col,
+        emb_col,
+        *[
+            cosine(F.col(emb_col), F.array(*[F.lit(v) for v in c])).alias(f"_s{i}")
+            for i, c in enumerate(cents)
+        ],
+    )
+    best_cell = F.lit(0)
+    best = F.col("_s0")
+    for i in range(1, len(cents)):
+        better = F.col(f"_s{i}") > best
+        best_cell = F.when(better, F.lit(i)).otherwise(best_cell)
+        best = F.when(better, F.col(f"_s{i}")).otherwise(best)
+    return staged.select(id_col, emb_col, best_cell.cast("int").alias("cell_id"))
+
+
+def kmeans_cells_sql(
+    k: int, dim: int, *, rounds: int = 2, seed: str = "ivfinit", table: str = "embeddings"
+) -> str:
+    """DuckDB twin of :func:`ivf_train_centroids` as a chain of CTE bodies
+    ending in ``cent{rounds}`` (cell_id, cemb double[]) — paste into a WITH
+    clause. Fixed rounds ⇒ a fixed CTE chain; round-6 after init and every
+    update keeps both engines on identical centroid literals."""
+    init_list = ", ".join(
+        f"round(cast(embedding[{i + 1}] as double), 6)" for i in range(dim)
+    )
+    avg_list = ", ".join(
+        f"round(avg(cast(e.embedding[{i + 1}] as double)), 6)" for i in range(dim)
+    )
+    parts = [
+        f"""ranked_init as (
+      select vec_id, embedding,
+             row_number() over (order by {hash32_sql('vec_id', seed=seed)} asc, vec_id asc) as rn
+      from {table} where embedding is not null
+    ),
+    cent0 as (
+      select rn - 1 as cell_id, [{init_list}] as cemb
+      from ranked_init where rn <= {k}
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"cent{r - 1}"
+        parts.append(
+            f"""assign{r} as (
+      select vec_id, cell_id from (
+        select e.vec_id, c.cell_id,
+               row_number() over (partition by e.vec_id
+                                  order by {cosine_sql('e.embedding', 'c.cemb')} desc,
+                                           c.cell_id asc) as rnk
+        from {table} e cross join {prev} c
+        where e.embedding is not null
+      ) t where rnk = 1
+    ),
+    upd{r} as (
+      select a.cell_id, [{avg_list}] as cemb
+      from assign{r} a join {table} e using (vec_id)
+      group by a.cell_id
+    ),
+    cent{r} as (
+      select p.cell_id, coalesce(u.cemb, p.cemb) as cemb
+      from {prev} p left join upd{r} u using (cell_id)
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+def ivf_trained_topk_sql(
+    k: int, n_centroids: int, dim: int, rounds: int, nprobe: int, query_limit: int
+) -> str:
+    """Oracle for ivf_topk over :func:`ivf_train_centroids` cells."""
+    cs = cosine_sql("e.embedding", "c.cemb")
+    return f"""
+    with {kmeans_cells_sql(n_centroids, dim, rounds=rounds)},
+    centroids as (select cell_id, cemb from cent{rounds}),
+    assign as (
+      select e.vec_id, c.cell_id,
+             row_number() over (partition by e.vec_id
+                                order by {cs} desc, c.cell_id asc) as cell_rank
+      from embeddings e cross join centroids c
+    ),
+    inv as (select vec_id as neighbour_id, cell_id from assign where cell_rank = 1),
+    probes as (select vec_id as query_id, cell_id from assign
+               where cell_rank <= {nprobe} and vec_id < {query_limit}),
+    cands as (
+      select distinct p.query_id, i.neighbour_id
+      from probes p join inv i on p.cell_id = i.cell_id
+      where p.query_id <> i.neighbour_id
+    ),
+    edges as (
+      select cd.query_id, cd.neighbour_id,
+             {cosine_sql('a.embedding', 'b.embedding')} as sim
+      from cands cd
+      join embeddings a on a.vec_id = cd.query_id
+      join embeddings b on b.vec_id = cd.neighbour_id
+    ),
+    ranked as (
+      select query_id, neighbour_id, sim,
+             row_number() over (partition by query_id order by sim desc, neighbour_id asc) as rank
+      from edges
+    )
+    select query_id, neighbour_id, round(cast(sim as double), 6) as sim, cast(rank as int) as rank
+    from ranked where rank <= {k}
+    """
+
+
 def ivf_topk_sql(k: int, n_centroids: int, nprobe: int, query_limit: int) -> str:
     """DuckDB oracle: centroids = vec_id < n_centroids over embeddings."""
     cs = cosine_sql("e.embedding", "c.embedding")

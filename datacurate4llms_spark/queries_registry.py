@@ -2454,6 +2454,24 @@ def q_ann_ivf(spark, sf_dir):
     return out.select("query_id", "neighbour_id", _r6(F.col("sim")).alias("sim"), "rank")
 
 
+@_register(
+    "ann_ivf_trained_topk",
+    ANN.ivf_trained_topk_sql(
+        k=5, n_centroids=8, dim=64, rounds=2, nprobe=2, query_limit=20
+    ),
+)
+def q_ann_ivf_trained(spark, sf_dir):
+    """IVF top-k over TRAINED cells (VERDICT r5 #4): deterministic k-means
+    (operators/ann.ivf_train_centroids — seeded bottom-k hash init, 2 Lloyd
+    rounds, round-6 centroids after every update) replaces the first-K-rows
+    centroid hack; both engines train on identical literals, so the inverted
+    file, the probe sets, and the final top-k are bit-exact."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = ANN.ivf_train_centroids(e, k=8, rounds=2)
+    out = ANN.ivf_topk(e.filter(F.col("vec_id") < 20), e, cents, k=5, nprobe=2)
+    return out.select("query_id", "neighbour_id", _r6(F.col("sim")).alias("sim"), "rank")
+
+
 # ---------------------------------------------------------------------------
 # Round 2: S4 batch assignment, E5 API fallback accounting, E11 kernel
 # ---------------------------------------------------------------------------
