@@ -2362,6 +2362,57 @@ def q_tpch5(spark, sf_dir):
 
 
 @_register(
+    "tpch_q18_large_volume_customer",
+    """
+    with qualifying as (
+        select l_orderkey,
+               round(cast(sum(l_quantity) as double), 6) as sum_qty
+        from lineitem
+        group by l_orderkey
+        having sum(l_quantity) > 280
+    )
+    select c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           round(cast(o.o_totalprice as double), 6) as o_totalprice,
+           q.sum_qty
+    from qualifying q
+    join orders   o on o.o_orderkey = q.l_orderkey
+    join customer c on c.c_custkey = o.o_custkey
+    """,
+)
+def q_tpch18(spark, sf_dir):
+    """TPC-H q18 shape (large-volume customers): orders whose total lineitem
+    quantity exceeds a threshold, joined back to customer. The classic form is
+    an IN-subquery over a re-scanned lineitem; the Spark-first plan computes
+    the HAVING aggregate ONCE and reuses it as both the semi-filter and the
+    sum_qty output column — the qualifying set is rare by construction
+    (~0.5% of orders at threshold 280), so it broadcasts into the orders
+    join, and the filtered orders⋈qualifying result broadcasts into the
+    customer join: lineitem is scanned once and customer never shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    qualifying = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 280)
+        .select("l_orderkey", _r6(F.col("_qty")).alias("sum_qty"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    hot_orders = o.join(
+        F.broadcast(qualifying), F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    return c.join(
+        F.broadcast(hot_orders), F.col("c_custkey") == F.col("o_custkey")
+    ).select(
+        "c_name",
+        "c_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        _r6(F.col("o_totalprice")).alias("o_totalprice"),
+        "sum_qty",
+    )
+
+
+@_register(
     "rel_grouping_sets",
     # explicit GROUPING SETS (finer than rel_rollup_counts' rollup): the
     # (flag, status) detail, status-only margins, and the grand total, with

@@ -239,6 +239,23 @@ def test_tpch_q5_pushdown_and_broadcast_dims(spark):
     assert "l_comment" not in plan
 
 
+def test_tpch_q18_single_lineitem_scan_broadcast_semi(spark):
+    """q18 large-volume customers: the HAVING aggregate is computed once
+    (one lineitem scan, not the classic re-scan), the rare qualifying set
+    broadcasts into the orders join, and the filtered orders broadcast into
+    the customer join — customer never shuffles."""
+    from datacurate4llms_spark import queries_registry as QR
+
+    df = QR.QUERIES["tpch_q18_large_volume_customer"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert sum("lineitem" in ln for ln in scans) == 1, "lineitem must scan once"
+    # projection pruning: lineitem reads only (l_orderkey, l_quantity)
+    assert "l_comment" not in plan and "l_extendedprice" not in plan
+
+
 def test_grouping_sets_is_one_expand_one_aggregate_exchange(spark):
     """GROUPING SETS = Expand (3 grouping sets) + ONE aggregation exchange —
     not a union of three scans."""
