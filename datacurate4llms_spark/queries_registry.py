@@ -1171,12 +1171,13 @@ def q_lsh_candidates(spark, sf_dir):
     return DD.lsh_candidate_pairs(corpus, content_col="text")
 
 
-@_register(
-    "dedup_minhash_verified",
-    # per-doc shingle arrays are materialized ONCE (CTE column): inlining
-    # shingles_sql into jaccard_sql re-expands the tokenize pipeline 6-8x
-    # per candidate PAIR row (measured 94s -> ~3s; see CLAUDE.md)
-    f"""
+# per-doc shingle arrays are materialized ONCE (CTE column): inlining
+# shingles_sql into jaccard_sql re-expands the tokenize pipeline 6-8x
+# per candidate PAIR row (measured 94s -> ~3s; see CLAUDE.md). Shared with
+# stream_near_dedup_verified: with id-ordered arrival the stream candidate
+# rule flags every j of every batch candidate pair, so the composed
+# stream→verify pipeline must land on exactly this table.
+_MINHASH_VERIFIED_SQL = f"""
     with corpus as ({_DUP_CORPUS_SQL}),
     small as materialized (select * from corpus where doc_id % 10 = 0),
     sh as materialized (
@@ -1199,8 +1200,10 @@ def q_lsh_candidates(spark, sf_dir):
     )
     select i, j, round(cast(jaccard as double), 6) as jaccard
     from verified where jaccard >= 0.7
-    """,
-)
+    """
+
+
+@_register("dedup_minhash_verified", _MINHASH_VERIFIED_SQL)
 def q_minhash_verified(spark, sf_dir):
     corpus = _dup_corpus(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
     out = DD.minhash_near_dup_pairs(corpus, content_col="text", threshold=0.7)
@@ -1993,6 +1996,56 @@ def q_stream_near_dedup(spark, sf_dir):
     return out.groupBy("doc_id").agg(
         F.sum(F.col("is_hit").cast("int")).cast("bigint").alias("n_hit_bands"),
         F.max("is_hit").alias("is_candidate"),
+    )
+
+
+@_register("stream_near_dedup_verified", _MINHASH_VERIFIED_SQL)
+def q_stream_near_dedup_verified(spark, sf_dir):
+    """Composed stream→batch verify (the VERDICT r5 stretch shape): the
+    STREAMING LSH bucket state produces the candidate set, then the batch
+    exact-Jaccard stage verifies only stream-flagged docs. Correctness
+    theorem the shared oracle encodes: with id-ordered arrival, every pair
+    (i < j) sharing a band has j flagged by the stream ("saw a smaller-id
+    bucketmate"), so pruning the batch pair table to stream-flagged j loses
+    nothing — the composed pipeline lands on exactly the pure-batch
+    dedup_minhash_verified table. Scale shape: the flagged-id set is ids
+    only (broadcast semi-join onto the pair table); shingle arrays join
+    onto the surviving pairs, never the full corpus cross bands."""
+    import tempfile
+
+    from .streaming.dedup import streaming_near_dedup_flags
+    from .streaming.events import drain_available_now, write_time_ordered_batches
+
+    base = tempfile.mkdtemp(prefix="stream_near_ver_")
+    corpus = _dup_corpus(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    glob_path = write_time_ordered_batches(
+        [
+            corpus.filter(F.col("doc_id") < 100000),
+            corpus.filter(F.col("doc_id") >= 100000),
+        ],
+        base,
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(glob_path)
+    )
+    flags = drain_available_now(
+        streaming_near_dedup_flags(stream), f"{base}/ck", output_mode="update"
+    )
+    flagged = flags.filter(F.col("is_hit")).select(F.col("doc_id").alias("j")).distinct()
+    pairs = DD.lsh_candidate_pairs(corpus, content_col="text").join(
+        F.broadcast(flagged), "j", "left_semi"
+    )
+    sh = corpus.select(F.col("doc_id").alias("_id"), DD.shingles("text").alias("_sh"))
+    a = sh.select(F.col("_id").alias("i"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col("_id").alias("j"), F.col("_sh").alias("_shb"))
+    return (
+        pairs.join(a, "i")
+        .join(b, "j")
+        .withColumn("jaccard", DD.jaccard(F.col("_sha"), F.col("_shb")))
+        .filter(F.col("jaccard") >= 0.7)
+        .select("i", "j", _r6(F.col("jaccard")).alias("jaccard"))
     )
 
 
