@@ -3431,3 +3431,20 @@ def q_curation_strip_chain(spark, sf_dir):
         "keep",
         F.coalesce(F.col("drop_reason"), F.lit("")).alias("drop_reason"),
     )
+
+
+@_register(
+    "dedup_semantic_semdedup",
+    DD.semantic_dedup_sql(k=8, dim=64, rounds=2, threshold=0.3),
+)
+def q_semantic_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) composed from the
+    engine's own primitives: deterministic k-means cells (the r6 trained-IVF
+    centroids) → within-cell cosine ≥ τ with the paper's keep-low survivor
+    rule (upper-triangular: a row is a semantic dup iff a cellmate with
+    smaller rounded centroid-sim — ties lowest id — is within τ). Both
+    engines train on identical round-6 centroid literals, so cells, centroid
+    sims, and dup flags are bit-exact. Fills the gap between cluster-level
+    selection (flagship) and pair-level embedding near-dup."""
+    e = _t(spark, sf_dir, "embeddings")
+    return DD.semantic_dedup_flags(e, k=8, rounds=2, threshold=0.3)

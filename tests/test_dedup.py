@@ -599,3 +599,43 @@ def test_strip_crossdoc_rebuild_identity_adversarial_whitespace(spark):
     got = {r.doc_id: r.text_stripped for r in out.collect()}
     for i, t in enumerate(cases):
         assert got[i] == t, (i, repr(t), repr(got[i]))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (r6): k-means cells + within-cell cosine, keep-low survivor rule
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_keep_low_rule(spark):
+    import numpy as np
+
+    e = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").filter(F.col("vec_id") < 120)
+    out = D.semantic_dedup_flags(e, k=4, rounds=1, threshold=0.3).toPandas()
+    embs = {int(r.vec_id): np.array(r.embedding, dtype=float) for r in e.collect()}
+    assert len(out) == len(embs)  # one flag row per input row
+    assert sorted(out.columns) == ["cell_id", "centroid_sim", "is_dup", "vec_id"]
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return 0.0 if na == 0 or nb == 0 else float(a @ b / (na * nb))
+
+    # python oracle for the upper-triangular keep-low rule, per cell
+    for _, grp in out.groupby("cell_id"):
+        g = grp.sort_values(["centroid_sim", "vec_id"]).reset_index(drop=True)
+        assert int(g.iloc[0]["is_dup"]) == 0  # the keep-low anchor always survives
+        for i in range(len(g)):
+            xid = int(g.iloc[i]["vec_id"])
+            expect = any(
+                cos(embs[xid], embs[int(g.iloc[j]["vec_id"])]) >= 0.3 for j in range(i)
+            )
+            assert bool(g.iloc[i]["is_dup"]) == expect, f"vec_id={xid}"
+
+
+def test_semantic_dedup_threshold_monotone(spark):
+    e = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").filter(F.col("vec_id") < 120)
+    cents = ANN.ivf_train_centroids(e, 4, rounds=1)
+    lo = D.semantic_dedup_flags(e, k=4, threshold=0.2, centroids=cents)
+    hi = D.semantic_dedup_flags(e, k=4, threshold=0.6, centroids=cents)
+    lo_ids = {r.vec_id for r in lo.filter("is_dup = 1").collect()}
+    hi_ids = {r.vec_id for r in hi.filter("is_dup = 1").collect()}
+    assert hi_ids <= lo_ids  # raising tau can only un-flag, never add dups
