@@ -64,3 +64,68 @@ def asof_join(
         merged = merged.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
 
     return merged.filter(F.col("_tag") == 1).drop("_tag", "_ats")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower_us: int,
+    upper_us: int,
+    bin_us: int,
+    right_cols: list[str],
+    suffix: str = "_r",
+) -> DataFrame:
+    """Event-time range join: every (left, right) pair with the same keys and
+    ``left_ts + lower ≤ right_ts < left_ts + upper`` (half-open window,
+    bounds in MICROSECONDS — e.g. the 24 h preceding a purchase is
+    ``lower_us=-24*3600*10**6, upper_us=0``).
+
+    Spark has no native range join — a bare inequality join over keys
+    degenerates to a per-key nested loop. Scale path (the binned strategy
+    behind Databricks' public range-join hint): bucket right rows into
+    fixed-width time bins via EXACT integer µs arithmetic (each right row
+    lands in exactly ONE bin, so a matched pair is emitted exactly once —
+    no distinct needed); each left row probes the bins covering its window —
+    a bounded fan-out ``sequence``+``explode`` of
+    ``(upper-lower)/bin_us + 1`` bin ids (choose ``bin_us`` ≈ the window
+    width → ≤ 2 probes/row); equi-join on ``(*on, bin)``; the exact range
+    predicate runs as a post-filter, also in integer µs (no float edge
+    risk). One shuffle each side on ``(*on, bin)`` — SMJ/AQE-eligible, skew
+    handled like any equi-join. Timestamps must be non-negative epochs
+    (``div`` truncates toward zero).
+
+    Returns left rows (all columns) × matched right ``right_cols`` (suffixed)
+    — inner semantics: unmatched left rows are dropped.
+    """
+    # events ship TIMESTAMP_NTZ; session tz is pinned UTC (session.py), so the
+    # cast is a pure reinterpretation and matches DuckDB epoch_us on naive ts
+    lm = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    rm = F.unix_micros(F.col(right_ts).cast("timestamp"))
+    rt = right.select(
+        *[F.col(c) for c in on],
+        F.expr(f"unix_micros(cast({right_ts} as timestamp)) div {bin_us}").alias("_bin"),
+        rm.alias("_rm"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    )
+    # max matching right micros is lm+upper_us-1 (strict upper bound)
+    probes = left.withColumn("_lm", lm).withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"(unix_micros(cast({left_ts} as timestamp)) + ({lower_us})) div {bin_us}"),
+                F.expr(f"(unix_micros(cast({left_ts} as timestamp)) + ({upper_us}) - 1) div {bin_us}"),
+            )
+        ),
+    )
+    return (
+        probes.join(rt, [*on, "_bin"])
+        .filter(
+            (F.col("_rm") >= F.col("_lm") + F.lit(lower_us))
+            & (F.col("_rm") < F.col("_lm") + F.lit(upper_us))
+        )
+        .drop("_bin", "_lm", "_rm")
+    )

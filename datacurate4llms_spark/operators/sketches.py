@@ -303,3 +303,90 @@ def stratified_sample(
         .filter(F.col("_rk") <= k_per_group)
         .drop("_rk", "_rk1", "_salt", "_h")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+
+def cms_counters(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    depth: int = 4,
+    width: int = 512,
+    seed: str = "cms",
+) -> DataFrame:
+    """Count-Min sketch counter table ``(row int, bucket bigint, cnt bigint)``
+    over the frequency of ``cols`` tuples (Cormode & Muthukrishnan 2005).
+
+    Each input row increments one bucket per hash row:
+    ``bucket_i = hash32(cols, seed=f"{seed}{i}") % width``. Unlike
+    SpaceSaving-style heavy-hitter sketches (whose contents depend on
+    arrival order), the CMS is a pure sum — **deterministic under any
+    partitioning, and mergeable by elementwise addition** of shard counter
+    tables. State is ``depth × width`` counters regardless of corpus size.
+
+    Plan: ONE scan — the depth bucket ids are built as an array per input
+    row and ``posexplode``d (×depth rows, cheap hash exprs only — no
+    sibling-of-explode payload), then a map-side partial-agg'd groupBy whose
+    exchange carries ≤ depth·width counter rows total.
+    """
+    buckets = F.array(
+        *[(hash32(*cols, seed=f"{seed}{i}") % F.lit(width)) for i in range(depth)]
+    )
+    return (
+        df.select(F.posexplode(buckets).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame,
+    items: DataFrame,
+    cols: list[str],
+    *,
+    depth: int = 4,
+    width: int = 512,
+    seed: str = "cms",
+) -> DataFrame:
+    """Point-query the sketch: ``(items cols…, cms_est bigint)`` where
+    ``cms_est = min_i counter[i][hash_i(item)]`` — never below the true
+    count (one-sided overestimate, ≤ e·N/width with prob 1−e^−depth).
+    ``counters`` is a bounded depth×width artifact → broadcast; empty
+    buckets count 0."""
+    buckets = F.array(
+        *[(hash32(*cols, seed=f"{seed}{i}") % F.lit(width)) for i in range(depth)]
+    )
+    probed = items.select(*cols, F.posexplode(buckets).alias("row", "bucket"))
+    return (
+        probed.join(F.broadcast(counters), ["row", "bucket"], "left")
+        .groupBy(*cols)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("cms_est"))
+    )
+
+
+def cms_counters_sql(
+    from_sql: str,
+    col_exprs: list[str],
+    *,
+    depth: int = 4,
+    width: int = 512,
+    seed: str = "cms",
+) -> str:
+    """DuckDB twin of :func:`cms_counters` — ``(row, bucket, cnt)`` CTE body.
+    The source is materialized once (lambda/CTE re-expansion lesson); the
+    depth hash rows are a UNION ALL over it."""
+    selects = " union all ".join(
+        f"select {i} as row, {hash32_sql(*col_exprs, seed=f'{seed}{i}')} % {width} as bucket "
+        f"from _cms_src"
+        for i in range(depth)
+    )
+    return (
+        f"with _cms_src as materialized ({from_sql}), "
+        f"_cms_ex as ({selects}) "
+        f"select row, bucket, cast(count(*) as bigint) as cnt "
+        f"from _cms_ex group by row, bucket"
+    )

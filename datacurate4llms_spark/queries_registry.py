@@ -3448,3 +3448,105 @@ def q_semantic_semdedup(spark, sf_dir):
     selection (flagship) and pair-level embedding near-dup."""
     e = _t(spark, sf_dir, "embeddings")
     return DD.semantic_dedup_flags(e, k=8, rounds=2, threshold=0.3)
+
+
+@_register(
+    "rel_range_join_events",
+    """
+    select l.event_id as purchase_id, r.event_id as click_id, l.user_id,
+           round(cast(epoch_us(l.ts) - epoch_us(r.ts) as double) / 1000000, 6) as gap_sec
+    from events l join events r on l.user_id = r.user_id
+    where l.event_type = 'purchase' and r.event_type = 'click'
+      and r.ts >= l.ts - interval 24 hours and r.ts < l.ts
+    """,
+)
+def q_range_join(spark, sf_dir):
+    """Event-time range join (operators/asof.range_join): clicks by the same
+    user in the 24 h preceding each purchase (half-open — the purchase
+    instant excluded). Spark lacks a native range join; the operator bins
+    right rows into exact-µs time buckets and equi-joins on (user_id, bin)
+    with ≤ 2 probe bins per left row, so the oracle's inequality join
+    becomes a shuffle-bounded equi-join at scale. Gap arithmetic is integer
+    µs in both engines — bit-exact."""
+    from .operators.asof import range_join
+
+    e = _t(spark, sf_dir, "events")
+    day_us = 24 * 3600 * 10**6
+    out = range_join(
+        e.filter(F.col("event_type") == "purchase"),
+        e.filter(F.col("event_type") == "click"),
+        on=["user_id"],
+        lower_us=-day_us,
+        upper_us=0,
+        bin_us=day_us,
+        right_cols=["event_id", "ts"],
+    )
+    gap = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.col("ts_r").cast("timestamp"))
+    ) / F.lit(1000000.0)
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("event_id_r").alias("click_id"),
+        "user_id",
+        F.round(gap.cast("double"), 6).alias("gap_sec"),
+    )
+
+
+@_register(
+    "sketch_cms_heavy_hitters",
+    f"""
+    with toks as materialized (select tok from ({_TOKENS_SQL})),
+    counts as (select tok, cast(count(*) as bigint) as exact_n from toks group by tok),
+    top as (
+      select tok, exact_n,
+             row_number() over (order by exact_n desc, tok asc) as rnk
+      from counts qualify rnk <= 20
+    ),
+    counters as (
+      select * from ({SK.cms_counters_sql("select tok from toks", ["tok"], depth=4, width=512)})
+    ),
+    probes as (
+      {" union all ".join(
+        f"select tok, {i} as row, {hash32_sql('tok', seed=f'cms{i}')} % 512 as bucket from top"
+        for i in range(4)
+      )}
+    ),
+    est as (
+      select p.tok, min(coalesce(c.cnt, 0)) as cms_est
+      from probes p left join counters c using (row, bucket)
+      group by p.tok
+    )
+    select t.tok, t.exact_n, cast(e.cms_est as bigint) as cms_est,
+           cast(e.cms_est - t.exact_n as bigint) as overcount, cast(t.rnk as int) as rnk
+    from top t join est e using (tok)
+    """,
+)
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) point-queried at the
+    exact top-20 tokens: cms_est ≥ exact_n always (one-sided error), and
+    overcount exposes the collision error at depth=4 × width=512. The
+    counter table is a pure function of hash32 → bit-exact across engines;
+    it is deterministic under ANY partitioning and mergeable by elementwise
+    sum — the heavy-hitter sketch shape that survives 100 TB (SpaceSaving
+    does not: its state is arrival-order-dependent)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    # two consumers (counter build + exact counts) — lineage lesson
+    toks = toks.localCheckpoint(eager=True)
+    counters = SK.cms_counters(toks, ["tok"], depth=4, width=512)
+    counts = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("exact_n"))
+    w = Window.orderBy(F.desc("exact_n"), F.asc("tok"))
+    top = counts.withColumn("rnk", F.row_number().over(w).cast("int")).filter(
+        F.col("rnk") <= 20
+    )
+    est = SK.cms_estimate(counters, top.select("tok"), ["tok"], depth=4, width=512)
+    return top.join(est, "tok").select(
+        "tok",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_n")).cast("bigint").alias("overcount"),
+        "rnk",
+    )

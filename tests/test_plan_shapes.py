@@ -281,3 +281,22 @@ def test_semantic_dedup_pairs_join_on_cells_not_cartesian(spark):
     assert any("Join" in ln and "cell_id" in ln for ln in plan.splitlines()), (
         "pair stage must equi-join on cell_id"
     )
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    """range_join (PLANS.md §3f): the range predicate must NOT become a
+    nested-loop/cartesian — it rides an equi-join on (keys, time bin) with
+    the exact bounds as a post-filter."""
+    from datacurate4llms_spark.operators.asof import range_join
+
+    e = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    day_us = 24 * 3600 * 10**6
+    out = range_join(
+        e.filter(F.col("event_type") == "purchase"),
+        e.filter(F.col("event_type") == "click"),
+        on=["user_id"], lower_us=-day_us, upper_us=0, bin_us=day_us,
+        right_cols=["event_id"],
+    )
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -376,3 +376,72 @@ def test_pack_sequences_bpe_token_column_plugs_through(spark):
         toks = grp["n_bpe"].to_numpy()
         assert start[0] == 0
         assert (start[1:] == start[:-1] + toks[:-1]).all()
+
+
+def test_range_join_matches_naive_inequality_join(spark):
+    """The binned range join must equal the naive inequality join exactly —
+    including bin-edge rows (window width = bin width here, so every left
+    row probes exactly 2 bins and edge coverage is exercised)."""
+    from datacurate4llms_spark.operators.asof import range_join
+
+    e = spark.read.parquet(f"{SF_CORRECT}/events.parquet").filter(F.col("user_id") < 40)
+    left = e.filter(F.col("event_type") == "purchase")
+    right = e.filter(F.col("event_type") == "click")
+    hour_us = 3600 * 10**6
+    out = range_join(
+        left, right, on=["user_id"],
+        lower_us=-6 * hour_us, upper_us=0, bin_us=6 * hour_us,
+        right_cols=["event_id"],
+    ).select("event_id", "event_id_r")
+    got = {(r.event_id, r.event_id_r) for r in out.collect()}
+
+    l = left.select("event_id", "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("lm")).collect()
+    r = right.select("event_id", "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("rm")).collect()
+    want = {
+        (a.event_id, b.event_id)
+        for a in l for b in r
+        if a.user_id == b.user_id and a.lm - 6 * hour_us <= b.rm < a.lm
+    }
+    assert got == want and len(want) > 0
+
+    # each matched pair appears exactly once (right rows live in ONE bin)
+    assert out.count() == out.distinct().count()
+
+
+def test_cms_mergeable_and_one_sided(spark):
+    """Count-Min sketch: (1) counters over a partition of the rows merge by
+    elementwise sum to the whole-corpus counters (the 100 TB shard-merge
+    contract); (2) estimates never undercount; (3) at a deliberately small
+    width collisions DO overcount — it is a sketch, not a disguised exact
+    count."""
+    from datacurate4llms_spark.operators import sketches as SK
+
+    d = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    ).localCheckpoint(eager=True)
+    kw = dict(depth=4, width=128)
+
+    full = SK.cms_counters(toks, ["tok"], **kw)
+    a = SK.cms_counters(toks.filter(F.length("tok") % 2 == 0), ["tok"], **kw)
+    b = SK.cms_counters(toks.filter(F.length("tok") % 2 == 1), ["tok"], **kw)
+    merged = (
+        a.unionByName(b).groupBy("row", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    key = lambda r: (r.row, r.bucket, r.cnt)
+    assert sorted(map(key, merged.collect())) == sorted(map(key, full.collect()))
+
+    est = SK.cms_estimate(full, toks.distinct(), ["tok"], **kw)
+    j = est.join(toks.groupBy("tok").count(), "tok")
+    assert j.filter(F.col("cms_est") < F.col("count")).count() == 0
+
+    # the corpus vocabulary is only ~31 tokens, so collisions need a
+    # deliberately tiny table: width 4 forces bucket sharing in every row
+    tiny = dict(depth=2, width=4)
+    est4 = SK.cms_estimate(
+        SK.cms_counters(toks, ["tok"], **tiny), toks.distinct(), ["tok"], **tiny
+    )
+    j4 = est4.join(toks.groupBy("tok").count(), "tok")
+    assert j4.filter(F.col("cms_est") < F.col("count")).count() == 0
+    assert j4.filter(F.col("cms_est") > F.col("count")).count() > 0
