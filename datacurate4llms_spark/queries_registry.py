@@ -3550,3 +3550,127 @@ def q_cms_heavy_hitters(spark, sf_dir):
         (F.col("cms_est") - F.col("exact_n")).cast("bigint").alias("overcount"),
         "rnk",
     )
+
+
+_BM25_TERMS = ("query", "join", "stream")
+
+
+def _bm25_sql(terms=_BM25_TERMS, k1="1.2", b="0.75") -> str:
+    """DuckDB twin of q_bm25_search. Score arithmetic is written in ONE fixed
+    left-to-right order with identical literals in both dialects: every input
+    (tf, df, dl, n_docs) is an exact integer-valued double and avgdl is an
+    exact integer sum / count, so the whole expression — including ranking on
+    the unrounded score — is bit-exact cross-engine (ln parity precedent:
+    DSIR's driver-green log-ratio oracle)."""
+    tf_cols = ", ".join(
+        f"max(case when tok = '{t}' then tf end) as tf_{t}" for t in terms
+    )
+    df_cols = ", ".join(
+        f"max(case when tok = '{t}' then df end) as df_{t}" for t in terms
+    )
+    contribs = " + ".join(
+        f"(case when t.tf_{t} is null then 0.0 else "
+        f"ln((s.n_docs - p.df_{t} + 0.5) / (p.df_{t} + 0.5) + 1.0)"
+        f" * (t.tf_{t} * ({k1} + 1.0))"
+        f" / (t.tf_{t} + {k1} * (1.0 - {b} + {b} * (d.dl / s.avgdl))) end)"
+        for t in terms
+    )
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    with toks as materialized (
+      select doc_id, tok from (
+        select doc_id, unnest(string_split(text, ' ')) as tok from documents
+      ) where tok <> ''
+    ),
+    doclen as (select doc_id, cast(count(*) as double) as dl from toks group by doc_id),
+    stats as (select cast(count(*) as double) as n_docs, avg(dl) as avgdl from doclen),
+    tf as (
+      select doc_id, tok, cast(count(*) as double) as tf
+      from toks where tok in ({in_list}) group by doc_id, tok
+    ),
+    tfp as (select doc_id, {tf_cols} from tf group by doc_id),
+    dfp as (select {df_cols} from (
+      select tok, cast(count(*) as double) as df from tf group by tok
+    )),
+    scored as (
+      select d.doc_id, ({contribs}) as score
+      from doclen d left join tfp t using (doc_id)
+      cross join stats s cross join dfp p
+    ),
+    ranked as (
+      select doc_id, score,
+             row_number() over (order by score desc, doc_id asc) as rnk
+      from scored
+    )
+    select doc_id, round(cast(score as double), 6) as bm25, cast(rnk as int) as rnk
+    from ranked where rnk <= 20
+    """
+
+
+@_register("ts_bm25_search", _bm25_sql())
+def q_bm25_search(spark, sf_dir):
+    """BM25 keyword search (Robertson & Spärck Jones; the Lucene
+    ln(1 + (N−df+0.5)/(df+0.5)) idf variant) for the fixed query
+    {query, join, stream}, top-20 docs. The search-scoring shape the
+    registry lacked: tf via one token groupBy, df + corpus stats as
+    bounded broadcast artifacts, per-term contributions PIVOTED into
+    columns and summed in one fixed written order — never a groupBy sum
+    whose float order is engine/partitioning-dependent — so the unrounded
+    ranking score is bit-exact cross-engine. At scale: one corpus token
+    scan; everything joined back is O(terms) or O(1) rows."""
+    k1, b = 1.2, 0.75
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    toks = toks.localCheckpoint(eager=True)  # three consumers
+    doclen = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    tfp = tf.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("tok") == t, F.col("tf"))).alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ]
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").cast("double").alias("df"))
+    dfp = dfreq.agg(
+        *[
+            F.max(F.when(F.col("tok") == t, F.col("df"))).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ]
+    )
+    joined = (
+        doclen.join(tfp, "doc_id", "left")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dfp))
+    )
+
+    def contrib(t):
+        tf_c, df_c = F.col(f"tf_{t}"), F.col(f"df_{t}")
+        idf = F.log(
+            (F.col("n_docs") - df_c + F.lit(0.5)) / (df_c + F.lit(0.5)) + F.lit(1.0)
+        )
+        denom = tf_c + F.lit(k1) * (
+            F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl") / F.col("avgdl"))
+        )
+        return F.when(tf_c.isNull(), F.lit(0.0)).otherwise(
+            idf * (tf_c * (F.lit(k1) + F.lit(1.0))) / denom
+        )
+
+    score = contrib(_BM25_TERMS[0])
+    for t in _BM25_TERMS[1:]:
+        score = score + contrib(t)
+    scored = joined.select("doc_id", score.alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 20)
+        .select("doc_id", _r6(F.col("score")).alias("bm25"), "rnk")
+    )
