@@ -347,12 +347,22 @@ def ivf_train_centroids(
 
 
 def _assign_cells_literal(
-    df: DataFrame, cents: list[list[float]], id_col: str, emb_col: str
+    df: DataFrame,
+    cents: list[list[float]],
+    id_col: str,
+    emb_col: str,
+    *,
+    ids: list[int] | None = None,
+    with_sim: bool = False,
 ) -> DataFrame:
-    """(id, emb, cell_id): cosine argmax against PLAN-LITERAL centroids —
-    the k sims are staged as real columns (CollapseProject lesson: each is
-    referenced twice by the when-chain) and the argmax is a strict-> fold,
-    ties → lowest cell_id (= the SQL twin's row_number ordering)."""
+    """(id, emb, cell_id[, _csim]): cosine argmax against PLAN-LITERAL
+    centroids — the k sims are staged as real columns (CollapseProject
+    lesson: each is referenced twice by the when-chain) and the argmax is a
+    strict-> fold, ties → lowest-position cell (= the SQL twin's row_number
+    ordering when ``ids`` is ascending). Zero joins, zero shuffle. ``ids``
+    maps list positions to cell ids (default 0..k−1); ``with_sim`` also
+    emits the winning similarity as ``_csim``."""
+    ids = list(range(len(cents))) if ids is None else ids
     staged = df.filter(F.col(emb_col).isNotNull()).select(
         id_col,
         emb_col,
@@ -361,13 +371,16 @@ def _assign_cells_literal(
             for i, c in enumerate(cents)
         ],
     )
-    best_cell = F.lit(0)
+    best_cell = F.lit(ids[0])
     best = F.col("_s0")
     for i in range(1, len(cents)):
         better = F.col(f"_s{i}") > best
-        best_cell = F.when(better, F.lit(i)).otherwise(best_cell)
+        best_cell = F.when(better, F.lit(ids[i])).otherwise(best_cell)
         best = F.when(better, F.col(f"_s{i}")).otherwise(best)
-    return staged.select(id_col, emb_col, best_cell.cast("int").alias("cell_id"))
+    out = [id_col, emb_col, best_cell.cast("int").alias("cell_id")]
+    if with_sim:
+        out.append(best.alias("_csim"))
+    return staged.select(*out)
 
 
 def kmeans_cells_sql(

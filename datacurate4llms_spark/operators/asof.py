@@ -111,13 +111,15 @@ def range_join(
         rm.alias("_rm"),
         *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
     )
-    # max matching right micros is lm+upper_us-1 (strict upper bound)
+    # max matching right micros is lm+upper_us-1 (strict upper bound); both
+    # bounds derive from the staged _lm column (no re-derivation, and no
+    # quoting fragility for exotic left_ts names)
     probes = left.withColumn("_lm", lm).withColumn(
         "_bin",
         F.explode(
             F.sequence(
-                F.expr(f"(unix_micros(cast({left_ts} as timestamp)) + ({lower_us})) div {bin_us}"),
-                F.expr(f"(unix_micros(cast({left_ts} as timestamp)) + ({upper_us}) - 1) div {bin_us}"),
+                F.expr(f"(_lm + ({lower_us})) div {bin_us}"),
+                F.expr(f"(_lm + ({upper_us}) - 1) div {bin_us}"),
             )
         ),
     )

@@ -639,34 +639,36 @@ def semantic_dedup_flags(
 
     Returns ``(id, cell_id int, centroid_sim round-6, is_dup int)`` — one row
     per input row with a non-null embedding. Scale: the centroid table is k
-    rows (collected once, broadcast); the only corpus-scale shuffles are the
-    per-id argmax window and the equi-join on cell_id; per-cell pair cost is
-    O(Σ cell²) STREAMED through the join (no in-memory matrix) — size k so
-    the expected cell n/k stays bounded (the paper runs ~100k clusters at
-    web scale). ``checkpoint=True`` eagerly truncates the assignment lineage
-    (it feeds three downstream consumers — the ADVICE r5 strip lesson).
+    rows (collected once, re-entering the plan as LITERALS — the argmax
+    assignment is a pure zero-shuffle projection, never a k×n join or a
+    per-id window); the only corpus-scale shuffle is the pair equi-join on
+    cell_id; per-cell pair cost is O(Σ cell²) STREAMED through the join (no
+    in-memory matrix) — size k so the expected cell n/k stays bounded (the
+    paper runs ~100k clusters at web scale). ``checkpoint=True`` eagerly
+    truncates the assignment lineage (it feeds three downstream consumers —
+    the ADVICE r5 strip lesson).
     """
-    from .ann import ivf_train_centroids
+    from .ann import _assign_cells_literal, ivf_train_centroids
 
     if centroids is None:
         centroids = ivf_train_centroids(
             df, k, rounds=rounds, id_col=id_col, emb_col=emb_col, seed=seed
         )
-    base = df.filter(F.col(emb_col).isNotNull())
-    csim = cosine(F.col(emb_col), F.col("cemb"))
-    scored = base.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_col), F.col(emb_col), F.col("cell_id"), csim.alias("_csim")
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cell_id"))
-    cells = (
-        scored.withColumn("_rnk", F.row_number().over(w))
-        .filter(F.col("_rnk") == 1)
-        .select(
-            id_col,
-            emb_col,
-            "cell_id",
-            F.round(F.col("_csim").cast("double"), 6).alias("centroid_sim"),
-        )
+    # k-row bounded artifact → plan literals (ascending cell_id keeps the
+    # strict-> fold's tie rule == the SQL twin's row_number ordering)
+    crows = centroids.orderBy("cell_id").collect()
+    cells = _assign_cells_literal(
+        df,
+        [list(r["cemb"]) for r in crows],
+        id_col,
+        emb_col,
+        ids=[int(r["cell_id"]) for r in crows],
+        with_sim=True,
+    ).select(
+        id_col,
+        emb_col,
+        "cell_id",
+        F.round(F.col("_csim").cast("double"), 6).alias("centroid_sim"),
     )
     if checkpoint:
         cells = cells.localCheckpoint(eager=True)

@@ -390,3 +390,33 @@ def cms_counters_sql(
         f"select row, bucket, cast(count(*) as bigint) as cnt "
         f"from _cms_ex group by row, bucket"
     )
+
+
+def cms_estimate_sql(
+    counters_sql: str,
+    items_sql: str,
+    col_exprs: list[str],
+    *,
+    depth: int = 4,
+    width: int = 512,
+    seed: str = "cms",
+) -> str:
+    """DuckDB twin of :func:`cms_estimate` — ``(item cols…, cms_est)``.
+    Keeps the seed layout (``f"{seed}{i}"``), width-mod, and empty-bucket
+    rule (``min(coalesce(cnt, 0))``) in ONE place next to the operator, so
+    oracles cannot drift from the Spark semantics."""
+    cols = ", ".join(col_exprs)
+    probes = " union all ".join(
+        f"select {cols}, {i} as row, "
+        f"{hash32_sql(*col_exprs, seed=f'{seed}{i}')} % {width} as bucket "
+        f"from _cms_items"
+        for i in range(depth)
+    )
+    return (
+        f"with _cms_items as materialized ({items_sql}), "
+        f"_cms_cnt as materialized ({counters_sql}), "
+        f"_cms_probes as ({probes}) "
+        f"select {cols}, cast(min(coalesce(c.cnt, 0)) as bigint) as cms_est "
+        f"from _cms_probes p left join _cms_cnt c using (row, bucket) "
+        f"group by {cols}"
+    )

@@ -3503,19 +3503,14 @@ def q_range_join(spark, sf_dir):
              row_number() over (order by exact_n desc, tok asc) as rnk
       from counts qualify rnk <= 20
     ),
-    counters as (
-      select * from ({SK.cms_counters_sql("select tok from toks", ["tok"], depth=4, width=512)})
-    ),
-    probes as (
-      {" union all ".join(
-        f"select tok, {i} as row, {hash32_sql('tok', seed=f'cms{i}')} % 512 as bucket from top"
-        for i in range(4)
-      )}
-    ),
     est as (
-      select p.tok, min(coalesce(c.cnt, 0)) as cms_est
-      from probes p left join counters c using (row, bucket)
-      group by p.tok
+      select * from ({SK.cms_estimate_sql(
+        SK.cms_counters_sql("select tok from toks", ["tok"], depth=4, width=512),
+        "select tok from top",
+        ["tok"],
+        depth=4,
+        width=512,
+      )})
     )
     select t.tok, t.exact_n, cast(e.cms_est as bigint) as cms_est,
            cast(e.cms_est - t.exact_n as bigint) as overcount, cast(t.rnk as int) as rnk

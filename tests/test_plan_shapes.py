@@ -269,15 +269,17 @@ def test_grouping_sets_is_one_expand_one_aggregate_exchange(spark):
 
 
 def test_semantic_dedup_pairs_join_on_cells_not_cartesian(spark):
-    """SemDeDup (PLANS.md §3f): the pair stage is an equi-join keyed on
-    cell_id — never a corpus×corpus cartesian; the only nested-loop joins
-    are the k-row centroid broadcasts of the argmax assignment."""
+    """SemDeDup (PLANS.md §3f): the argmax assignment is a plan-literal
+    zero-join projection (no nested loop, no per-id window exchange — the
+    centroids re-enter as literals); the pair stage is an equi-join keyed
+    on cell_id — never a corpus×corpus cartesian."""
     from datacurate4llms_spark.operators import dedup as D
 
     e = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").filter(F.col("vec_id") < 200)
     out = D.semantic_dedup_flags(e, k=4, rounds=1, threshold=0.3, checkpoint=False)
     plan = _plan(out)
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert any("Join" in ln and "cell_id" in ln for ln in plan.splitlines()), (
         "pair stage must equi-join on cell_id"
     )
