@@ -332,3 +332,103 @@ def model_scores_udf():
             )
 
     return _scores
+
+
+# ---------------------------------------------------------------------------
+# Scale path: the SAME char-bigram LM as pure column expressions (zero
+# python) with a DuckDB twin — the oracle-checkable form of the north rule's
+# KenLM slot. The pandas-UDF scorer above stays the model seam (swap in real
+# KenLM via --archives); this is the JVM expression of the deterministic
+# stand-in. Both engines embed the identical 729 ``repr(float)`` literals and
+# left-fold them in document order, so mean log-prob and perplexity are
+# bit-identical cross-engine (same discipline as functions/langid_model).
+#
+# Plan shape at scale: one regexp_replace + one split per row, two
+# O(len) array transforms, one O(len) left fold — no shuffle, no python,
+# whole-stage-codegen-resident. Perplexity joins the Gopher metrics as a
+# per-row score; thresholding it is a WHERE on the scan.
+# ---------------------------------------------------------------------------
+
+
+def bigram_lp_flat() -> list[float]:
+    """Row-major (prev*27 + cur) flattening of the 27×27 log2 table — the
+    plan-literal form of :func:`_bigram_logprob_table`."""
+    return [float(v) for v in _bigram_logprob_table().ravel()]
+
+
+def cleaned_codes(content: Column | str) -> Column:
+    """``array<int>`` alphabet codes (a→0 … z→25, space→26) of the content —
+    the column twin of :func:`_codes` (lower, drop every char outside
+    ``[a-z ]``). Stage this as a real column before the log-prob pass
+    (CollapseProject staging, CLAUDE.md). The length-1 filter drops the
+    trailing empty string Java's ``split`` keeps on empty input."""
+    c = F.col(content) if isinstance(content, str) else content
+    cleaned = F.regexp_replace(F.lower(c), "[^a-z ]", "")
+    chars = F.filter(F.split(cleaned, ""), lambda ch: F.length(ch) == 1)
+
+    def code(ch: Column) -> Column:
+        return F.when(ch == " ", F.lit(26)).otherwise(F.ascii(ch) - 97)
+
+    return F.transform(chars, code)
+
+
+def bigram_logprobs(codes: Column) -> Column:
+    """``array<double>`` of log2 P(c_i | c_{i-1}) lookups in document order.
+    The 729-entry table is a constant-folded plan literal; ``element_at`` is
+    1-based on both engines. Empty array when fewer than 2 valid chars (the
+    UDF returns NaN there — callers filter)."""
+    tab = F.array(*[F.lit(v) for v in bigram_lp_flat()])
+    n = F.size(codes)
+
+    def lp(i: Column) -> Column:
+        big = F.element_at(codes, i.cast("int")) * 27 + F.element_at(
+            codes, (i + 1).cast("int")
+        )
+        return F.element_at(tab, (big + 1).cast("int"))
+
+    return F.when(n >= 2, F.transform(F.sequence(F.lit(1), n - 1), lp)).otherwise(
+        F.array().cast("array<double>")
+    )
+
+
+def logprob_sum(lp: Column) -> Column:
+    """Left-fold sum of the log-prob array — fixed evaluation order, the
+    cross-engine-stable float discipline (ts_bm25_search precedent)."""
+    return F.aggregate(lp, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def char_perplexity_from(s: Column, n_bigrams: Column) -> Column:
+    """2^(−mean log2 prob) — identical formula to :func:`_perplexity_one`
+    (which uses numpy pairwise-summation mean, so UDF↔plan agreement is
+    ~1e-12 relative, while plan↔oracle is bit-exact)."""
+    return F.pow(F.lit(2.0), -(s / n_bigrams.cast("double")))
+
+
+def lp_table_cte_sql() -> str:
+    """DuckDB CTE body: the identical 729 doubles as a one-row list column.
+    MUST be cross-joined and referenced as a column — a constant list literal
+    inside a lambda re-builds per element (CLAUDE.md lambda-literal trap)."""
+    return (
+        "select cast(["
+        + ", ".join(repr(v) for v in bigram_lp_flat())
+        + "] as double[]) as _tab"
+    )
+
+
+def cleaned_codes_sql(content_col: str) -> str:
+    """DuckDB twin of :func:`cleaned_codes`. Call on a MATERIALIZED cleaned
+    column, not an inlined expression (lambda re-expansion trap)."""
+    return (
+        f"list_transform(list_filter(string_split({content_col}, ''), "
+        "ch -> len(ch) = 1), "
+        "ch -> case when ch = ' ' then 26 else ascii(ch) - 97 end)"
+    )
+
+
+def bigram_logprobs_sql(codes_col: str, tab_col: str = "_tab") -> str:
+    """DuckDB twin of :func:`bigram_logprobs` — 1-based list indexing, range
+    upper bound exclusive, so ``range(1, len)`` enumerates bigram starts."""
+    return (
+        f"list_transform(range(1, len({codes_col})), "
+        f"i -> {tab_col}[{codes_col}[i] * 27 + {codes_col}[i + 1] + 1])"
+    )

@@ -3669,3 +3669,277 @@ def q_bm25_search(spark, sf_dir):
         .filter(F.col("rnk") <= 20)
         .select("doc_id", _r6(F.col("score")).alias("bm25"), "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# r6 additions (session 3): plan-literal perplexity, snapshot dedup, code
+# heuristics, TPC-H q4/q6 shapes.
+# ---------------------------------------------------------------------------
+
+from .functions import compress as CP  # noqa: E402
+
+
+@_register(
+    "qf_perplexity_lm",
+    f"""
+    with source_files as ({source_files_sql()}),
+    tab as materialized ({CP.lp_table_cte_sql()}),
+    cl as materialized (
+      select doc_id, regexp_replace(lower(content), '[^a-z ]', '', 'g') as _cl
+      from source_files
+    ),
+    coded as materialized (
+      select doc_id, {CP.cleaned_codes_sql('_cl')} as _codes from cl
+    ),
+    lp as materialized (
+      select doc_id, {CP.bigram_logprobs_sql('_codes')} as _lp
+      from coded cross join tab
+      where len(_codes) >= 2
+    ),
+    scored as materialized (
+      select doc_id, len(_lp) as _nb, list_reduce(_lp, (a, b) -> a + b) as _s
+      from lp
+    )
+    select doc_id, cast(_nb as bigint) as n_bigrams,
+           round(cast(_s / _nb as double), 6) as mean_lp,
+           round(cast(pow(2.0, -(_s / _nb)) as double), 6) as char_ppl
+    from scored
+    """,
+)
+def q_qf_perplexity_lm(spark, sf_dir):
+    """The north rule's KenLM slot as pure column expressions with a DuckDB
+    twin (functions/compress.py plan-literal section): the SAME char-bigram
+    LM the pandas-UDF scorer uses (reference model lifecycle:
+    src/compressors/base_compressor.py:71-124), but zero python — the 729
+    log-probs are a constant-folded plan literal, looked up per bigram and
+    left-folded in document order, so mean log-prob and 2^(−mean) are
+    bit-identical cross-engine (ts_langid_model / ts_bm25_search float
+    discipline). Docs with < 2 alphabet chars are excluded (the UDF returns
+    NaN there). At scale: no shuffle, no python — a per-row score usable as
+    a WHERE on the scan; each stage staged as a real column so the regex /
+    split / fold each run once (CollapseProject, CLAUDE.md)."""
+    src = source_files(spark, sf_dir)
+    st = src.withColumn("_codes", CP.cleaned_codes("content"))
+    st = st.withColumn("_lp", CP.bigram_logprobs(F.col("_codes")))
+    st = st.withColumn("_s", CP.logprob_sum(F.col("_lp")))
+    nb = F.size("_lp")
+    return (
+        st.filter(F.size("_codes") >= 2)
+        .select(
+            "doc_id",
+            nb.cast("bigint").alias("n_bigrams"),
+            _r6(F.col("_s") / nb.cast("double")).alias("mean_lp"),
+            _r6(CP.char_perplexity_from(F.col("_s"), nb)).alias("char_ppl"),
+        )
+    )
+
+
+@_register(
+    "qf_latest_snapshot",
+    f"""
+    with source_files as ({source_files_sql()}),
+    versions as (
+      select repo, path, doc_id,
+             unnest(range(0, doc_id % 3 + 1)) as vseq
+      from source_files
+    ),
+    v2 as (
+      select repo, path, vseq,
+             md5('v' || cast(vseq as varchar) || '_' || cast(doc_id as varchar))
+               as commit_v
+      from versions
+    )
+    select repo, path,
+           arg_max(commit_v, vseq) as latest_commit,
+           cast(max(vseq) as bigint) as latest_seq,
+           cast(count(*) as bigint) as n_versions
+    from v2
+    group by repo, path
+    """,
+)
+def q_qf_latest_snapshot(spark, sf_dir):
+    """Latest-commit-per-(repo, path) snapshot over a multi-version file
+    table — the canonical read of an Iceberg-style append log (north-rule
+    input shape). Versions are synthesized deterministically (doc_id % 3 + 1
+    commits per file, md5 commit ids). Implemented as groupBy + max_by, NOT
+    a row_number window: the aggregate gets a map-side partial combine, so
+    at 10^12 files the shuffle carries one pre-reduced row per (repo, path)
+    per map task instead of sorting every version of every file. vseq is
+    unique within a group, so max_by is tie-free (deterministic)."""
+    src = source_files(spark, sf_dir)
+    versions = src.select(
+        "repo",
+        "path",
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("doc_id") % 3)).alias(
+            "vseq"
+        ),
+    )
+    v2 = versions.select(
+        "repo",
+        "path",
+        "vseq",
+        F.md5(
+            F.concat(
+                F.lit("v"),
+                F.col("vseq").cast("string"),
+                F.lit("_"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("commit_v"),
+    )
+    return v2.groupBy("repo", "path").agg(
+        F.max_by("commit_v", "vseq").alias("latest_commit"),
+        F.max("vseq").cast("bigint").alias("latest_seq"),
+        F.count("*").cast("bigint").alias("n_versions"),
+    )
+
+
+@_register(
+    "qf_code_heuristics",
+    _QF_METRICS_CTE
+    + """
+    ,
+    h as materialized (
+      select doc_id, lang, content, max_line_len, alnum_ratio,
+             string_split(content, chr(10)) as _ls,
+             case when lang = 'python' then '#' else '//' end as _marker
+      from m
+    ),
+    h2 as materialized (
+      select doc_id, lang, max_line_len, alnum_ratio,
+             cast(len(list_filter(_ls, l -> starts_with(ltrim(l), _marker)))
+                  as double) / cast(len(_ls) as double) as _cfrac,
+             contains(content, 'auto-generated') as is_generated,
+             regexp_matches(content, '[0-9a-f]{64}') as has_secret
+      from h
+    )
+    select doc_id, lang,
+           round(cast(_cfrac as double), 6) as comment_line_frac,
+           is_generated, has_secret,
+           cast(max_line_len as bigint) as max_line_len,
+           round(cast(alnum_ratio as double), 6) as alnum_ratio,
+           coalesce(
+             case when is_generated then 'generated'
+                  when has_secret then 'secret'
+                  when max_line_len > 200 then 'long_line'
+                  when alnum_ratio < 0.25 then 'low_alnum'
+                  when _cfrac > 0.8 then 'comment_heavy'
+             end, '') as code_drop_reason
+    from h2
+    """,
+)
+def q_qf_code_heuristics(spark, sf_dir):
+    """Code-payload curation heuristics (The Stack / StarCoder-style filters,
+    Kocetkov et al. 2022, public recipe): generated-file detection
+    ('auto-generated' marker), embedded-secret detection (64-hex blob),
+    comment-line fraction with a per-language comment marker, plus the
+    max-line-length / alnum-ratio rules — composed into a priority-ordered
+    drop reason. All pure JVM string/array expressions over staged columns
+    (lines split once); the regex is a scrub-class pattern (few matches, not
+    a char-class deletion — CLAUDE.md regex-cost note). At 10^12 files this
+    is a mapper-only pass: every rule is a per-row predicate on the scan."""
+    from .functions.quality import alnum_ratio as qa_alnum, max_line_len as qa_mll
+
+    src = source_files(spark, sf_dir)
+    st = (
+        src.withColumn("_ls", F.split(F.col("content"), "\n"))
+        .withColumn(
+            "_marker",
+            F.when(F.col("lang") == "python", F.lit("#")).otherwise(F.lit("//")),
+        )
+        .withColumn("max_line_len", qa_mll("content").cast("bigint"))
+        .withColumn("alnum_ratio", qa_alnum("content"))
+    )
+    marker = F.col("_marker")
+    cfrac = F.size(
+        F.filter(F.col("_ls"), lambda l: F.ltrim(l).startswith(marker))
+    ).cast("double") / F.size("_ls").cast("double")
+    st = (
+        st.withColumn("_cfrac", cfrac)
+        .withColumn("is_generated", F.col("content").contains("auto-generated"))
+        .withColumn("has_secret", F.col("content").rlike("[0-9a-f]{64}"))
+    )
+    reason = (
+        F.when(F.col("is_generated"), F.lit("generated"))
+        .when(F.col("has_secret"), F.lit("secret"))
+        .when(F.col("max_line_len") > 200, F.lit("long_line"))
+        .when(F.col("alnum_ratio") < 0.25, F.lit("low_alnum"))
+        .when(F.col("_cfrac") > 0.8, F.lit("comment_heavy"))
+    )
+    return st.select(
+        "doc_id",
+        "lang",
+        _r6(F.col("_cfrac")).alias("comment_line_frac"),
+        "is_generated",
+        "has_secret",
+        "max_line_len",
+        _r6(F.col("alnum_ratio")).alias("alnum_ratio"),
+        F.coalesce(reason, F.lit("")).alias("code_drop_reason"),
+    )
+
+
+@_register(
+    "tpch_q6_forecast_revenue",
+    """
+    select round(cast(sum(l_extendedprice * l_discount) as double), 6) as revenue
+    from lineitem
+    where l_shipdate >= timestamp '2000-01-01'
+      and l_shipdate <  timestamp '2001-01-01'
+      and l_discount between 0.05 and 0.07
+      and l_quantity < 24
+    """,
+)
+def q_tpch6(spark, sf_dir):
+    """TPC-H q6 (dates shifted into the synthetic data's 1995–2001 range):
+    the pure scan-filter-aggregate shape — every predicate pushes to the
+    parquet scan, the sum partial-aggregates map-side, one row crosses the
+    exchange. The canonical 'is pushdown working' probe."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2001-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_r6(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@_register(
+    "tpch_q4_order_priority",
+    """
+    select o_orderpriority, cast(count(*) as bigint) as order_count
+    from orders o
+    where o_orderdate >= timestamp '2000-01-01'
+      and o_orderdate <  timestamp '2000-07-01'
+      and exists (
+        select 1 from lineitem l
+        where l.l_orderkey = o.o_orderkey
+          and l.l_shipdate > o.o_orderdate + interval 90 day
+      )
+    group by o_orderpriority
+    """,
+)
+def q_tpch4(spark, sf_dir):
+    """TPC-H q4 shape (EXISTS decorrelated to a left-semi join; the synthetic
+    lineitem has no commitdate/receiptdate, so 'late' = shipped > 90 days
+    after the order date — same semi-join-with-residual plan). At scale the
+    semi join is an equi-join on l_orderkey with the range predicate as a
+    join residual; the date filter pushes to the orders scan and prunes
+    before the shuffle."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2000-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+    )

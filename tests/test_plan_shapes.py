@@ -302,3 +302,45 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
     plan = _plan(out)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q6_pushdown_single_row_exchange(spark):
+    """q6: every predicate reaches the parquet scan; only the one-row
+    partial-aggregate result crosses the exchange."""
+    from datacurate4llms_spark import queries_registry as QR
+
+    old = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        df = QR.QUERIES["tpch_q6_forecast_revenue"](spark, SF_CORRECT)
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    assert "LessThan(l_quantity,24.0)" in pushed
+    assert "l_shipdate" in pushed
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_tpch_q4_is_left_semi_with_pushdown(spark):
+    """q4: EXISTS decorrelates to one left-semi join; the orders date filter
+    pushes to the scan."""
+    from datacurate4llms_spark import queries_registry as QR
+
+    df = QR.QUERIES["tpch_q4_order_priority"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    assert "o_orderdate" in plan.split("PushedFilters")[1].split("]")[0]
+
+
+def test_latest_snapshot_single_exchange_partial_agg(spark):
+    """Snapshot dedup: groupBy+max_by — exactly one exchange (the group
+    shuffle), with a map-side partial aggregate before it (the reason this
+    beats a row_number window at 10^12 files)."""
+    from datacurate4llms_spark import queries_registry as QR
+
+    df = QR.QUERIES["qf_latest_snapshot"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1
+    assert "partial_max_by" in plan or "partial" in plan.lower()

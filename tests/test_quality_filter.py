@@ -477,3 +477,97 @@ def test_suggest_salt_buckets_sizes_from_skew(spark):
     assert suggest_salt_buckets(df, target_rows_per_task=1000) == 1
     empty = spark.createDataFrame([], "repo string, x int")
     assert suggest_salt_buckets(empty) == 1
+
+
+def test_perplexity_plan_matches_udf_and_is_pure_jvm(spark):
+    """qf_perplexity_lm: the plan-literal char-bigram LM must (a) agree with
+    the pandas-UDF scorer to float precision (the UDF uses numpy pairwise-
+    summation mean, the plan a left fold — identical table, ~1e-12 rel), and
+    (b) contain zero python and zero shuffle."""
+    import math
+
+    from datacurate4llms_spark import queries_registry as QR
+    from datacurate4llms_spark.functions.compress import char_perplexity_udf
+    from datacurate4llms_spark.pipelines.source_files import source_files
+    from conftest import SF_SMOKE
+
+    df = QR.QUERIES["qf_perplexity_lm"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan, "per-row score must not shuffle"
+
+    got = {r.doc_id: r.char_ppl for r in df.collect()}
+    udf_rows = (
+        source_files(spark, SF_SMOKE)
+        .select("doc_id", char_perplexity_udf()("content").alias("ppl"))
+        .collect()
+    )
+    udf = {r.doc_id: r.ppl for r in udf_rows if r.ppl is not None and not math.isnan(r.ppl)}
+    assert set(got) == set(udf), "plan filters exactly the UDF's NaN docs"
+    for k, v in got.items():
+        # plan output is rounded to 6 decimals (oracle convention)
+        assert abs(v - udf[k]) <= max(1e-6, 1e-9 * abs(udf[k])), (k, v, udf[k])
+
+
+def test_latest_snapshot_semantics(spark):
+    """qf_latest_snapshot: n_versions = doc_id % 3 + 1, the survivor is the
+    highest vseq, and its commit is the md5 the synth defines."""
+    import hashlib
+
+    from datacurate4llms_spark import queries_registry as QR
+    from conftest import SF_SMOKE
+
+    rows = QR.QUERIES["qf_latest_snapshot"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        doc_id = int(r.path.rsplit("f_", 1)[1].split(".")[0])
+        assert r.n_versions == doc_id % 3 + 1
+        assert r.latest_seq == doc_id % 3
+        expect = hashlib.md5(f"v{doc_id % 3}_{doc_id}".encode()).hexdigest()
+        assert r.latest_commit == expect
+
+
+def test_code_heuristics_fire_per_pathology(spark):
+    """qf_code_heuristics: each injected pathology class trips exactly its
+    heuristic (source_files residue classes, FIXTURES.md §1)."""
+    from datacurate4llms_spark import queries_registry as QR
+    from datacurate4llms_spark.pipelines.source_files import (
+        MOD_BOILER,
+        MOD_JUNK,
+        MOD_LONGLINE,
+        MOD_SECRET,
+    )
+    from conftest import SF_SMOKE
+
+    rows = QR.QUERIES["qf_code_heuristics"](spark, SF_SMOKE).collect()
+    assert rows
+    fired = {"generated": 0, "secret": 0, "long_line": 0, "low_alnum": 0}
+    for r in rows:
+        if r.doc_id % MOD_BOILER == 0:
+            assert r.is_generated, r
+            fired["generated"] += 1
+        if r.doc_id % MOD_SECRET == 0:
+            assert r.has_secret, r
+            fired["secret"] += 1
+        if r.doc_id % MOD_LONGLINE == 0:
+            assert r.max_line_len >= 400, r
+            fired["long_line"] += 1
+        if r.doc_id % MOD_JUNK == 0 and not any(
+            r.doc_id % m == 0 for m in (MOD_BOILER, MOD_SECRET, MOD_LONGLINE)
+        ):
+            # pure junk only: other classes APPEND alnum-rich text (md5 hex,
+            # boilerplate) that lifts the ratio back above the bar
+            assert r.alnum_ratio < 0.25, r
+            fired["low_alnum"] += 1
+        if not any(
+            r.doc_id % m == 0
+            for m in (MOD_BOILER, MOD_SECRET, MOD_LONGLINE, MOD_JUNK)
+        ):
+            # injection-only rules must not fire on clean docs (natural text
+            # CAN trip long_line/low_alnum — single-line prose docs exist)
+            assert r.code_drop_reason not in ("generated", "secret"), r
+    assert all(v > 0 for v in fired.values()), fired
+    # priority: doc 0 carries every pathology; 'generated' outranks the rest
+    doc0 = [r for r in rows if r.doc_id == 0]
+    if doc0:
+        assert doc0[0].code_drop_reason == "generated"
