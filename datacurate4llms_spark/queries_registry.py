@@ -3943,3 +3943,196 @@ def q_tpch4(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(F.count("*").cast("bigint").alias("order_count"))
     )
+
+
+_SPDX_PAT = "SPDX-License-Identifier: ([A-Za-z0-9.-]+)"
+_PERMISSIVE = ("MIT", "Apache-2.0", "BSD-3-Clause")
+
+
+@_register(
+    "qf_license_detect",
+    f"""
+    with source_files as ({source_files_sql()}),
+    lic as (
+      select doc_id, repo, content,
+             case doc_id % 5 when 0 then 'MIT' when 1 then 'Apache-2.0'
+                  when 2 then 'GPL-3.0-only' when 3 then 'BSD-3-Clause' end
+               as _hdr
+      from source_files
+    ),
+    hdrd as (
+      select repo,
+             case when _hdr is null then content
+                  else '// SPDX-License-Identifier: ' || _hdr || chr(10)
+                       || content end as content
+      from lic
+    ),
+    det as (
+      select repo,
+             coalesce(nullif(
+               regexp_extract(content, '{_SPDX_PAT}', 1), ''), 'unknown')
+               as license
+      from hdrd
+    ),
+    per as (
+      select repo, license, count(*) as cnt from det group by repo, license
+    ),
+    agg as (
+      select repo,
+             sum(cnt) as n_files,
+             coalesce(sum(cnt) filter (where license = 'unknown'), 0)
+               as n_unlicensed,
+             arg_min(license,
+                     lpad(cast(100000000 - cnt as varchar), 9, '0') || license)
+               as majority_license
+      from per group by repo
+    )
+    select repo, cast(n_files as bigint) as n_files,
+           cast(n_unlicensed as bigint) as n_unlicensed,
+           majority_license,
+           majority_license in {_PERMISSIVE} as permissive
+    from agg
+    """,
+)
+def q_qf_license_detect(spark, sf_dir):
+    """License detection + per-repo license policy (The Stack's
+    permissive-license gate, Kocetkov et al. 2022 — the reference has no
+    license stage; this is training-data-pipeline breadth). SPDX headers are
+    synthesized deterministically (doc_id % 5 → MIT / Apache-2.0 /
+    GPL-3.0-only / BSD-3-Clause / none), then DETECTED back via
+    regexp_extract and aggregated per repo: majority license with a
+    deterministic tie-break (max count, then lexicographically lowest,
+    encoded as one zero-padded sortable string key because the oracle's
+    arg_min takes a single scalar key), unlicensed-file count, and the
+    permissive gate on the majority. Plan shape at 10^12 files: detection is
+    a mapper; then two partial-agg'd groupBys whose exchanges carry one row
+    per (repo, license) and per repo — never file-level rows."""
+    src = source_files(spark, sf_dir)
+    i = F.col("doc_id")
+    hdr = (
+        F.when(i % 5 == 0, F.lit("MIT"))
+        .when(i % 5 == 1, F.lit("Apache-2.0"))
+        .when(i % 5 == 2, F.lit("GPL-3.0-only"))
+        .when(i % 5 == 3, F.lit("BSD-3-Clause"))
+    )
+    content = F.when(
+        hdr.isNotNull(),
+        F.concat(
+            F.lit("// SPDX-License-Identifier: "), hdr, F.lit("\n"), F.col("content")
+        ),
+    ).otherwise(F.col("content"))
+    det = src.select(
+        "repo",
+        F.coalesce(
+            F.nullif(F.regexp_extract(content, _SPDX_PAT, 1), F.lit("")),
+            F.lit("unknown"),
+        ).alias("license"),
+    )
+    per = det.groupBy("repo", "license").agg(F.count("*").alias("cnt"))
+    key = F.concat(
+        F.lpad((F.lit(100000000) - F.col("cnt")).cast("string"), 9, "0"),
+        F.col("license"),
+    )
+    agg = per.groupBy("repo").agg(
+        F.sum("cnt").cast("bigint").alias("n_files"),
+        F.sum(F.when(F.col("license") == "unknown", F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n_unlicensed"),
+        F.min_by("license", key).alias("majority_license"),
+    )
+    return agg.withColumn(
+        "permissive", F.col("majority_license").isin(*_PERMISSIVE)
+    )
+
+
+@_register(
+    "qf_code_structure",
+    f"""
+    with source_files as ({source_files_sql()}),
+    ws as materialized (
+      select doc_id, lang, string_split(content, ' ') as _ws
+      from source_files
+    ),
+    ln as materialized (
+      select doc_id, lang,
+             list_transform(range(0, len(_ws)), i ->
+               ['', '  ', '    ', '      '][cast(i % 4 as int) + 1]
+               || (case when i % 5 = 0 then 'import ' || _ws[i + 1]
+                        when i % 5 = 1 then 'if ' || _ws[i + 1] || ' {{'
+                        when i % 5 = 3 then '}}'
+                        else _ws[i + 1] || '()' end)) as _ls
+      from ws
+    )
+    select doc_id, lang,
+           cast(len(_ls) as bigint) as n_lines,
+           cast(list_max(list_transform(_ls, l -> len(l) - len(ltrim(l))))
+                as bigint) as max_indent,
+           round(cast(
+             cast(len(list_filter(_ls, l -> starts_with(ltrim(l), 'import ')))
+                  as double) / cast(len(_ls) as double) as double), 6)
+             as import_frac,
+           cast(len(list_filter(_ls, l -> suffix(l, '{{')))
+                - len(list_filter(_ls, l -> ltrim(l) = '}}')) as bigint)
+             as brace_balance,
+           round(cast(
+             cast(list_sum(list_transform(_ls, l -> len(l))) as double)
+             / cast(len(_ls) as double) as double), 6) as avg_line_len
+    from ln
+    """,
+)
+def q_qf_code_structure(spark, sf_dir):
+    """Code-structure metrics over a deterministic code-shaped rendering of
+    each file (the base corpus words become statements: every 5th word an
+    import, if-blocks opening/closing braces, cycling 4-level indentation) —
+    the indentation/nesting/import-density heuristics a code-quality filter
+    layers on top of the text rules. Exercises index-carrying lambdas on
+    both engines (Spark transform's (element, index) form — the arity trap
+    is the POINT here; DuckDB via range + 1-based subscripts). All metrics
+    are per-row array expressions over staged columns (_ws split once,
+    lines built once — CollapseProject staging); zero shuffle, zero python,
+    so at 10^12 files this is a pure mapper on the scan."""
+    src = source_files(spark, sf_dir)
+    indents = F.array(F.lit(""), F.lit("  "), F.lit("    "), F.lit("      "))
+
+    def render(w: Column, i: Column) -> Column:
+        body = (
+            F.when(i % 5 == 0, F.concat(F.lit("import "), w))
+            .when(i % 5 == 1, F.concat(F.lit("if "), w, F.lit(" {")))
+            .when(i % 5 == 3, F.lit("}"))
+            .otherwise(F.concat(w, F.lit("()")))
+        )
+        return F.concat(F.element_at(indents, (i % 4).cast("int") + 1), body)
+
+    st = src.withColumn("_ws", F.split(F.col("content"), " "))
+    st = st.withColumn("_ls", F.transform(F.col("_ws"), render))
+    ls = F.col("_ls")
+    n = F.size(ls)
+    max_indent = F.array_max(
+        F.transform(ls, lambda l: F.length(l) - F.length(F.ltrim(l)))
+    )
+    import_frac = (
+        F.size(F.filter(ls, lambda l: F.ltrim(l).startswith("import "))).cast(
+            "double"
+        )
+        / n.cast("double")
+    )
+    brace_balance = F.size(F.filter(ls, lambda l: l.endswith("{"))) - F.size(
+        F.filter(ls, lambda l: F.ltrim(l) == "}")
+    )
+    avg_line_len = (
+        F.aggregate(
+            F.transform(ls, lambda l: F.length(l).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / n.cast("double")
+    )
+    return st.select(
+        "doc_id",
+        "lang",
+        n.cast("bigint").alias("n_lines"),
+        max_indent.cast("bigint").alias("max_indent"),
+        _r6(import_frac).alias("import_frac"),
+        brace_balance.cast("bigint").alias("brace_balance"),
+        _r6(avg_line_len).alias("avg_line_len"),
+    )
