@@ -4136,3 +4136,121 @@ def q_qf_code_structure(spark, sf_dir):
         brace_balance.cast("bigint").alias("brace_balance"),
         _r6(avg_line_len).alias("avg_line_len"),
     )
+
+
+from .functions.scrub import SCRUB_RULES as _SCRUB_RULES  # noqa: E402
+
+_SECRET_NAMES = [n for n, _, _ in _SCRUB_RULES]
+
+
+def _secret_count_sql(pattern: str) -> str:
+    """DuckDB twin of ``F.regexp_count`` — non-overlapping left-to-right
+    match count; both engines scan greedily with identical RE2-subset
+    patterns (scrub_sql escaping convention)."""
+    p = pattern.replace("\\", "\\\\").replace("'", "''")
+    return f"len(regexp_extract_all(content, e'{p}'))"
+
+
+@_register(
+    "qf_secrets_report",
+    f"""
+    with source_files as ({source_files_sql()}),
+    per_file as (
+      select repo,
+             {" , ".join(f"{_secret_count_sql(p)} as n_{n}" for n, p, _ in _SCRUB_RULES)}
+      from source_files
+    )
+    select repo,
+           cast(count(*) as bigint) as n_files,
+           {" , ".join(f"cast(sum(n_{n}) as bigint) as n_{n}" for n in _SECRET_NAMES)},
+           cast(sum(case when {" + ".join(f"n_{n}" for n in _SECRET_NAMES)} > 0 then 1 else 0 end) as bigint)
+             as n_secret_files,
+           round(cast(cast({" + ".join(f"sum(n_{n})" for n in _SECRET_NAMES)} as double)
+                 / cast(count(*) as double) as double), 6) as secrets_per_file
+    from per_file group by repo
+    """,
+)
+def q_qf_secrets_report(spark, sf_dir):
+    """Per-repo secrets/PII audit table — match counts for every
+    SCRUB_RULES category on the RAW content (the audit artifact a scrub
+    stage emits alongside the scrubbed corpus; The Stack's PII pipeline
+    publishes exactly this shape, Kocetkov et al. 2022). Counts are
+    per-category on raw text, so a token matched by two rules (e.g. a
+    lowercase-hex bearer token also matching hexkey) counts in both — the
+    scrub itself stays priority-ordered; this is detection, not rewrite.
+    Plan at 10^12 files: regexp_count per rule is a mapper over the scan
+    (scrub-class patterns — few matches, not char-class deletion); the only
+    exchange carries one partial-agg row per repo."""
+    src = source_files(spark, sf_dir)
+    counts = src.select(
+        "repo",
+        *[
+            F.regexp_count(F.col("content"), F.lit(p)).alias(f"n_{n}")
+            for n, p, _ in _SCRUB_RULES
+        ],
+    )
+
+    def _total() -> Column:  # left-to-right add order == the SQL twin's
+        c = F.col(f"n_{_SECRET_NAMES[0]}")
+        for n in _SECRET_NAMES[1:]:
+            c = c + F.col(f"n_{n}")
+        return c
+
+    counts = counts.withColumn("_any", (_total() > 0).cast("int"))
+    agg = counts.groupBy("repo").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        *[F.sum(f"n_{n}").cast("bigint").alias(f"n_{n}") for n in _SECRET_NAMES],
+        F.sum("_any").cast("bigint").alias("n_secret_files"),
+    )
+    return agg.withColumn(
+        "secrets_per_file",
+        _r6(_total().cast("double") / F.col("n_files").cast("double")),
+    )
+
+
+@_register(
+    "qf_repo_gate",
+    _QF_METRICS_CTE
+    + f"""
+    , labeled as (
+      select repo, ({drop_reason_sql()}) is null as keep from m
+    ),
+    per_repo as (
+      select repo,
+             cast(count(*) as bigint) as n_files,
+             cast(sum(case when keep then 1 else 0 end) as bigint) as n_keep
+      from labeled group by repo
+    )
+    select repo, n_files, n_keep,
+           round(cast(cast(n_keep as double) / cast(n_files as double)
+                 as double), 6) as keep_frac,
+           round(cast(cast(n_keep as double) / cast(n_files as double)
+                 as double), 6) >= 0.5 as repo_keep
+    from per_repo
+    """,
+)
+def q_qf_repo_gate(spark, sf_dir):
+    """Repo-level quality gate over the pipeline's own file labels: a repo
+    whose keep-rate falls below 0.5 is dropped wholesale (The Stack /
+    StarCoder prune whole repos on aggregate signals — license, stars,
+    file-quality rate — not just files; this is the rate variant). Reuses
+    with_keep_decision verbatim so the gate can never drift from the
+    graded keep/drop labels. The gate compares the ROUNDED fraction in
+    both dialects (round-6 convention) so the boundary repo is decided
+    identically cross-engine. Plan at 10^12 files: label pass is the
+    existing mapper; the exchange carries one (repo, count, count) partial
+    row per repo; the gate is a scalar predicate on the aggregate — repos
+    never re-shuffle file rows."""
+    from .functions.quality import with_keep_decision, with_quality_metrics
+
+    labeled = with_keep_decision(
+        with_quality_metrics(source_files(spark, sf_dir), "content")
+    )
+    agg = labeled.groupBy("repo").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_keep"),
+    )
+    keep_frac = _r6(F.col("n_keep").cast("double") / F.col("n_files").cast("double"))
+    return agg.withColumn("keep_frac", keep_frac).withColumn(
+        "repo_keep", F.col("keep_frac") >= 0.5
+    )
