@@ -4254,3 +4254,124 @@ def q_qf_repo_gate(spark, sf_dir):
     return agg.withColumn("keep_frac", keep_frac).withColumn(
         "repo_keep", F.col("keep_frac") >= 0.5
     )
+
+
+@_register(
+    "qf_entropy_secrets",
+    f"""
+    with source_files as ({source_files_sql()}),
+    tk as materialized (
+      select doc_id,
+             list_filter(string_split_regex(content, '[^A-Za-z0-9+/=]+'),
+                         t -> length(t) >= 20) as _toks
+      from source_files
+    ),
+    en as materialized (
+      select doc_id, _toks,
+             list_transform(_toks, t ->
+               round(cast((ln(cast(length(t) as double))
+                 - list_reduce(list_prepend(0.0,
+                     list_transform(range(1, length(t) + 1), i ->
+                       ln(cast(length(t)
+                               - length(replace(t, t[cast(i as int)], ''))
+                               as double)))),
+                     (a, x) -> a + x) / cast(length(t) as double))
+                 / ln(cast(2 as double)) as double), 6)) as _ents
+      from tk
+    )
+    select doc_id,
+           cast(len(_toks) as bigint) as n_candidates,
+           cast(len(list_filter(_ents, e -> e >= 3.5)) as bigint) as n_flagged,
+           round(cast(coalesce(list_max(_ents), 0.0) as double), 6)
+             as max_entropy
+    from en
+    """,
+)
+def q_qf_entropy_secrets(spark, sf_dir):
+    """Entropy-based secret detection (truffleHog's technique, used by The
+    Stack's PII pass alongside the regex rules): candidate tokens are
+    maximal runs of base64-charset chars with length >= 20; each gets a
+    Shannon entropy over its character distribution, computed positionally
+    — H = (ln n − (1/n)·Σᵢ ln count(t[i])) / ln 2 — so the float fold is
+    one fixed document-order left fold on both engines (0.0-seeded
+    aggregate == list_reduce(list_prepend(0.0, ...)), the langid/DSIR
+    precedent) and the per-token entropy is bit-exact cross-engine after
+    round-6. High-entropy long tokens (>= 3.5 bits/char — catches the
+    corpus's injected 64-hex md5 secrets at ~3.9; English words and the
+    400-char 'x' run score far below) are flagged; regex rules catch known
+    shapes, entropy catches the unknown ones. All row-local array
+    expressions over staged _toks/_ents columns (split once, entropies
+    once — CollapseProject staging): at 10^12 files a pure mapper on the
+    scan, zero shuffle, zero python. O(len²) per candidate is bounded by
+    token length (~64 chars), not document length."""
+    src = source_files(spark, sf_dir)
+    st = src.withColumn(
+        "_toks",
+        F.filter(
+            F.split(F.col("content"), "[^A-Za-z0-9+/=]+"),
+            lambda t: F.length(t) >= 20,
+        ),
+    )
+
+    def ent(t: Column) -> Column:
+        n = F.length(t)
+        lncnts = F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.log(
+                (n - F.length(F.replace(t, F.substr(t, i, F.lit(1)), F.lit("")))
+                 ).cast("double")
+            ),
+        )
+        s = F.aggregate(lncnts, F.lit(0.0), lambda a, x: a + x)
+        h = (F.log(n.cast("double")) - s / n.cast("double")) / F.log(
+            F.lit(2).cast("double")
+        )
+        return _r6(h)
+
+    st = st.withColumn("_ents", F.transform(F.col("_toks"), ent))
+    ents = F.col("_ents")
+    return st.select(
+        "doc_id",
+        F.size("_toks").cast("bigint").alias("n_candidates"),
+        F.size(F.filter(ents, lambda e: e >= 3.5)).cast("bigint").alias("n_flagged"),
+        _r6(F.coalesce(F.array_max(ents), F.lit(0.0))).alias("max_entropy"),
+    )
+
+
+@_register(
+    "dedup_repo_forks",
+    f"""
+    select repo_a, repo_b, n_shared, n_a, n_b,
+           round(cast(jaccard as double), 6) as jaccard
+    from ({{inner}}) t
+    """.format(
+        inner=DD.repo_set_similarity_sql(
+            f"select repo, content as text from ({source_files_sql()})",
+            n=5,
+            max_df=10,
+        )
+    ),
+)
+def q_dedup_repo_forks(spark, sf_dir):
+    """Repo-level fork / vendored-copy detection
+    (operators/dedup.repo_set_similarity — the pass The Stack v1 §3.1 runs
+    BEFORE file-level dedup): each repo reduces to its distinct token-5-gram
+    hash60 fingerprint set; pairs are scored by exact Jaccard via an
+    equi-join on the fingerprints. Grams present in > 10 repos (the injected
+    auto-generated boilerplate — in 21 of 41 repos here) are dropped first:
+    the stop-element rule of parallel set-similarity joins (Vernica et al.,
+    SIGMOD 2010) — they carry no fork signal and their join fan-out is
+    quadratic in group count (228 pairs -> 33 with the cap on this corpus).
+    Every exchange moves (repo, 8-byte hash) rows only; output is bounded by
+    repo-pair count, never corpus size."""
+    out = DD.repo_set_similarity(
+        source_files(spark, sf_dir),
+        content_col="content",
+        group_col="repo",
+        n=5,
+        max_df=10,
+    )
+    return out.select(
+        "repo_a", "repo_b", "n_shared", "n_a", "n_b",
+        _r6(F.col("jaccard")).alias("jaccard"),
+    )

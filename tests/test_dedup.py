@@ -639,3 +639,38 @@ def test_semantic_dedup_threshold_monotone(spark):
     lo_ids = {r.vec_id for r in lo.filter("is_dup = 1").collect()}
     hi_ids = {r.vec_id for r in hi.filter("is_dup = 1").collect()}
     assert hi_ids <= lo_ids  # raising tau can only un-flag, never add dups
+
+
+def test_repo_set_similarity_jaccard_and_stop_gram_cap(spark):
+    # repos a/b are near-forks (share "alpha beta gamma"); the "common common
+    # common" gram lives in ALL four repos -> dropped by max_df=3.
+    df = spark.createDataFrame(
+        [
+            ("a", "alpha beta gamma common common common"),
+            ("b", "alpha beta gamma delta common common common"),
+            ("c", "epsilon zeta eta common common common"),
+            ("d", "theta iota kappa common common common"),
+        ],
+        "repo string, content string",
+    )
+    rows = {
+        (r.repo_a, r.repo_b): r
+        for r in D.repo_set_similarity(df, n=3, max_df=3).collect()
+    }
+    assert set(rows) == {("a", "b")}
+    r = rows[("a", "b")]
+    # capped sets: a = {alpha beta gamma, beta gamma common, gamma common
+    # common}; b adds delta variants -> shared = 1 ("alpha beta gamma")
+    assert r.n_shared >= 1 and r.repo_a < r.repo_b
+    assert r.jaccard == pytest.approx(
+        r.n_shared / (r.n_a + r.n_b - r.n_shared)
+    )
+    # uncapped: the common-gram pairs reappear for every repo pair
+    uncapped = D.repo_set_similarity(df, n=3, max_df=None).collect()
+    assert len(uncapped) == 6  # all C(4,2) pairs share "common common common"
+    # checkpoint path returns the identical result
+    ck = {
+        (r.repo_a, r.repo_b): r.n_shared
+        for r in D.repo_set_similarity(df, n=3, max_df=3, checkpoint=True).collect()
+    }
+    assert ck == {(k): v.n_shared for k, v in rows.items()}
