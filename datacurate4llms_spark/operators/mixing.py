@@ -1,0 +1,137 @@
+"""Deterministic corpus-mixture sampling: turn per-corpus target
+proportions into per-corpus sampling rates, then select documents with a
+seeded hash-threshold Bernoulli — the mixture-construction step between a
+curated corpus and a pretraining run (SlimPajama's source re-weighting,
+DoReMi's domain weights applied at data-build time; the reference's
+multi-dataset config, /root/reference/src/data_subset_selection.py, unions
+datasets but leaves proportions to the caller — this operator is that
+missing knob).
+
+Semantics (RNG-free, oracle-checkable): given target proportions p_c over
+corpora and measured token totals T_c, the retention-maximal feasible
+mixture keeps lambda = min_c(T_c / p_c) total tokens in expectation; corpus
+c samples at rate_c = min(1, lambda * p_c / T_c) — the binding corpus keeps
+everything, the rest subsample. A document is kept iff
+hash32(id, seed) < floor(rate_c * 2^32): deterministic, reproducible,
+engine-independent (md5-hash32, CLAUDE.md), and exactly Bernoulli(rate_c)
+in distribution because hash32 is uniform on [0, 2^32).
+
+Scale shape: the rate table is one two-level aggregation producing
+|corpora| rows, broadcast back onto the scan; the keep decision is a pure
+per-row expression. Zero corpus-scale shuffle — at 10^12 files this is a
+mapper plus one tiny agg, the same shape as the quality-filter north rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash32, hash32_sql
+
+_HASH_SPACE = 4294967296.0  # 2^32 — hash32's range
+
+
+def mixture_rates(
+    df: DataFrame,
+    weights: dict[str, float],
+    corpus_col: str = "corpus",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """(corpus, total_tokens, rate): retention-maximal per-corpus sampling
+    rates hitting the ``weights`` proportions in expectation. Corpora
+    without a target weight are excluded (documented contract). The
+    lambda scalar is an aggregate over the |corpora|-row totals table —
+    never a driver-side collect."""
+    p = None
+    for c, w in weights.items():
+        cond = F.col(corpus_col) == c
+        p = F.when(cond, F.lit(float(w))) if p is None else p.when(cond, F.lit(float(w)))
+    totals = (
+        df.groupBy(corpus_col)
+        .agg(F.sum(token_col).cast("bigint").alias("total_tokens"))
+        .withColumn("_p", p)
+        .filter(F.col("_p").isNotNull())
+    )
+    cap = totals.agg(
+        F.min(F.col("total_tokens").cast("double") / F.col("_p")).alias("_cap")
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.col("_cap") * F.col("_p") / F.col("total_tokens").cast("double"),
+    )
+    return totals.crossJoin(F.broadcast(cap)).select(
+        F.col(corpus_col), "total_tokens", rate.alias("rate")
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    corpus_col: str = "corpus",
+    token_col: str = "n_tokens",
+    id_cols: tuple[str, ...] = ("doc_id",),
+    seed: str = "mix",
+) -> DataFrame:
+    """Input rows + boolean ``sampled``: the hash-threshold Bernoulli draw
+    at each corpus's mixture rate. The threshold is floor(rate * 2^32) as a
+    bigint so the comparison is integer-exact in both engines."""
+    rates = mixture_rates(df, weights, corpus_col, token_col)
+    thr = F.floor(F.col("rate") * F.lit(_HASH_SPACE)).cast("bigint")
+    joined = df.join(
+        F.broadcast(rates.select(corpus_col, F.col("rate"), thr.alias("_thr"))),
+        corpus_col,
+    )
+    keep = hash32(*id_cols, seed=seed) < F.col("_thr")
+    return joined.withColumn("sampled", keep).drop("_thr")
+
+
+def mixture_summary_sql(
+    from_sql: str,
+    weights: dict[str, float],
+    *,
+    id_exprs: tuple[str, ...] = ("doc_id",),
+    seed: str = "mix",
+) -> str:
+    """DuckDB twin of the per-corpus summary of :func:`mixture_sample`
+    (corpus, total_tokens, rate, n_docs, kept_docs, kept_tokens).
+    ``from_sql`` exposes (corpus, n_tokens, <id_exprs>). Rate arithmetic is
+    written in the exact Spark expression order — min over bigint/literal
+    divisions, then least(1, cap*p/total) — so the doubles match bit-exactly."""
+    p_case = (
+        "case corpus "
+        + " ".join(f"when '{c}' then {float(w)!r}" for c, w in weights.items())
+        + " else null end"
+    )
+    h = hash32_sql(*id_exprs, seed=seed)
+    return f"""
+    with base as materialized (select * from ({from_sql})),
+    totals as (
+      select corpus, cast(sum(n_tokens) as bigint) as total_tokens,
+             ({p_case}) as _p
+      from base group by corpus
+    ),
+    wtotals as (select * from totals where _p is not null),
+    cap as (
+      select min(cast(total_tokens as double) / _p) as _cap from wtotals
+    ),
+    rates as (
+      select corpus, total_tokens,
+             least(1.0, _cap * _p / cast(total_tokens as double)) as rate
+      from wtotals cross join cap
+    ),
+    marked as (
+      select b.corpus, b.n_tokens, r.total_tokens, r.rate,
+             case when {h} < cast(floor(r.rate * {_HASH_SPACE!r}) as bigint)
+                  then 1 else 0 end as _keep
+      from base b join rates r using (corpus)
+    )
+    select corpus,
+           any_value(total_tokens) as total_tokens,
+           round(cast(any_value(rate) as double), 6) as rate,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(_keep) as bigint) as kept_docs,
+           cast(sum(case when _keep = 1 then n_tokens else 0 end) as bigint)
+             as kept_tokens
+    from marked group by corpus
+    """

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.hashing import hash32, hash32_sql
+from ..functions.quality import WS_SPLIT_RE
 
 
 def pack_sequences(
@@ -87,4 +88,86 @@ def pack_sequences_sql(
            cast(floor(_start / {capacity}) as bigint) as seq_id,
            cast(_start % {capacity} as bigint) as start_offset
     from placed
+    """
+
+
+def chunk_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """(id, chunk_id, n_tokens, chunk_text): sliding fixed-token windows
+    with overlap — the per-document chunking step for training samples and
+    retrieval corpora (window − stride tokens of overlap so no span is cut
+    without context; the complement of :func:`pack_sequences`, which
+    concatenates ACROSS documents). Chunk i covers tokens
+    [i·stride, i·stride + window); the last chunk may be short; a doc of
+    ≤ window tokens yields exactly one chunk.
+
+    Scale shape: the token array is staged as a real column BEFORE the
+    posexplode, so the whitespace split runs once per document, not once
+    per emitted chunk (the sibling-of-explode trap, CLAUDE.md — Generate
+    carries the materialized column; only the cheap slice runs per chunk).
+    Pure mapper + Generate: zero shuffle at any corpus size."""
+    if not (window >= 1 and 1 <= stride <= window):
+        raise ValueError(f"need 1 <= stride <= window, got {window=} {stride=}")
+    toks = F.split(F.trim(F.col(text_col)), WS_SPLIT_RE)
+    staged = df.withColumn("_toks", toks).withColumn(
+        "_nc",
+        F.lit(1)
+        + F.greatest(
+            F.lit(0),
+            F.ceil((F.size("_toks") - window) / F.lit(float(stride))).cast("int"),
+        ),
+    )
+    out = staged.select(
+        F.col(id_col),
+        "_toks",
+        F.posexplode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_id", "_z"),
+    )
+    sl = F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1, window)
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size(sl).cast("bigint").alias("n_tokens"),
+        F.array_join(sl, " ").alias("chunk_text"),
+    )
+
+
+def chunk_windows_sql(
+    from_sql: str,
+    *,
+    window: int = 64,
+    stride: int = 48,
+    id_expr: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`chunk_windows`; input exposes (doc_id, text).
+    Token arrays materialized as CTE columns — an inlined split would
+    re-expand per chunk (the lambda/CTE re-expansion trap)."""
+    return f"""
+    with tk as materialized (
+      select {id_expr} as doc_id,
+             regexp_split_to_array(trim(text), '{WS_SPLIT_RE}') as _toks
+      from ({from_sql})
+    ),
+    nc as materialized (
+      select doc_id, _toks,
+             1 + greatest(0, cast(ceil((len(_toks) - {window})
+                                       / cast({stride} as double)) as int))
+               as _nc
+      from tk
+    ),
+    ex as (
+      select doc_id, _toks, unnest(range(0, _nc)) as chunk_id from nc
+    )
+    select doc_id,
+           cast(chunk_id as bigint) as chunk_id,
+           cast(len(_toks[(chunk_id * {stride} + 1):(chunk_id * {stride} + {window})])
+                as bigint) as n_tokens,
+           array_to_string(_toks[(chunk_id * {stride} + 1):(chunk_id * {stride} + {window})], ' ')
+             as chunk_text
+    from ex
     """

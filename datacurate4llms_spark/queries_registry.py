@@ -4375,3 +4375,76 @@ def q_dedup_repo_forks(spark, sf_dir):
         "repo_a", "repo_b", "n_shared", "n_a", "n_b",
         _r6(F.col("jaccard")).alias("jaccard"),
     )
+
+
+from .operators import mixing as MX  # noqa: E402
+from .operators.packing import chunk_windows, chunk_windows_sql  # noqa: E402
+
+_MIX_WEIGHTS = {"c0": 0.6, "c1": 0.3, "c2": 0.1}
+_MIX_BASE_SQL = f"""
+    select doc_id,
+           'c' || cast(cast(substr(source, 4) as int) % 3 as varchar) as corpus,
+           {TS.token_count_ws_sql('text')} as n_tokens
+    from documents
+"""
+
+
+@_register(
+    "mix_sample_by_source",
+    MX.mixture_summary_sql(_MIX_BASE_SQL, _MIX_WEIGHTS),
+)
+def q_mix_sample_by_source(spark, sf_dir):
+    """Deterministic corpus-mixture sampling (operators/mixing — the
+    SlimPajama/DoReMi mixture-construction step the reference's
+    multi-dataset union leaves to the caller): sources group into three
+    pseudo-corpora with target token proportions 0.6/0.3/0.1; the
+    retention-maximal feasible rates keep the binding corpus whole and
+    subsample the rest; per-doc keep = hash32(doc_id) under the rate
+    threshold (integer-exact floor(rate*2^32) compare). Rate table is one
+    |corpora|-row two-level agg broadcast onto the scan — zero corpus-scale
+    shuffle; summary exchange carries one row per corpus."""
+    d = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    base = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("c"),
+            (F.substring("source", 4, 10).cast("int") % 3).cast("string"),
+        ).alias("corpus"),
+        TS.token_count_ws("text").alias("n_tokens"),
+    )
+    s = MX.mixture_sample(base, _MIX_WEIGHTS)
+    return s.groupBy("corpus").agg(
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        _r6(F.min("rate")).alias("rate"),
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.col("sampled").cast("int")).cast("bigint").alias("kept_docs"),
+        F.sum(F.when(F.col("sampled"), F.col("n_tokens")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("kept_tokens"),
+    )
+
+
+@_register(
+    "pack_chunk_windows",
+    f"""
+    select doc_id, chunk_id, n_tokens,
+           {hash32_sql('chunk_text', seed='chunk')} as chunk_hash
+    from ({chunk_windows_sql('select doc_id, text from documents',
+                             window=32, stride=24)}) t
+    """,
+)
+def q_pack_chunk_windows(spark, sf_dir):
+    """Sliding fixed-token windows with overlap (operators/packing.
+    chunk_windows — the per-document chunking step for training samples /
+    retrieval corpora; complement of pack_sequences' cross-document
+    concatenation). 32-token windows, stride 24 (8 tokens of overlap);
+    chunk text verified by hash32 so the compared rows stay narrow. Token
+    array is staged before the posexplode — the split runs once per doc,
+    not once per chunk (sibling-of-explode trap); pure mapper + Generate,
+    zero shuffle at any scale."""
+    d = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    out = chunk_windows(d, window=32, stride=24)
+    return out.select(
+        "doc_id", "chunk_id", "n_tokens",
+        hash32("chunk_text", seed="chunk").alias("chunk_hash"),
+    )

@@ -5,6 +5,7 @@ from __future__ import annotations
 import re
 import string
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -445,3 +446,56 @@ def test_cms_mergeable_and_one_sided(spark):
     j4 = est4.join(toks.groupBy("tok").count(), "tok")
     assert j4.filter(F.col("cms_est") < F.col("count")).count() == 0
     assert j4.filter(F.col("cms_est") > F.col("count")).count() > 0
+
+
+def test_chunk_windows_coverage_overlap_and_short_doc(spark):
+    from datacurate4llms_spark.operators.packing import chunk_windows
+
+    toks = [f"t{i}" for i in range(100)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "just three tokens"), (3, "one")],
+        "doc_id bigint, text string",
+    )
+    rows = chunk_windows(df, window=32, stride=24).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: chunks start at 0,24,48,72 -> 4 chunks; last is 100-72=28 tokens
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.chunk_id for r in c1] == [0, 1, 2, 3]
+    assert [r.n_tokens for r in c1] == [32, 32, 32, 28]
+    # every token covered, in order, with the 8-token overlap between chunks
+    assert c1[0].chunk_text.split(" ")[:24] == toks[:24]
+    assert c1[1].chunk_text.split(" ")[:8] == toks[24:32]  # overlap region
+    covered = []
+    for r in c1:
+        covered.extend(r.chunk_text.split(" ")[: 24 if r.chunk_id < 3 else 32])
+    assert covered[:100] == toks
+    # short docs: exactly one chunk, full text
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "just three tokens"
+    assert len(by_doc[3]) == 1 and by_doc[3][0].n_tokens == 1
+    with pytest.raises(ValueError):
+        chunk_windows(df, window=8, stride=9)
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    from datacurate4llms_spark.operators.mixing import mixture_rates, mixture_sample
+
+    # corpus a: 1000 tokens, b: 1000, c excluded (no weight)
+    rows = [(i, "a" if i < 100 else "b", 10) for i in range(200)]
+    rows += [(900 + i, "z", 10) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id bigint, corpus string, n_tokens int")
+    w = {"a": 0.8, "b": 0.2}
+    rates = {r.corpus: r for r in mixture_rates(df, w).collect()}
+    assert set(rates) == {"a", "b"}  # unweighted corpus excluded
+    # binding corpus (a: 1000/0.8 < 1000/0.2) keeps everything
+    assert rates["a"].rate == pytest.approx(1.0)
+    # b subsamples to hit 0.2 of the mixture: lambda*0.2/1000 = 0.25
+    assert rates["b"].rate == pytest.approx(0.25)
+    s = mixture_sample(df, w).collect()
+    kept = {r.doc_id for r in s if r.sampled}
+    assert {r.doc_id for r in s if r.corpus == "a"} <= kept  # rate 1.0
+    again = {r.doc_id for r in mixture_sample(df, w).collect() if r.sampled}
+    assert kept == again  # hash-threshold draw is deterministic
+    b_kept = sum(1 for r in s if r.sampled and r.corpus == "b")
+    assert 10 <= b_kept <= 40  # Bernoulli(0.25) over 100 docs, wide bound
