@@ -344,3 +344,36 @@ def test_latest_snapshot_single_exchange_partial_agg(spark):
     plan = _plan(df)
     assert plan.count("Exchange") == 1
     assert "partial_max_by" in plan or "partial" in plan.lower()
+
+
+def test_chunk_windows_is_shuffle_free_generate(spark):
+    from datacurate4llms_spark import queries_registry as QR
+
+    df = QR.QUERIES["pack_chunk_windows"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "Exchange" not in plan, "chunking is a pure mapper (PLANS.md)"
+    assert "Generate" in plan
+    # the token split must be staged below the Generate, not a sibling
+    # projection above it (which would re-run it per exploded chunk)
+    opt = _optimized(df)
+    gen_pos = opt.index("Generate")
+    assert "split(" not in opt[:gen_pos], "split must not sit above the Generate"
+
+
+def test_mixture_sample_broadcasts_rate_table(spark):
+    from datacurate4llms_spark import queries_registry as QR
+
+    plan = _plan(QR.QUERIES["mix_sample_by_source"](spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in plan, "rate table must broadcast onto the scan"
+    assert "SortMergeJoin" not in plan
+
+
+def test_repo_forks_cap_is_broadcast_anti_and_hash_keyed(spark):
+    from datacurate4llms_spark import queries_registry as QR
+
+    df = QR.QUERIES["dedup_repo_forks"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "LeftAnti, BuildRight" in plan, "df-cap filter must be a broadcast anti-join"
+    # size tables join back broadcast; only the gram aggs + pair agg exchange
+    assert plan.count("SortMergeJoin") <= 1, "pair equi-join only; sizes broadcast"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
