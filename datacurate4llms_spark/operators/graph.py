@@ -1,0 +1,163 @@
+"""Graph centrality over curation-derived edge lists: PageRank in EXACT
+integer fixed-point arithmetic.
+
+Web-scale curation uses graph centrality as a quality prior — Common Crawl
+ranks hosts by harmonic centrality / PageRank and RefinedWeb/FineWeb-class
+pipelines consume those ranks as URL-filter signals; the same idea applies
+to repository graphs (a repo whose content is widely copied is a hub in the
+fork-similarity graph). The reference has no graph operator — this is
+net-new pipeline breadth, like dedup/DSIR.
+
+Why fixed-point: float PageRank is a per-iteration groupBy-SUM of doubles,
+and a float sum's value depends on partition merge order — it can NEVER be
+bit-exact across engines (the BM25 lesson: only fixed-order float folds
+are). Scaling ranks to integers (rank_fp = rank · 10⁹) makes every sum
+order-independent and every damping/out-degree division a floor division,
+so a fixed number of iterations is deterministic to the last bit on any
+partitioning and in any engine. Truncation loses < outdeg ulps of mass per
+node per iteration — irrelevant for ranking, and both engines lose exactly
+the same bits.
+
+Per iteration: rank'(v) = (1−d)/N + d · Σ_{u→v} rank(u)/outdeg(u), as
+  share(u) = ((rank_fp(u) · dp) // 100) // outdeg(u)
+  rank_fp'(v) = (L // N) + Σ share(u),   L = ((100−dp) · S) // 100
+
+Scale shape: each iteration is one equi-join of the (node, bigint) rank
+table against the edge list plus one integer-sum aggregation — the
+pointer-doubling components operator's cost model. Rank state is 16 bytes
+per node; out-degrees computed once. Lineage is truncated per iteration
+with an eager localCheckpoint (the iterative-algorithm convention,
+operators/dedup.duplicate_components) so K iterations cost K stages, not
+2^K re-evaluations. Nodes are taken FROM the edge list — isolated vertices
+never enter the computation (documented contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**9
+
+
+def _idiv(a: Column, b: Column | int) -> Column:
+    """Exact floor division of non-negative bigints: (a - a % b) / b — the
+    numerator is an exact multiple of b, so the double division is exact
+    for all values < 2^53 (max here: rank_fp · dp ≈ 8.5e10)."""
+    b = F.lit(b) if isinstance(b, int) else b
+    return ((a - F.pmod(a, b)) / b).cast("bigint")
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame,
+    *,
+    iterations: int = 8,
+    damping_pct: int = 85,
+    scale: int = SCALE,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(node, rank_fp, rank) — PageRank after ``iterations`` exact
+    fixed-point rounds over a directed (src, dst) edge list. ``rank`` is
+    rank_fp / scale rounded to 6 places (presentation only — rank_fp is the
+    bit-exact value). For an undirected similarity graph, pass both edge
+    directions."""
+    if checkpoint:
+        # the edge list is consumed once per iteration (plus the node/outdeg
+        # derivations); an unbroken lineage would re-evaluate its upstream —
+        # often an expensive similarity join — K+2 times
+        edges = edges.localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ncount = nodes.agg(F.count("*").cast("bigint").alias("_n"))
+    outdeg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("_od"))
+    base_num = ((100 - damping_pct) * scale) // 100
+
+    nodes_n = nodes.crossJoin(F.broadcast(ncount))
+    r = nodes_n.select("node", _idiv(F.lit(scale), F.col("_n")).alias("rank_fp"))
+    if checkpoint:
+        nodes_n = nodes_n.localCheckpoint(eager=True)
+        outdeg = outdeg.localCheckpoint(eager=True)
+    for _ in range(iterations):
+        share = _idiv(_idiv(F.col("rank_fp") * damping_pct, 100), F.col("_od"))
+        sums = (
+            edges.join(r, edges["src"] == r["node"])
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("node"), share.alias("_share"))
+            .groupBy("node")
+            .agg(F.sum("_share").cast("bigint").alias("_in"))
+        )
+        r = nodes_n.join(sums, "node", "left").select(
+            "node",
+            (
+                _idiv(F.lit(base_num), F.col("_n"))
+                + F.coalesce(F.col("_in"), F.lit(0))
+            ).alias("rank_fp"),
+        )
+        if checkpoint:
+            r = r.localCheckpoint(eager=True)
+    return r.select(
+        "node",
+        F.col("rank_fp"),
+        F.round(F.col("rank_fp").cast("double") / float(scale), 6).alias("rank"),
+    )
+
+
+def pagerank_fixedpoint_sql(
+    edges_sql: str,
+    *,
+    iterations: int = 8,
+    damping_pct: int = 85,
+    scale: int = SCALE,
+) -> str:
+    """DuckDB twin: the identical integer recurrence as ``iterations``
+    chained CTEs (the trained-k-means chained-CTE precedent). ``edges_sql``
+    exposes (src, dst). DuckDB ``//`` floors like :func:`_idiv`; the HUGEINT
+    sum is cast back to bigint."""
+    base_num = ((100 - damping_pct) * scale) // 100
+    parts = [
+        f"""
+    edges as materialized (select * from ({edges_sql})),
+    nodes as materialized (
+      select distinct node
+      from (select src as node from edges union select dst from edges)
+    ),
+    nn as (select cast(count(*) as bigint) as _n from nodes),
+    outdeg as materialized (
+      select src, cast(count(*) as bigint) as _od from edges group by src
+    ),
+    r0 as materialized (
+      select node, cast({scale} // _n as bigint) as rank_fp
+      from nodes cross join nn
+    )"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+    s{i} as (
+      select e.dst as node,
+             cast(sum(((r.rank_fp * {damping_pct}) // 100) // o._od) as bigint)
+               as _in
+      from edges e
+      join r{i - 1} r on r.node = e.src
+      join outdeg o on o.src = e.src
+      group by e.dst
+    ),
+    r{i} as materialized (
+      select n.node,
+             cast(({base_num} // nn._n) + coalesce(s._in, 0) as bigint) as rank_fp
+      from nodes n cross join nn
+      left join s{i} s using (node)
+    )"""
+        )
+    return (
+        "with "
+        + "".join(parts)
+        + f"""
+    select node, rank_fp,
+           round(cast(rank_fp as double) / {float(scale)!r}, 6) as rank
+    from r{iterations}
+    """
+    )

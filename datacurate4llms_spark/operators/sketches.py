@@ -420,3 +420,115 @@ def cms_estimate_sql(
         f"from _cms_probes p left join _cms_cnt c using (row, bucket) "
         f"group by {cols}"
     )
+
+
+def hll_distinct(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    p: int = 8,
+    group_by: list[str] | None = None,
+    seed: str = "hll",
+) -> DataFrame:
+    """HyperLogLog distinct estimate per group (Flajolet et al. 2007):
+    (group cols…, n_buckets, n_estimate).
+
+    m = 2^p registers over hash32: idx = h mod m, w = h >> p (a (32−p)-bit
+    word), rho(w) = leading-zero count of w + 1 = (32−p)+1 − bitlength(w).
+    Register value M_idx = max(rho) — an integer MAX, order-independent, so
+    unlike engine-native approx_count_distinct the sketch is bit-identical
+    on any partitioning and in both engines.
+
+    The harmonic sum Σ 2^−M_j is computed as the INTEGER
+    Z = Σ 2^(rho_max−M_j) (absent registers contribute 2^rho_max), then one
+    exact double division — Z < m·2^rho_max = 2^33 < 2^53, so the cast is
+    exact and the float path is a single IEEE division + the literal
+    alpha·m²·2^rho_max numerator shared verbatim with the SQL twin. Small-
+    range correction (E ≤ 2.5m and V empty registers > 0) → m·ln(m/V), the
+    linear-counting branch; ln bit-matches across engines (DSIR/BM25
+    precedent).
+
+    Plan — two bounded aggregations: groupBy(group, idx).max(rho) partial-
+    aggregates map-side so the exchange carries ≤ |groups|·m register rows
+    per task, then a |groups|·m → |groups| rollup. The corpus itself never
+    shuffles; state is ≤ m bytes-scale per group at any corpus size.
+    """
+    group_by = group_by or []
+    m = 1 << p
+    wbits = 32 - p
+    rho_max = wbits + 1
+    # alpha_m for m ≥ 128 (Flajolet §4); ×m²·2^rho_max folded into one
+    # literal shared with the SQL twin (repr round-trips the exact double)
+    num = (0.7213 / (1.0 + 1.079 / m)) * m * m * float(1 << rho_max)
+    h = hash32(*cols, seed=seed)
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(rho_max)).otherwise(
+        F.lit(rho_max) - F.length(F.bin(w))
+    )
+    regs = (
+        df.select(*group_by, F.pmod(h, F.lit(m)).alias("_idx"), rho.alias("_rho"))
+        .groupBy(*group_by, "_idx")
+        .agg(F.max("_rho").alias("_m"))
+    )
+    agg = regs.groupBy(*group_by).agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.sum(F.expr(f"shiftleft(1L, {rho_max} - _m)"))
+        .cast("bigint")
+        .alias("_z1"),
+    )
+    z = (
+        F.col("_z1") + (F.lit(m) - F.col("n_buckets")) * F.lit(1 << rho_max)
+    ).cast("double")
+    e_raw = F.lit(num) / z
+    v = (F.lit(m) - F.col("n_buckets")).cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(e_raw)
+    return agg.select(*group_by, "n_buckets", F.round(est, 6).alias("n_estimate"))
+
+
+def hll_distinct_sql(
+    from_sql: str,
+    col_exprs: list[str],
+    *,
+    p: int = 8,
+    group_by: list[str] | None = None,
+    seed: str = "hll",
+) -> str:
+    """DuckDB twin of :func:`hll_distinct` — identical integer register
+    pipeline (DuckDB ``bin`` emits no leading zeros, same as Spark's), the
+    same literal numerator, and the same single-division float path."""
+    group_by = group_by or []
+    g = ", ".join(group_by)
+    gcomma = g + ", " if g else ""
+    m = 1 << p
+    wbits = 32 - p
+    rho_max = wbits + 1
+    num = (0.7213 / (1.0 + 1.079 / m)) * m * m * float(1 << rho_max)
+    h = hash32_sql(*col_exprs, seed=seed)
+    e_raw = (
+        f"{num!r} / cast(_z1 + ({m} - n_buckets) * {1 << rho_max} as double)"
+    )
+    return f"""
+    with _hll_src as materialized (
+      select {gcomma}{h} as _h from ({from_sql})
+    ),
+    _hll_regs as (
+      select {gcomma}_h % {m} as _idx,
+             max(case when (_h >> {p}) = 0 then {rho_max}
+                 else {rho_max} - length(bin(_h >> {p})) end) as _m
+      from _hll_src group by {gcomma}_idx
+    ),
+    _hll_agg as (
+      select {gcomma}cast(count(*) as bigint) as n_buckets,
+             cast(sum(cast(1 as bigint) << ({rho_max} - _m)) as bigint) as _z1
+      from _hll_regs {("group by " + g) if g else ""}
+    )
+    select {gcomma}n_buckets,
+           round(case when {e_raw} <= {2.5 * m!r} and n_buckets < {m}
+                 then {float(m)!r} * ln({float(m)!r}
+                      / cast({m} - n_buckets as double))
+                 else {e_raw} end, 6) as n_estimate
+    from _hll_agg
+    """

@@ -2972,6 +2972,24 @@ def q_kmv(spark, sf_dir):
 
 
 @_register(
+    "sketch_hll_distinct",
+    SK.hll_distinct_sql(_TOKENS_SQL, ["tok"], p=8, group_by=["lang"]),
+)
+def q_hll(spark, sf_dir):
+    """HyperLogLog distinct-token estimate per language
+    (operators/sketches.hll_distinct) — the constant-state counterpart of
+    the KMV sketch: 256 integer max-registers per group, harmonic mean via
+    an exact integer-scaled sum, linear-counting small-range branch. Unlike
+    approx_count_distinct the registers are pure functions of hash32, so
+    the estimate is bit-identical across engines and partitionings."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return SK.hll_distinct(toks, ["tok"], p=8, group_by=["lang"])
+
+
+@_register(
     "sketch_quantiles",
     SK.quantile_sketch_sql(
         "select l_returnflag, l_orderkey, l_linenumber, l_extendedprice from lineitem",
@@ -4448,3 +4466,51 @@ def q_pack_chunk_windows(spark, sf_dir):
         "doc_id", "chunk_id", "n_tokens",
         hash32("chunk_text", seed="chunk").alias("chunk_hash"),
     )
+
+
+from .operators import graph as G  # noqa: E402
+
+_FORK_EDGES_SQL = f"""
+    with fk as materialized (
+      {DD.repo_set_similarity_sql(
+          f"select repo, content as text from ({source_files_sql()})",
+          n=5, max_df=10)}
+    )
+    select repo_a as src, repo_b as dst from fk
+    union all
+    select repo_b as src, repo_a as dst from fk
+"""
+
+
+@_register(
+    "graph_repo_pagerank",
+    f"""
+    select node as repo, rank_fp, rank
+    from ({G.pagerank_fixedpoint_sql(_FORK_EDGES_SQL, iterations=8)}) t
+    """,
+)
+def q_graph_repo_pagerank(spark, sf_dir):
+    """PageRank centrality over the repo fork-similarity graph
+    (operators/graph.pagerank_fixedpoint): repos whose content is widely
+    copied are hubs — the repo-graph analogue of the host-level
+    centrality rank Common Crawl publishes and RefinedWeb/FineWeb-class
+    pipelines consume as a quality prior. 8 exact integer fixed-point
+    iterations (rank scaled by 10^9; floor divisions for damping and
+    out-degree): every per-iteration sum is an integer sum, so the result
+    is bit-identical on any partitioning and in both engines — a float
+    PageRank could never hash-match. Each iteration is one equi-join +
+    integer agg over 16-byte rank rows; lineage truncated per iteration."""
+    pairs = DD.repo_set_similarity(
+        source_files(spark, sf_dir),
+        content_col="content",
+        group_col="repo",
+        n=5,
+        max_df=10,
+    ).select("repo_a", "repo_b")
+    edges = pairs.select(
+        F.col("repo_a").alias("src"), F.col("repo_b").alias("dst")
+    ).union(
+        pairs.select(F.col("repo_b").alias("src"), F.col("repo_a").alias("dst"))
+    )
+    out = G.pagerank_fixedpoint(edges, iterations=8)
+    return out.select(F.col("node").alias("repo"), "rank_fp", "rank")

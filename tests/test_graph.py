@@ -1,0 +1,84 @@
+"""PageRank fixed-point operator: bit-exactness vs a pure-python integer
+recurrence, partition invariance, and the mass-conservation bound."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from datacurate4llms_spark.operators import graph as G
+
+
+EDGES = [
+    ("a", "b"),
+    ("a", "c"),
+    ("b", "c"),
+    ("c", "a"),
+    ("d", "c"),
+    ("b", "d"),
+]
+
+
+def _python_pagerank_fp(edges, iterations=8, damping_pct=85, scale=G.SCALE):
+    """The identical integer recurrence, row-at-a-time (the oracle)."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    outdeg = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    base = ((100 - damping_pct) * scale) // 100
+    rank = {v: scale // n for v in nodes}
+    for _ in range(iterations):
+        incoming = {v: 0 for v in nodes}
+        for u, v in edges:
+            incoming[v] += ((rank[u] * damping_pct) // 100) // outdeg[u]
+        rank = {v: base // n + incoming[v] for v in nodes}
+    return rank
+
+
+@pytest.fixture(scope="module")
+def edges_df(spark):
+    return spark.createDataFrame(EDGES, ["src", "dst"])
+
+
+def test_pagerank_matches_python_recurrence(spark, edges_df):
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in G.pagerank_fixedpoint(edges_df, iterations=8).collect()
+    }
+    assert got == _python_pagerank_fp(EDGES, iterations=8)
+
+
+def test_pagerank_partition_invariant(spark, edges_df):
+    one = G.pagerank_fixedpoint(edges_df.coalesce(1), iterations=5).collect()
+    many = G.pagerank_fixedpoint(
+        edges_df.repartition(7, "dst"), iterations=5
+    ).collect()
+    assert {(r["node"], r["rank_fp"]) for r in one} == {
+        (r["node"], r["rank_fp"]) for r in many
+    }
+
+
+def test_pagerank_mass_bound(spark, edges_df):
+    """Total fixed-point mass stays within n·iterations truncation ulps of
+    scale (each node loses < 1 unit per division, two divisions/iter)."""
+    total = (
+        G.pagerank_fixedpoint(edges_df, iterations=8)
+        .agg(F.sum("rank_fp").alias("s"))
+        .collect()[0]["s"]
+    )
+    n, iters = 4, 8
+    assert G.SCALE - 3 * n * iters <= total <= G.SCALE
+
+
+def test_pagerank_sql_twin_matches(spark, edges_df, duck):
+    """DuckDB chained-CTE twin reproduces rank_fp bit-exactly."""
+    rows = ", ".join(f"('{u}', '{v}')" for u, v in EDGES)
+    sql = G.pagerank_fixedpoint_sql(
+        f"select * from (values {rows}) t(src, dst)", iterations=8
+    )
+    duck_r = {r[0]: r[1] for r in duck.execute(sql).fetchall()}
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in G.pagerank_fixedpoint(edges_df, iterations=8).collect()
+    }
+    assert got == duck_r

@@ -174,6 +174,42 @@ def test_kmv_estimate_accuracy_and_merge_property(spark):
     assert repartitioned.n_estimate == est.n_estimate  # partitioning-invariant
 
 
+def test_hll_estimate_accuracy_and_partition_invariance(spark):
+    """HLL sketch: estimate within HLL error (~1.04/sqrt(m) ≈ 6.5% at m=256,
+    allow 3 sigma), linear-counting branch accurate at small n, invariant to
+    partitioning, and bit-exact vs the DuckDB twin."""
+    import duckdb
+
+    from datacurate4llms_spark.operators.sketches import (
+        hll_distinct,
+        hll_distinct_sql,
+    )
+
+    big = spark.range(20_000).select((F.col("id") % 5000).alias("v"))
+    est = hll_distinct(big, ["v"], p=8).collect()[0]
+    assert abs(est.n_estimate - 5000) / 5000 < 0.20
+
+    small = spark.range(40).select(F.col("id").alias("v"))
+    e2 = hll_distinct(small, ["v"], p=8).collect()[0]
+    assert abs(e2.n_estimate - 40) / 40 < 0.20  # linear counting regime
+
+    repartitioned = hll_distinct(big.repartition(13), ["v"], p=8).collect()[0]
+    assert (repartitioned.n_buckets, repartitioned.n_estimate) == (
+        est.n_buckets,
+        est.n_estimate,
+    )
+
+    duck = duckdb.connect().execute(
+        hll_distinct_sql(
+            "select (range % 5000) as v from range(20000)", ["cast(v as string)"]
+        )
+    ).fetchall()[0]
+    spark_side = hll_distinct(
+        big.select(F.col("v").cast("string").alias("v")), ["v"], p=8
+    ).collect()[0]
+    assert (spark_side.n_buckets, spark_side.n_estimate) == duck
+
+
 def test_quantile_sketch_accuracy_and_partition_invariance(spark):
     """quantile_sketch: sample median within sampling error of the exact
     median (O(1/sqrt(k))), exact when the group fits inside k, and invariant
