@@ -572,6 +572,99 @@ def near_dedup_minhash(
     return df.join(dups, id_col, "left_anti")
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    max_rel_dist: float = 0.4,
+    n: int = 3,
+    prefix_len: int = 400,
+) -> DataFrame:
+    """LSH candidates verified with LEVENSHTEIN distance — the
+    character-level complement of the Jaccard verifier (catches reordered
+    or padded near-copies whose shingle overlap dilutes): (i, j, lev,
+    rel_dist) for pairs with rel_dist = lev / max(len) ≤ ``max_rel_dist``.
+
+    Cross-engine convention: distance is computed over the ASCII
+    PROJECTION of the text (every non-ASCII codepoint → '?'), because
+    Spark's levenshtein counts codepoints while DuckDB's counts BYTES —
+    after projection the two coincide, and length() does too. The
+    projection also caps per-cell cost for multi-byte scripts.
+
+    Scale shape: the O(len²) DP runs only on candidate pairs (LSH-bounded
+    fan-out), and only on the first ``prefix_len`` chars of each side — a
+    documented per-pair cost bound of prefix_len², independent of document
+    length. The filter compares the ROUNDED rel_dist (round-before-compare
+    convention, operators/sketches.temperature_sample) so a boundary pair
+    cannot flip between engines. ``max(len)`` is floored at 1: identical
+    empty projections give lev = 0, rel_dist = 0.0.
+    """
+    cands = lsh_candidate_pairs(df, content_col, id_col, n)
+    asc = F.substring(
+        F.regexp_replace(F.col(content_col), r"[^\x00-\x7F]", "?"), 1, prefix_len
+    )
+    t = df.select(F.col(id_col).alias("_id"), asc.alias("_t"))
+    a = t.select(F.col("_id").alias("i"), F.col("_t").alias("_ta"))
+    b = t.select(F.col("_id").alias("j"), F.col("_t").alias("_tb"))
+    staged = (
+        cands.join(a, "i")
+        .join(b, "j")
+        .select(
+            "i",
+            "j",
+            F.levenshtein("_ta", "_tb").cast("bigint").alias("lev"),
+            F.greatest(
+                F.greatest(F.length("_ta"), F.length("_tb")), F.lit(1)
+            ).alias("_lm"),
+        )
+    )
+    return (
+        staged.select(
+            "i",
+            "j",
+            "lev",
+            F.round(F.col("lev").cast("double") / F.col("_lm"), 6).alias("rel_dist"),
+        )
+        .filter(F.col("rel_dist") <= max_rel_dist)
+    )
+
+
+def edit_distance_pairs_sql(
+    small_sql: str,
+    cands_sql: str,
+    content: str = "text",
+    *,
+    max_rel_dist: float = 0.4,
+    prefix_len: int = 400,
+) -> str:
+    """DuckDB twin of :func:`edit_distance_pairs` given CTE bodies for the
+    corpus subset (doc_id, text) and the candidate pairs (i, j). Kept next
+    to the operator so the ASCII-projection + floor-at-1 + round-before-
+    compare conventions cannot drift."""
+    return f"""
+    with _lev_small as materialized ({small_sql}),
+    _lev_t as materialized (
+      select doc_id,
+             substr(regexp_replace({content}, '[^\\x00-\\x7F]', '?', 'g'),
+                    1, {prefix_len}) as _t
+      from _lev_small
+    ),
+    _lev_cands as materialized ({cands_sql}),
+    _lev_staged as (
+      select c.i, c.j,
+             cast(levenshtein(x._t, y._t) as bigint) as lev,
+             greatest(greatest(length(x._t), length(y._t)), 1) as _lm
+      from _lev_cands c
+      join _lev_t x on c.i = x.doc_id
+      join _lev_t y on c.j = y.doc_id
+    )
+    select i, j, lev, rel_dist from (
+      select i, j, lev, round(cast(lev as double) / _lm, 6) as rel_dist
+      from _lev_staged
+    ) where rel_dist <= {max_rel_dist!r}
+    """
+
+
 # ---------------------------------------------------------------------------
 # SimHash (pandas UDF signature; near-pairs via chunk pigeonhole)
 # ---------------------------------------------------------------------------

@@ -1211,6 +1211,38 @@ def q_minhash_verified(spark, sf_dir):
 
 
 @_register(
+    "dedup_levenshtein_verified",
+    DD.edit_distance_pairs_sql(
+        f"""with corpus as ({_DUP_CORPUS_SQL})
+            select doc_id, text from corpus where doc_id % 10 = 0""",
+        f"""with bands as (
+              {" union all ".join(
+                  f"select {b} as band_no, {_band_sql(b)} as band_hash, doc_id "
+                  "from _lev_small"
+                  for b in range(DD.NUM_BANDS))}
+            )
+            select distinct a.doc_id as i, b.doc_id as j
+            from bands a
+            join bands b on a.band_no = b.band_no and a.band_hash = b.band_hash
+            where a.doc_id < b.doc_id""",
+        max_rel_dist=0.4,
+        prefix_len=400,
+    ),
+)
+def q_levenshtein_verified(spark, sf_dir):
+    """LSH candidates verified by character-level edit distance
+    (operators/dedup.edit_distance_pairs) — the complement of the Jaccard
+    verifier: '+extratoken'-style padded copies score a tiny rel_dist even
+    where shingle overlap dilutes. ASCII-projected so Spark's codepoint
+    levenshtein and DuckDB's byte levenshtein coincide; DP cost bounded to
+    prefix_len² per candidate pair."""
+    corpus = _dup_corpus(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    return DD.edit_distance_pairs(
+        corpus, content_col="text", max_rel_dist=0.4, prefix_len=400
+    )
+
+
+@_register(
     "dedup_keep_longest",
     # survivor policy twin (operators/dedup.near_dedup_minhash keep=):
     # the LOWER-length member of each verified pair loses (length ties →

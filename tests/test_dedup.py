@@ -674,3 +674,60 @@ def test_repo_set_similarity_jaccard_and_stop_gram_cap(spark):
         for r in D.repo_set_similarity(df, n=3, max_df=3, checkpoint=True).collect()
     }
     assert ck == {(k): v.n_shared for k, v in rows.items()}
+
+
+def test_edit_distance_pairs_ascii_projection_and_bound(spark):
+    """edit_distance_pairs: rel_dist semantics, ASCII projection (CJK text
+    projects to '?' so Spark codepoint-lev == DuckDB byte-lev), prefix
+    truncation bound, and the max_rel_dist filter."""
+    import duckdb
+
+    from datacurate4llms_spark.operators import dedup as D
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    docs = [
+        (1, base),
+        (2, base + " extratoken"),          # padded near-copy
+        (3, base.replace("delta", "DELTA")),  # small in-place edits
+        (4, "中文" + base),                  # CJK prefix — projection path
+        (5, "completely different words entirely unrelated content here"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        (r.i, r.j): (r.lev, r.rel_dist)
+        for r in D.edit_distance_pairs(
+            df, content_col="text", max_rel_dist=0.4, prefix_len=400
+        ).collect()
+    }
+    assert (1, 2) in out and out[(1, 2)][0] <= len(" extratoken")
+    assert (1, 3) in out and out[(1, 3)][0] > 0
+    assert (1, 4) in out  # CJK chars project to '??' -> small distance
+    assert all(5 not in pair for pair in out)
+    assert all(rd <= 0.4 for _, rd in out.values())
+
+    # the DuckDB twin on the same rows is bit-identical
+    con = duckdb.connect()
+    con.execute(
+        "create table t as select * from (values "
+        + ",".join(f"({i}, '{t}')" for i, t in docs)
+        + ") x(doc_id, text)"
+    )
+    from datacurate4llms_spark.queries_registry import _band_sql
+
+    bands = " union all ".join(
+        f"select {b} as band_no, {_band_sql(b)} as band_hash, doc_id "
+        "from _lev_small"
+        for b in range(D.NUM_BANDS)
+    )
+    sql = D.edit_distance_pairs_sql(
+        "select doc_id, text from t",
+        f"""with bands as ({bands})
+            select distinct a.doc_id as i, b.doc_id as j
+            from bands a
+            join bands b on a.band_no = b.band_no and a.band_hash = b.band_hash
+            where a.doc_id < b.doc_id""",
+        max_rel_dist=0.4,
+        prefix_len=400,
+    )
+    duck = {(r[0], r[1]): (r[2], r[3]) for r in con.execute(sql).fetchall()}
+    assert duck == out
