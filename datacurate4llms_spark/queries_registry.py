@@ -3652,6 +3652,75 @@ def _bm25_sql(terms=_BM25_TERMS, k1="1.2", b="0.75") -> str:
     """
 
 
+@_register(
+    "ts_tfidf_top_terms",
+    """
+    with t2 as (
+      select doc_id, tok from (
+        select doc_id, unnest(string_split(text, ' ')) as tok from documents
+      ) where tok <> ''
+    ),
+    tf as materialized (
+      select doc_id, tok, cast(count(*) as bigint) as tf
+      from t2 group by doc_id, tok
+    ),
+    dfreq as (select tok, cast(count(*) as bigint) as df from tf group by tok),
+    nn as (select cast(count(*) as bigint) as n from documents),
+    scored as (
+      select tf.doc_id, tf.tok,
+             cast(tf.tf as double)
+               * (ln(cast(nn.n + 1 as double) / cast(dfreq.df + 1 as double))
+                  + 1.0) as _score
+      from tf join dfreq using (tok) cross join nn
+    ),
+    ranked as (
+      select doc_id, tok, _score,
+             row_number() over (
+               partition by doc_id
+               order by round(cast(_score as double), 6) desc, tok asc
+             ) as rank
+      from scored
+    )
+    select doc_id, cast(rank as bigint) as rank, tok,
+           round(cast(_score as double), 6) as tfidf
+    from ranked where rank <= 3
+    """,
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF keyword extraction: top-3 terms per document with smoothed
+    idf = ln((N+1)/(df+1)) + 1 (the sklearn TfidfTransformer smooth_idf
+    form). Float discipline (ts_bm25_search precedent): the score is
+    integer tf × one ln of one division of integers — a fixed expression,
+    never an order-dependent float aggregate — so the unrounded score is
+    bit-exact cross-engine; ranking orders by the ROUNDED score with a
+    term tie-break. Scale shape: tf = one (doc, term) groupBy with
+    map-side combine; df = one agg over the tf table (not the corpus);
+    N broadcast; top-k is a bounded per-doc window."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").cast("bigint").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    ndocs = d.agg(F.count("*").cast("bigint").alias("n"))
+    idf = F.log(
+        (F.col("n") + 1).cast("double") / (F.col("df") + 1).cast("double")
+    ) + F.lit(1.0)
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(ndocs))
+        .select("doc_id", "tok", (F.col("tf").cast("double") * idf).alias("_score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round(F.col("_score"), 6).desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "tok", _r6(F.col("_score")).alias("tfidf"))
+    )
+
+
 @_register("ts_bm25_search", _bm25_sql())
 def q_bm25_search(spark, sf_dir):
     """BM25 keyword search (Robertson & Spärck Jones; the Lucene

@@ -377,3 +377,39 @@ def test_repo_forks_cap_is_broadcast_anti_and_hash_keyed(spark):
     # size tables join back broadcast; only the gram aggs + pair agg exchange
     assert plan.count("SortMergeJoin") <= 1, "pair equi-join only; sizes broadcast"
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hll_sketch_partial_max_before_exchange(spark):
+    from datacurate4llms_spark import queries_registry as QR
+
+    df = QR.QUERIES["sketch_hll_distinct"](spark, SF_CORRECT)
+    plan = _plan(df)
+    # register max must partial-aggregate map-side so the exchange carries
+    # register rows, not the token stream (PLANS.md)
+    assert "partial_max" in plan, "HLL register max must combine map-side"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_broadcasts_doc_count_no_cartesian(spark):
+    from datacurate4llms_spark import queries_registry as QR
+
+    df = QR.QUERIES["ts_tfidf_top_terms"](spark, SF_CORRECT)
+    plan = _plan(df)
+    # N is a 1-row broadcast; df joins tf (not the corpus); top-k bounded window
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_levenshtein_runs_on_candidates_only(spark):
+    from datacurate4llms_spark import queries_registry as QR
+
+    df = QR.QUERIES["dedup_levenshtein_verified"](spark, SF_CORRECT)
+    opt = _optimized(df)
+    # the DP must sit ABOVE the candidate equi-joins (filter fan-in), never
+    # inside a projection of the corpus scan
+    assert "levenshtein" in opt and "Join" in opt
+    scan_section = opt[opt.rindex("Relation") :] if "Relation" in opt else ""
+    assert "levenshtein" not in scan_section, "DP must not run per corpus row"
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
