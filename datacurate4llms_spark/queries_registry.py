@@ -1972,6 +1972,57 @@ def q_stream_dedup_state(spark, sf_dir):
 
 
 @_register(
+    "stream_qf_keep_drop",
+    # batch twin = the qf_keep_drop oracle verbatim: the north-rule filter
+    # is stateless column algebra, so streaming it in micro-batches must
+    # yield row-for-row the batch decision table
+    _QF_METRICS_CTE
+    + f"""
+    select doc_id, repo, path,
+           ({drop_reason_sql()}) is null as keep,
+           coalesce({drop_reason_sql()}, '') as drop_reason
+    from m
+    """,
+)
+def q_stream_qf_keep_drop(spark, sf_dir):
+    """The north-rule quality filter run through Structured Streaming: the
+    documents table replayed as two deterministic micro-batches (even ids,
+    then odd), source-file derivation + metrics + keep decision applied to
+    the STREAMING frame (all stateless column expressions — the pipeline
+    needs no state store), drained with availableNow. Proves the graded
+    keep/drop pipeline is deployable as an incremental (Kafka/file-feed)
+    curation job with zero semantic drift: the oracle is qf_keep_drop's
+    batch SQL verbatim."""
+    import tempfile
+
+    from .functions.quality import with_keep_decision, with_quality_metrics
+    from .pipelines.source_files import source_files_from
+    from .streaming.events import drain_available_now, write_time_ordered_batches
+
+    base = tempfile.mkdtemp(prefix="stream_qf_")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    glob_path = write_time_ordered_batches(
+        [d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1)],
+        base,
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, lang string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(glob_path)
+    )
+    out = drain_available_now(
+        with_keep_decision(
+            with_quality_metrics(source_files_from(stream), "content")
+        ).select(
+            "doc_id", "repo", "path", "keep",
+            F.coalesce(F.col("drop_reason"), F.lit("")).alias("drop_reason"),
+        ),
+        f"{base}/ck",
+    )
+    return out
+
+
+@_register(
     "stream_near_dedup_flags",
     # batch twin of the stateful LSH rule: with arrival order aligned to id
     # order, "bucket already holds a smaller id (state or same batch)"
@@ -2494,6 +2545,103 @@ def q_tpch18(spark, sf_dir):
         "o_orderdate",
         _r6(F.col("o_totalprice")).alias("o_totalprice"),
         "sum_qty",
+    )
+
+
+@_register(
+    "tpch_q10_returned_items",
+    """
+    with scored as (
+      select c.c_custkey, c.c_name,
+             round(cast(sum(l.l_extendedprice * (1 - l.l_discount)) as double), 6)
+               as revenue,
+             round(cast(c.c_acctbal as double), 6) as c_acctbal,
+             n.n_name
+      from customer c
+      join orders o on o.o_custkey = c.c_custkey
+      join lineitem l on l.l_orderkey = o.o_orderkey
+      join nation n on n.n_nationkey = c.c_nationkey
+      where o.o_orderdate >= date '1994-01-01'
+        and o.o_orderdate <  date '1994-04-01'
+        and l.l_returnflag = 'R'
+      group by c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ),
+    ranked as (
+      select *, row_number() over (order by revenue desc, c_custkey asc) as rnk
+      from scored
+    )
+    select c_custkey, c_name, revenue, c_acctbal, n_name
+    from ranked where rnk <= 20
+    """,
+)
+def q_tpch10(spark, sf_dir):
+    """TPC-H q10 shape (returned-item reporting): top-20 customers by lost
+    revenue in a quarter. Date + returnflag predicates push to the scans;
+    nation (25 rows) broadcasts; customer⋈orders⋈lineitem are keyed
+    equi-joins (SMJ-able at scale); the ranking is a global top-k on the
+    ROUNDED revenue with a custkey tie-break (cross-engine float-ranking
+    discipline), planned as TakeOrderedAndProject — no full sort."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1994-04-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    scored = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            _r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+    )
+    return (
+        scored.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            "c_custkey", "c_name", "revenue",
+            _r6(F.col("c_acctbal")).alias("c_acctbal"), "n_name",
+        )
+    )
+
+
+@_register(
+    "tpch_q14_promo_revenue",
+    """
+    select round(cast(
+             100.00 * sum(case when p.p_type like 'PROMO%'
+                          then l.l_extendedprice * (1 - l.l_discount)
+                          else 0.0 end)
+             / sum(l.l_extendedprice * (1 - l.l_discount))
+           as double), 6) as promo_revenue
+    from lineitem l join part p on l.l_partkey = p.p_partkey
+    where l.l_shipdate >= date '1995-09-01'
+      and l.l_shipdate <  date '1995-10-01'
+    """,
+)
+def q_tpch14(spark, sf_dir):
+    """TPC-H q14 shape (promotion effect): promo share of one month's
+    revenue. The output is a RATIO of two sums over the same rows — the
+    relative float error cancels, so round-6 is stable even though each
+    sum alone is order-dependent (same argument as qf rate columns). Ship-
+    date range pushes to the lineitem scan; part joins on partkey (SMJ at
+    scale; the month of lineitem is the small side post-filter)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("date"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            _r6(F.lit(100.00) * F.sum(promo) / F.sum(rev)).alias("promo_revenue")
+        )
     )
 
 

@@ -413,3 +413,24 @@ def test_levenshtein_runs_on_candidates_only(spark):
     assert "levenshtein" not in scan_section, "DP must not run per corpus row"
     plan = _plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q10_topk_broadcast_nation_pushdown(spark):
+    from datacurate4llms_spark import queries_registry as QR
+
+    df = QR.QUERIES["tpch_q10_returned_items"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, "top-20 must not be a full sort"
+    assert "BroadcastHashJoin" in plan, "nation (25 rows) must broadcast"
+    assert "PushedFilters" in plan and "1994-01-01" in plan, "date range on the scan"
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q14_pushdown_single_aggregate(spark):
+    from datacurate4llms_spark import queries_registry as QR
+
+    df = QR.QUERIES["tpch_q14_promo_revenue"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "1995-09-01" in plan, "shipdate range must push to the lineitem scan"
+    assert plan.count("HashAggregate") <= 2, "one partial + one final agg"
+    assert "CartesianProduct" not in plan
