@@ -3947,6 +3947,77 @@ from .functions import compress as CP  # noqa: E402
 
 
 @_register(
+    "mix_ccnet_buckets",
+    f"""
+    with source_files as ({source_files_sql()}),
+    tab as materialized ({CP.lp_table_cte_sql()}),
+    cl as materialized (
+      select doc_id, lang, regexp_replace(lower(content), '[^a-z ]', '', 'g') as _cl
+      from source_files
+    ),
+    coded as materialized (
+      select doc_id, lang, {CP.cleaned_codes_sql('_cl')} as _codes from cl
+    ),
+    lp as materialized (
+      select doc_id, lang, {CP.bigram_logprobs_sql('_codes')} as _lp
+      from coded cross join tab
+      where len(_codes) >= 2
+    ),
+    ppl as materialized (
+      select doc_id, lang,
+             round(cast(pow(2.0, -(list_reduce(_lp, (a, b) -> a + b) / len(_lp)))
+                   as double), 6) as char_ppl
+      from lp
+    ),
+    cuts as (
+      {SK.quantile_sketch_sql(
+          "select doc_id, lang, char_ppl from ppl",
+          "char_ppl", ["doc_id"], ["lang"], [0.33, 0.67])}
+    )
+    select p.doc_id, p.lang, p.char_ppl,
+           case when p.char_ppl <= c.q33 then 'head'
+                when p.char_ppl <= c.q67 then 'middle'
+                else 'tail' end as bucket
+    from ppl p join cuts c using (lang)
+    """,
+)
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per-language
+    head/middle/tail terciles of the char-bigram LM perplexity, the split
+    CCNet uses to stage corpus quality. Scale-honest shape: the tercile
+    CUTOFFS come from the deterministic quantile sketch (bounded
+    hash-ranked sample per language — CCNet itself thresholds on a sample),
+    broadcast back onto the scored scan; assignment is a CASE — the corpus
+    never sorts and never shuffles. Cutoffs and scores are rounded to 6
+    before the compare (round-before-compare convention) so a boundary doc
+    cannot flip buckets between engines."""
+    src = source_files(spark, sf_dir)
+    st = src.withColumn("_codes", CP.cleaned_codes("content"))
+    st = st.withColumn("_lp", CP.bigram_logprobs(F.col("_codes")))
+    st = st.withColumn("_s", CP.logprob_sum(F.col("_lp")))
+    ppl = st.filter(F.size("_codes") >= 2).select(
+        "doc_id",
+        "lang",
+        _r6(CP.char_perplexity_from(F.col("_s"), F.size("_lp"))).alias("char_ppl"),
+    )
+    cuts = SK.quantile_sketch(
+        ppl, "char_ppl", ["doc_id"], ["lang"], [0.33, 0.67]
+    ).select(
+        "lang",
+        F.round(F.col("q33"), 6).alias("_c1"),
+        F.round(F.col("q67"), 6).alias("_c2"),
+    )
+    bucket = (
+        F.when(F.col("char_ppl") <= F.col("_c1"), F.lit("head"))
+        .when(F.col("char_ppl") <= F.col("_c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return ppl.join(F.broadcast(cuts), "lang").select(
+        "doc_id", "lang", "char_ppl", bucket.alias("bucket")
+    )
+
+
+@_register(
     "qf_perplexity_lm",
     f"""
     with source_files as ({source_files_sql()}),
