@@ -171,3 +171,116 @@ def chunk_windows_sql(
              as chunk_text
     from ex
     """
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    width: int = 3,
+    mask: int = 16,
+    seed: str = "cdc",
+) -> DataFrame:
+    """(id, chunk_id, n_tokens, chunk_hash): CONTENT-DEFINED chunking — the
+    rolling-hash boundary rule of rsync/LBFS/FastCDC lifted to token level.
+    A boundary closes after token i when hash32 of the trailing ``width``-
+    token gram ≡ 0 (mod ``mask``), giving chunks of ~``mask`` tokens whose
+    cut points depend only on local CONTENT: insert a paragraph into a doc
+    and every downstream chunk still hashes identically, so chunk_hash is a
+    shift-robust dedup unit — fixed windows (:func:`chunk_windows`)
+    re-align and miss every post-edit duplicate.
+
+    Determinism: boundaries are pure functions of hash32 → bit-identical
+    cross-engine/partitioning. Scale shape: pure mapper + one Generate,
+    zero shuffle at any corpus size; per-doc cost O(n·width) short-string
+    hashes. The token array and boundary list are staged as real columns
+    (sibling-of-explode + CollapseProject traps); gram positions guard the
+    short-doc case because Spark's sequence(a, b) DESCENDS when a > b.
+    """
+    if width < 1 or mask < 1:
+        raise ValueError(f"need width >= 1 and mask >= 1, got {width=} {mask=}")
+    n = F.size("_toks")
+
+    def _is_boundary(i):  # closure factory (lambda default-arg trap)
+        gram = F.array_join(F.slice(F.col("_toks"), i - (width - 2), width), " ")
+        return F.pmod(hash32(gram, seed=seed), F.lit(mask)) == 0
+
+    bpos = F.when(
+        n >= width + 1,
+        F.filter(F.sequence(F.lit(width - 1), n - 2), _is_boundary),
+    ).otherwise(F.array().cast("array<int>"))
+    staged = (
+        df.withColumn("_toks", F.split(F.trim(F.col(text_col)), WS_SPLIT_RE))
+        .withColumn("_bpos", bpos)
+        .withColumn(
+            "_cuts",
+            F.arrays_zip(
+                F.concat(
+                    F.array(F.lit(0)), F.transform("_bpos", lambda b: b + 1)
+                ).alias("s"),
+                F.concat(F.col("_bpos"), F.array(F.size("_toks") - 1)).alias("e"),
+            ),
+        )
+    )
+    ex = staged.select(
+        F.col(id_col), "_toks", F.posexplode("_cuts").alias("chunk_id", "_c")
+    )
+    sl = F.slice(
+        F.col("_toks"), F.col("_c.s") + 1, F.col("_c.e") - F.col("_c.s") + 1
+    )
+    return (
+        ex.filter(F.col("_c.e") >= F.col("_c.s"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.size(sl).cast("bigint").alias("n_tokens"),
+            hash32(F.array_join(sl, " "), seed=f"{seed}h").alias("chunk_hash"),
+        )
+    )
+
+
+def cdc_chunks_sql(
+    from_sql: str,
+    *,
+    width: int = 3,
+    mask: int = 16,
+    seed: str = "cdc",
+    id_expr: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`cdc_chunks`; input exposes (doc_id, text).
+    Arrays materialized as CTE columns (lambda re-expansion trap); DuckDB
+    range(a, b) is empty when a >= b, matching the Spark short-doc guard."""
+    gram = f"array_to_string(_toks[(i - {width - 2}):(i + 1)], ' ')"
+    return f"""
+    with _cdc_tk as materialized (
+      select {id_expr} as doc_id,
+             regexp_split_to_array(trim(text), '{WS_SPLIT_RE}') as _toks
+      from ({from_sql})
+    ),
+    _cdc_b as materialized (
+      select doc_id, _toks,
+             list_filter(range({width - 1}, len(_toks) - 1),
+                         i -> {hash32_sql(gram, seed=seed)} % {mask} = 0) as _bpos
+      from _cdc_tk
+    ),
+    _cdc_cuts as materialized (
+      select doc_id, _toks,
+             list_prepend(0, list_transform(_bpos, b -> b + 1)) as _ss,
+             list_append(_bpos, len(_toks) - 1) as _ee
+      from _cdc_b
+    ),
+    _cdc_ex as (
+      select doc_id, _toks,
+             unnest(range(0, len(_ss))) as chunk_id,
+             unnest(_ss) as _s, unnest(_ee) as _e
+      from _cdc_cuts
+    )
+    select doc_id,
+           cast(chunk_id as bigint) as chunk_id,
+           cast(len(_toks[(_s + 1):(_e + 1)]) as bigint) as n_tokens,
+           {hash32_sql("array_to_string(_toks[(_s + 1):(_e + 1)], ' ')",
+                       seed=f"{seed}h")} as chunk_hash
+    from _cdc_ex
+    where _e >= _s
+    """

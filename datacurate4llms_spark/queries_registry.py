@@ -4788,6 +4788,25 @@ def q_pack_chunk_windows(spark, sf_dir):
     )
 
 
+from .operators.packing import cdc_chunks, cdc_chunks_sql  # noqa: E402
+
+
+@_register(
+    "pack_cdc_chunks",
+    cdc_chunks_sql("select doc_id, text from documents", width=3, mask=16),
+)
+def q_pack_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (operators/packing.cdc_chunks): rolling-
+    hash boundary rule (rsync/LBFS/FastCDC at token level) — cut points
+    depend only on local content, so chunk hashes survive insertions that
+    re-align every fixed window (pack_chunk_windows' failure mode). The
+    shift-robust dedup unit for long-document near-dedup at corpus scale:
+    pure mapper + one Generate, zero shuffle; boundaries are pure hash32
+    functions, bit-identical across engines and partitionings."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return cdc_chunks(d, "text", width=3, mask=16)
+
+
 from .operators import graph as G  # noqa: E402
 
 _FORK_EDGES_SQL = f"""

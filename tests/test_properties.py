@@ -535,3 +535,47 @@ def test_mixture_sample_rates_and_determinism(spark):
     assert kept == again  # hash-threshold draw is deterministic
     b_kept = sum(1 for r in s if r.sampled and r.corpus == "b")
     assert 10 <= b_kept <= 40  # Bernoulli(0.25) over 100 docs, wide bound
+
+
+def test_cdc_chunks_shift_robust_tiling_and_twin(spark):
+    """cdc_chunks: chunks tile the doc exactly, boundaries are content-
+    defined (a prefix insertion preserves all downstream chunk hashes,
+    which fixed windows cannot), short/empty docs degrade to <= 1 chunk,
+    and the DuckDB twin is bit-identical."""
+    import duckdb
+
+    from datacurate4llms_spark.operators.packing import cdc_chunks, cdc_chunks_sql
+
+    body = " ".join(f"w{i * 7 % 101}x{i % 13}" for i in range(120))
+    docs = [(1, body), (2, "INSERTED PARAGRAPH HERE " + body), (3, "short doc"), (4, "")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = sorted(
+        (r.doc_id, r.chunk_id, r.n_tokens, r.chunk_hash)
+        for r in cdc_chunks(df, "text").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "create table t as select * from (values "
+        + ",".join(f"({i}, '{t}')" for i, t in docs)
+        + ") x(doc_id, text)"
+    )
+    duck = sorted(
+        tuple(r)
+        for r in con.execute(cdc_chunks_sql("select doc_id, text from t")).fetchall()
+    )
+    assert out == duck
+
+    h1 = [h for (i, c, n, h) in out if i == 1]
+    h2 = [h for (i, c, n, h) in out if i == 2]
+    assert len(h1) > 3, "varied 120-token doc must produce several chunks"
+    # every chunk except the first (which absorbs the inserted prefix)
+    # survives the shift
+    assert len(set(h1) & set(h2)) >= len(h1) - 1
+    assert sum(n for (i, c, n, h) in out if i == 1) == 120  # exact tiling
+    assert len([1 for (i, c, n, h) in out if i == 3]) == 1  # short doc
+    # partition invariance
+    out2 = sorted(
+        (r.doc_id, r.chunk_id, r.n_tokens, r.chunk_hash)
+        for r in cdc_chunks(df.repartition(7), "text").collect()
+    )
+    assert out2 == out
