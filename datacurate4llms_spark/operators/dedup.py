@@ -970,6 +970,121 @@ def semantic_dedup_sql(
     """
 
 
+def prototype_prune_flags(
+    df: DataFrame,
+    k: int = 8,
+    *,
+    keep_frac: float = 0.5,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    seed: str = "ivfinit",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SSL-prototypes density pruning (Sorscher et al. 2022, "Beyond neural
+    scaling laws"): within each k-means cell keep the ``keep_frac`` HARDEST
+    examples — those LEAST similar to their cluster centroid — and flag the
+    prototypical rest for pruning (the paper's best metric when data is
+    abundant; the selection-side complement of SemDeDup, which drops
+    redundant pairs rather than easy points).
+
+    Returns ``(id, cell_id int, centroid_sim round-6, cell_rank bigint,
+    keep int)``; ``cell_rank`` orders centroid_sim ASCENDING (hardest
+    first, ties → lowest id), keep = rank ≤ ceil(keep_frac·cell size).
+
+    Scale shape: centroids are the k-row trained artifact re-entering the
+    plan as LITERALS (assignment is a zero-shuffle projection,
+    ann._assign_cells_literal); the only exchange is the per-cell rank
+    window + count, keyed on cell_id — rows are (id, int, double), never
+    embeddings. Per-cell cost is a sort of the cell — bounded by sizing k
+    so cells stay ~n/k (the SemDeDup cell-size argument). Ranking uses the
+    ROUNDED centroid_sim with an id tie-break, so ranks are bit-exact
+    cross-engine."""
+    from .ann import _assign_cells_literal, ivf_train_centroids
+
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"need 0 < keep_frac <= 1, got {keep_frac}")
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            df, k, rounds=rounds, id_col=id_col, emb_col=emb_col, seed=seed
+        )
+    crows = centroids.orderBy("cell_id").collect()
+    cells = _assign_cells_literal(
+        df,
+        [list(r["cemb"]) for r in crows],
+        id_col,
+        emb_col,
+        ids=[int(r["cell_id"]) for r in crows],
+        with_sim=True,
+    ).select(
+        id_col,
+        "cell_id",
+        F.round(F.col("_csim").cast("double"), 6).alias("centroid_sim"),
+    )
+    w = Window.partitionBy("cell_id").orderBy(
+        F.col("centroid_sim").asc(), F.col(id_col).asc()
+    )
+    wn = Window.partitionBy("cell_id")
+    ranked = cells.withColumn(
+        "cell_rank", F.row_number().over(w).cast("bigint")
+    ).withColumn("_n", F.count("*").over(wn))
+    keep = (
+        F.col("cell_rank")
+        <= F.ceil(F.lit(float(keep_frac)) * F.col("_n").cast("double"))
+    ).cast("int")
+    return ranked.select(
+        id_col,
+        F.col("cell_id").cast("int").alias("cell_id"),
+        "centroid_sim",
+        "cell_rank",
+        keep.alias("keep"),
+    )
+
+
+def prototype_prune_sql(
+    k: int,
+    dim: int,
+    *,
+    keep_frac: float = 0.5,
+    rounds: int = 2,
+    seed: str = "ivfinit",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`prototype_prune_flags`: shares
+    ann.kmeans_cells_sql's fixed CTE chain (identical round-6 centroid
+    literals), then the same rounded-sim ascending rank and ceil rule."""
+    from ..functions.vectors import cosine_sql
+    from .ann import kmeans_cells_sql
+
+    cs = cosine_sql("e.embedding", "c.cemb")
+    return f"""
+    with {kmeans_cells_sql(k, dim, rounds=rounds, seed=seed, table=table)},
+    centroids as (select cell_id, cemb from cent{rounds}),
+    assign as (
+      select e.vec_id, c.cell_id,
+             round(cast({cs} as double), 6) as centroid_sim,
+             row_number() over (partition by e.vec_id
+                                order by {cs} desc, c.cell_id asc) as rnk
+      from {table} e cross join centroids c
+      where e.embedding is not null
+    ),
+    cells as (select vec_id, cell_id, centroid_sim from assign where rnk = 1),
+    ranked as (
+      select vec_id, cell_id, centroid_sim,
+             row_number() over (partition by cell_id
+                                order by centroid_sim asc, vec_id asc)
+               as cell_rank,
+             count(*) over (partition by cell_id) as _n
+      from cells
+    )
+    select vec_id, cast(cell_id as int) as cell_id, centroid_sim,
+           cast(cell_rank as bigint) as cell_rank,
+           cast(case when cell_rank <= ceil({float(keep_frac)!r} * cast(_n as double))
+                then 1 else 0 end as int) as keep
+    from ranked
+    """
+
+
 # ---------------------------------------------------------------------------
 # Duplicate-group closure: connected components over near-dup pairs
 # ---------------------------------------------------------------------------

@@ -532,3 +532,150 @@ def hll_distinct_sql(
                  else {e_raw} end, 6) as n_estimate
     from _hll_agg
     """
+
+
+def _kmv_merged_sketch(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    k: int,
+    group_by: list[str],
+    seed: str,
+) -> DataFrame:
+    """(group cols…, _m): the merged bottom-k distinct-hash array per group —
+    :func:`kmv_distinct`'s two-level mergeable plan, exposed as the sketch
+    TABLE so set-operation estimators can join sketches instead of corpora."""
+    h = hash32(*cols, seed=seed).alias("_h")
+    hashes = df.select(*group_by, h)
+    partial = (
+        hashes.withColumn("_pid", F.spark_partition_id())
+        .groupBy(*group_by, "_pid")
+        .agg(F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("_bk"))
+    )
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("_bk")))), 1, k
+    )
+    return partial.groupBy(*group_by).agg(merged.alias("_m"))
+
+
+def kmv_overlap(
+    df: DataFrame,
+    cols: list[str],
+    group_col: str,
+    *,
+    k: int = 64,
+    seed: str = "kmv",
+) -> DataFrame:
+    """Pairwise distinct-set overlap between groups from KMV sketches
+    (Beyer et al. 2007, threshold form): for every group pair a < b,
+    ``(group_a, group_b, n_union_est, n_intersect_est, jaccard_est)`` —
+    the corpus-comparison / contamination-screening primitive that never
+    joins the corpora themselves.
+
+    Estimator: θ = min over truncated sketches of their k-th smallest hash
+    (∞ when a group has < k distinct values — its sketch IS its distinct
+    set). Every hash ≤ θ is in a group iff it is in that group's sketch, so
+    over the valid region V = {h ∈ union sketch : h ≤ θ}:
+    n_union ≈ |V|·M/θ, n_intersect ≈ ρ·M/θ with ρ = |V ∩ S_a ∩ S_b|, and
+    jaccard = ρ/|V|. When both sketches are complete the estimates are
+    EXACT counts. All inputs are integers; each estimate is one fixed
+    float expression → bit-identical cross-engine.
+
+    Scale shape: sketches via the two-level mergeable bottom-k (corpus
+    never shuffles); the pair join touches |groups|² bounded arrays —
+    sketch-sized work, independent of corpus size."""
+    sk = _kmv_merged_sketch(df, cols, k=k, group_by=[group_col], seed=seed)
+    a = sk.select(F.col(group_col).alias("group_a"), F.col("_m").alias("_ma"))
+    b = sk.select(F.col(group_col).alias("group_b"), F.col("_m").alias("_mb"))
+    pairs = a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+
+    def theta_of(m):
+        return F.when(F.size(m) >= k, F.element_at(m, k))
+
+    theta = F.least(theta_of(F.col("_ma")), theta_of(F.col("_mb")))
+    u = F.array_sort(F.array_distinct(F.concat(F.col("_ma"), F.col("_mb"))))
+    staged = pairs.select(
+        "group_a",
+        "group_b",
+        "_ma",
+        "_mb",
+        theta.alias("_theta"),
+        u.alias("_u"),
+    ).select(
+        "group_a",
+        "group_b",
+        "_ma",
+        "_mb",
+        "_theta",
+        F.when(
+            F.col("_theta").isNull(), F.col("_u")
+        ).otherwise(F.filter(F.col("_u"), lambda h: h <= F.col("_theta"))).alias("_v"),
+    )
+    mv = F.greatest(F.size("_v"), F.lit(1)).cast("double")
+    rho = F.size(
+        F.array_intersect(F.array_intersect(F.col("_v"), F.col("_ma")), F.col("_mb"))
+    ).cast("double")
+    scale_f = F.when(
+        F.col("_theta").isNull(), F.lit(1.0)
+    ).otherwise(F.lit(float(HASH32_MOD)) / F.col("_theta").cast("double"))
+    return staged.select(
+        "group_a",
+        "group_b",
+        F.round(mv * scale_f, 6).alias("n_union_est"),
+        F.round(rho * scale_f, 6).alias("n_intersect_est"),
+        F.round(rho / mv, 6).alias("jaccard_est"),
+    )
+
+
+def kmv_overlap_sql(
+    from_sql: str,
+    col_exprs: list[str],
+    group_expr: str,
+    *,
+    k: int = 64,
+    seed: str = "kmv",
+) -> str:
+    """DuckDB twin of :func:`kmv_overlap`; ``from_sql`` exposes the group
+    expression's inputs and the value columns. Arrays built by the ranked
+    bottom-k (provably equal to the Spark merge-dedup plan), then the same
+    θ-threshold estimator with identical fixed float expressions."""
+    h = hash32_sql(*col_exprs, seed=seed)
+    return f"""
+    with _kv_hashes as (
+      select distinct {group_expr} as grp, {h} as _h from ({from_sql})
+    ),
+    _kv_ranked as (
+      select grp, _h,
+             row_number() over (partition by grp order by _h) as _r
+      from _kv_hashes
+    ),
+    _kv_sk as materialized (
+      select grp, list(_h order by _h) as _m
+      from _kv_ranked where _r <= {k} group by grp
+    ),
+    _kv_pairs as (
+      select a.grp as group_a, b.grp as group_b, a._m as _ma, b._m as _mb,
+             least(case when len(a._m) >= {k} then a._m[{k}] end,
+                   case when len(b._m) >= {k} then b._m[{k}] end) as _theta,
+             list_sort(list_distinct(list_concat(a._m, b._m))) as _u
+      from _kv_sk a join _kv_sk b on a.grp < b.grp
+    ),
+    _kv_staged as (
+      select group_a, group_b, _ma, _mb, _theta,
+             case when _theta is null then _u
+                  else list_filter(_u, h -> h <= _theta) end as _v
+      from _kv_pairs
+    )
+    select group_a, group_b,
+           round(cast(greatest(len(_v), 1) as double)
+                 * (case when _theta is null then 1.0
+                    else {float(HASH32_MOD)!r} / cast(_theta as double) end), 6)
+             as n_union_est,
+           round(cast(len(list_intersect(list_intersect(_v, _ma), _mb)) as double)
+                 * (case when _theta is null then 1.0
+                    else {float(HASH32_MOD)!r} / cast(_theta as double) end), 6)
+             as n_intersect_est,
+           round(cast(len(list_intersect(list_intersect(_v, _ma), _mb)) as double)
+                 / cast(greatest(len(_v), 1) as double), 6) as jaccard_est
+    from _kv_staged
+    """

@@ -3170,6 +3170,36 @@ def q_hll(spark, sf_dir):
 
 
 @_register(
+    "sketch_kmv_overlap",
+    SK.kmv_overlap_sql(
+        "select 'c' || cast(cast(substr(source, 4) as int) % 4 as varchar)"
+        " as corpus, tok from (select source, unnest(string_split(text, ' '))"
+        " as tok from documents) where tok <> ''",
+        ["tok"],
+        "corpus",
+        k=64,
+    ),
+)
+def q_kmv_overlap(spark, sf_dir):
+    """Pairwise distinct-token overlap between pseudo-corpora from KMV
+    sketches (operators/sketches.kmv_overlap, Beyer et al. 2007 threshold
+    estimator) — union/intersection/Jaccard cardinality estimates between
+    corpora WITHOUT joining the corpora: the corpus-comparison and
+    contamination-screening primitive at 100 TB. Sketch build is the
+    two-level mergeable bottom-k; the pair stage touches |corpora|² bounded
+    arrays only."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.concat(
+            F.lit("c"),
+            (F.substring("source", 4, 10).cast("int") % 4).cast("string"),
+        ).alias("corpus"),
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return SK.kmv_overlap(toks, ["tok"], "corpus", k=64)
+
+
+@_register(
     "sketch_quantiles",
     SK.quantile_sketch_sql(
         "select l_returnflag, l_orderkey, l_linenumber, l_extendedprice from lineitem",
@@ -3646,6 +3676,21 @@ def q_semantic_semdedup(spark, sf_dir):
     selection (flagship) and pair-level embedding near-dup."""
     e = _t(spark, sf_dir, "embeddings")
     return DD.semantic_dedup_flags(e, k=8, rounds=2, threshold=0.3)
+
+
+@_register(
+    "dedup_prototype_prune",
+    DD.prototype_prune_sql(k=8, dim=64, rounds=2, keep_frac=0.5),
+)
+def q_prototype_prune(spark, sf_dir):
+    """SSL-prototypes density pruning (Sorscher et al. 2022): keep the 50%
+    hardest examples per trained k-means cell (lowest centroid similarity),
+    prune the prototypical rest — the selection-side complement of
+    SemDeDup over the identical round-6 centroid literals. Assignment is a
+    plan-literal zero-shuffle projection; the only exchange is the
+    per-cell rank window over (id, int, double) rows."""
+    e = _t(spark, sf_dir, "embeddings")
+    return DD.prototype_prune_flags(e, k=8, rounds=2, keep_frac=0.5)
 
 
 @_register(

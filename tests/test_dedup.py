@@ -731,3 +731,29 @@ def test_edit_distance_pairs_ascii_projection_and_bound(spark):
     )
     duck = {(r[0], r[1]): (r[2], r[3]) for r in con.execute(sql).fetchall()}
     assert duck == out
+
+
+def test_prototype_prune_keeps_hardest_per_cell(spark):
+    """prototype_prune_flags: per-cell keep count is ceil(frac*n), kept rows
+    are exactly the lowest-centroid-sim prefix of each cell, and keep_frac=1
+    keeps everything."""
+    import math
+
+    from datacurate4llms_spark.operators import dedup as D
+
+    e = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    out = D.prototype_prune_flags(e, k=4, rounds=1, keep_frac=0.5).toPandas()
+    for cell, grp in out.groupby("cell_id"):
+        n = len(grp)
+        kept = grp[grp.keep == 1]
+        assert len(kept) == math.ceil(0.5 * n), f"cell {cell}"
+        # kept = the rank prefix = the lowest (sim, id) rows
+        g = grp.sort_values(["centroid_sim", "vec_id"]).reset_index(drop=True)
+        assert (g.keep.values[: len(kept)] == 1).all()
+        assert (g.keep.values[len(kept):] == 0).all()
+
+    all_kept = D.prototype_prune_flags(e, k=4, rounds=1, keep_frac=1.0).toPandas()
+    assert (all_kept.keep == 1).all()
+
+    with pytest.raises(ValueError):
+        D.prototype_prune_flags(e, k=4, keep_frac=0.0)
