@@ -23,7 +23,7 @@ on the gram hash.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import shingles, shingles_sql
@@ -197,4 +197,92 @@ def contaminated_docs_sql(train_sql: str, eval_sql: str, *, n: int = 5) -> str:
            round(cast(n_contaminated_grams as double) / cast(_ng as double), 6)
              as contamination_frac
     from hits
+    """
+
+
+def contaminated_docs_semantic(
+    train_emb: DataFrame,
+    eval_emb: DataFrame,
+    *,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    eval_id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination: flag training documents whose
+    embedding is ≥ ``threshold`` cosine-similar to ANY benchmark/eval
+    embedding — the paraphrase-robust complement of the n-gram overlap rule
+    (n-grams miss reworded eval questions; recent contamination audits —
+    e.g. Yang et al. 2023, "Rethinking Benchmark and Contamination" — use
+    exactly this embedding-similarity screen).
+
+    Returns one row per contaminated train doc: ``(id, n_eval_hits,
+    best_eval_id, max_cosine)`` with best = highest ROUNDED cosine, ties →
+    lowest eval id (round-before-rank keeps the winner cross-engine-exact).
+
+    Scale shape: the eval side is benchmark-sized by contract → broadcast
+    nested-loop join (same contract as the n-gram path's broadcast gram
+    set); cosine is a JVM higher-order expression (zero python); the
+    ``threshold`` filter sits BELOW the per-doc window, so only hit rows
+    (rare by design) ever shuffle — the 100 TB corpus side is one
+    pipelined map stage. If the eval set outgrows broadcast range, shard it
+    and union the outputs (hits are idempotent per shard)."""
+    from ..functions.vectors import cosine
+
+    ev = eval_emb.select(
+        F.col(eval_id_col).alias("_eval_id"), F.col(emb_col).alias("_eemb")
+    ).filter(F.col("_eemb").isNotNull())
+    sim = F.round(cosine(F.col(emb_col), F.col("_eemb")).cast("double"), 6)
+    hits = (
+        train_emb.filter(F.col(emb_col).isNotNull())
+        .crossJoin(F.broadcast(ev))
+        .select(F.col(id_col), F.col("_eval_id"), sim.alias("_sim"))
+        .filter(F.col("_sim") >= F.lit(float(threshold)))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_sim").desc(), F.col("_eval_id").asc()
+    )
+    return (
+        hits.withColumn("_rk", F.row_number().over(w))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_eval_hits"),
+            F.max(F.when(F.col("_rk") == 1, F.col("_eval_id")))
+            .cast("bigint")
+            .alias("best_eval_id"),
+            F.max("_sim").alias("max_cosine"),
+        )
+    )
+
+
+def contaminated_docs_semantic_sql(
+    train_sql: str,
+    eval_sql: str,
+    *,
+    threshold: float = 0.9,
+) -> str:
+    """DuckDB twin of :func:`contaminated_docs_semantic`; both inputs expose
+    (vec_id, embedding). Same round-before-threshold/rank discipline."""
+    from ..functions.vectors import cosine_sql
+
+    cs = cosine_sql("t.embedding", "e.embedding")
+    return f"""
+    with _sem_hits as (
+      select t.vec_id, e.vec_id as _eval_id,
+             round(cast({cs} as double), 6) as _sim
+      from ({train_sql}) t cross join ({eval_sql}) e
+      where t.embedding is not null and e.embedding is not null
+        and round(cast({cs} as double), 6) >= {float(threshold)!r}
+    ),
+    _sem_ranked as (
+      select vec_id, _eval_id, _sim,
+             row_number() over (partition by vec_id
+                                order by _sim desc, _eval_id asc) as _rk
+      from _sem_hits
+    )
+    select vec_id, cast(count(*) as bigint) as n_eval_hits,
+           cast(max(case when _rk = 1 then _eval_id end) as bigint)
+             as best_eval_id,
+           max(_sim) as max_cosine
+    from _sem_ranked group by vec_id
     """

@@ -86,6 +86,150 @@ def mixture_sample(
     return joined.withColumn("sampled", keep).drop("_thr")
 
 
+_JS_SCALE = 1.0e15  # fixed-point scale for order-independent contribution sums
+
+
+def js_divergence(
+    df: DataFrame,
+    token_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the unigram token
+    distributions of corpora — the domain-shift / mixture-design metric
+    (DoReMi and data-mixing work compare domains exactly this way; Lin 1991
+    for the divergence). For every group pair a < b with at least one
+    shared token: ``(group_a, group_b, n_shared_tokens, overlap_a,
+    overlap_b, js_divergence, jsd_norm)`` where overlap_x is the shared-
+    vocabulary probability mass in x, js_divergence is in [0, ln 2] (nats)
+    and jsd_norm = jsd/ln 2 in [0, 1]. Pairs with disjoint vocabularies
+    (trivially jsd = ln 2) are absent from the output — documented contract.
+
+    Decomposition: tokens in only one corpus contribute 0.5·ln2·p exactly,
+    so JSD = Σ_shared[0.5·pa·ln(2pa/(pa+pb)) + 0.5·pb·ln(2pb/(pa+pb))]
+    + 0.5·ln2·(2 − Σ_shared pa − Σ_shared pb) — only the SHARED-token join
+    is ever computed; single-corpus tokens never pair.
+
+    Cross-engine determinism: a float sum over a vocabulary is partition-
+    order-dependent (the BM25 lesson), so each per-token contribution —
+    itself one fixed double expression, bit-identical in both engines — is
+    floored to 1e-15 fixed point and summed as EXACT bigints (the PageRank
+    integer-fixed-point trick); the final divide + round(…,6) happens once.
+    Per-token quantization error ≤ 1e-15·|vocab| ≪ the round-6 contract.
+
+    Scale shape: the only corpus-scale exchange is the (group, token) count
+    aggregation (map-side partial combine); totals, probs and the pair join
+    are vocab-bounded — at 100 TB the token stream reduces before anything
+    joins, and the shared-token equi-join fans out at most |groups|²/2 rows
+    per distinct token."""
+    counts = df.groupBy(group_col, token_col).agg(
+        F.count("*").cast("bigint").alias("_cnt")
+    )
+    totals = counts.groupBy(group_col).agg(F.sum("_cnt").alias("_tot"))
+    probs = counts.join(F.broadcast(totals), group_col).select(
+        F.col(group_col).alias("_grp"),
+        F.col(token_col).alias("_tok"),
+        (F.col("_cnt").cast("double") / F.col("_tot").cast("double")).alias("_p"),
+    )
+    a = probs.select(
+        F.col("_grp").alias("group_a"), "_tok", F.col("_p").alias("_pa")
+    )
+    b = probs.select(
+        F.col("_grp").alias("group_b"), "_tok", F.col("_p").alias("_pb")
+    )
+    pa, pb = F.col("_pa"), F.col("_pb")
+    term = F.lit(0.5) * pa * F.log(F.lit(2.0) * pa / (pa + pb)) + F.lit(
+        0.5
+    ) * pb * F.log(F.lit(2.0) * pb / (pa + pb))
+    shared = (
+        a.join(b, "_tok")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .select(
+            "group_a",
+            "group_b",
+            F.floor(term * F.lit(_JS_SCALE)).cast("bigint").alias("_t_fp"),
+            F.floor(pa * F.lit(_JS_SCALE)).cast("bigint").alias("_pa_fp"),
+            F.floor(pb * F.lit(_JS_SCALE)).cast("bigint").alias("_pb_fp"),
+        )
+    )
+    agg = shared.groupBy("group_a", "group_b").agg(
+        F.count("*").cast("bigint").alias("n_shared_tokens"),
+        F.sum("_t_fp").alias("_tfp"),
+        F.sum("_pa_fp").alias("_spa"),
+        F.sum("_pb_fp").alias("_spb"),
+    )
+    jsd = (
+        F.col("_tfp").cast("double")
+        + F.lit(0.5)
+        * F.log(F.lit(2.0))
+        * (
+            F.lit(2.0 * _JS_SCALE)
+            - F.col("_spa").cast("double")
+            - F.col("_spb").cast("double")
+        )
+    ) / F.lit(_JS_SCALE)
+    return agg.select(
+        "group_a",
+        "group_b",
+        "n_shared_tokens",
+        F.round(F.col("_spa").cast("double") / F.lit(_JS_SCALE), 6).alias(
+            "overlap_a"
+        ),
+        F.round(F.col("_spb").cast("double") / F.lit(_JS_SCALE), 6).alias(
+            "overlap_b"
+        ),
+        F.round(jsd, 6).alias("js_divergence"),
+        F.round(jsd / F.log(F.lit(2.0)), 6).alias("jsd_norm"),
+    )
+
+
+def js_divergence_sql(from_sql: str, token_expr: str, group_expr: str) -> str:
+    """DuckDB twin of :func:`js_divergence`; ``from_sql`` exposes the token
+    stream's inputs. Identical fixed-point contribution expressions (same
+    association order, ln == F.log natural-log precedent), exact bigint
+    sums, one final divide + round."""
+    t = (
+        f"0.5 * a._p * ln(2.0 * a._p / (a._p + b._p)) "
+        f"+ 0.5 * b._p * ln(2.0 * b._p / (a._p + b._p))"
+    )
+    jsd = (
+        f"(cast(_tfp as double) + 0.5 * ln(2.0) * ({2.0 * _JS_SCALE!r} "
+        f"- cast(_spa as double) - cast(_spb as double))) / {_JS_SCALE!r}"
+    )
+    return f"""
+    with _js_counts as (
+      select {group_expr} as _grp, {token_expr} as _tok,
+             cast(count(*) as bigint) as _cnt
+      from ({from_sql}) group by 1, 2
+    ),
+    _js_totals as (select _grp, sum(_cnt) as _tot from _js_counts group by _grp),
+    _js_probs as materialized (
+      select c._grp, c._tok,
+             cast(c._cnt as double) / cast(t._tot as double) as _p
+      from _js_counts c join _js_totals t using (_grp)
+    ),
+    _js_shared as (
+      select a._grp as group_a, b._grp as group_b,
+             cast(floor(({t}) * {_JS_SCALE!r}) as bigint) as _t_fp,
+             cast(floor(a._p * {_JS_SCALE!r}) as bigint) as _pa_fp,
+             cast(floor(b._p * {_JS_SCALE!r}) as bigint) as _pb_fp
+      from _js_probs a join _js_probs b
+        on a._tok = b._tok and a._grp < b._grp
+    ),
+    _js_agg as (
+      select group_a, group_b,
+             cast(count(*) as bigint) as n_shared_tokens,
+             sum(_t_fp) as _tfp, sum(_pa_fp) as _spa, sum(_pb_fp) as _spb
+      from _js_shared group by 1, 2
+    )
+    select group_a, group_b, n_shared_tokens,
+           round(cast(_spa as double) / {_JS_SCALE!r}, 6) as overlap_a,
+           round(cast(_spb as double) / {_JS_SCALE!r}, 6) as overlap_b,
+           round({jsd}, 6) as js_divergence,
+           round(({jsd}) / ln(2.0), 6) as jsd_norm
+    from _js_agg
+    """
+
+
 def mixture_summary_sql(
     from_sql: str,
     weights: dict[str, float],

@@ -1385,7 +1385,10 @@ def q_simhash_pairs(spark, sf_dir):
     return DD.simhash_near_pairs(corpus, content_col="text", max_hamming=3)
 
 
-from .operators.decontamination import contaminated_docs_sql  # noqa: E402
+from .operators.decontamination import (  # noqa: E402
+    contaminated_docs_semantic_sql,
+    contaminated_docs_sql,
+)
 from .operators.dsir import importance_weights_sql  # noqa: E402
 
 _DSIR_SRC_SQL = "select doc_id, text from documents"
@@ -1564,6 +1567,30 @@ def q_decon_overlap_bloom(spark, sf_dir):
         "doc_id", "n_contaminated_grams", "n_grams",
         _r6(F.col("contamination_frac")).alias("contamination_frac"),
     )
+
+
+@_register(
+    "decon_semantic",
+    contaminated_docs_semantic_sql(
+        "select vec_id, embedding from embeddings where vec_id % 50 <> 0",
+        "select vec_id, embedding from embeddings where vec_id % 50 = 0",
+        threshold=0.35,
+    ),
+)
+def q_decon_semantic(spark, sf_dir):
+    """Embedding-space decontamination
+    (operators/decontamination.contaminated_docs_semantic): flag train
+    embeddings >= 0.35 rounded cosine to ANY eval embedding — the
+    paraphrase-robust screen n-gram overlap misses. Eval side broadcast
+    (benchmark-sized contract), JVM cosine, threshold filter BELOW the
+    per-doc window so only rare hit rows shuffle; best_eval_id =
+    round-before-rank argmax with lowest-eval-id ties."""
+    from .operators.decontamination import contaminated_docs_semantic
+
+    e = _t(spark, sf_dir, "embeddings")
+    train = e.filter(F.col("vec_id") % 50 != 0).select("vec_id", "embedding")
+    ev = e.filter(F.col("vec_id") % 50 == 0).select("vec_id", "embedding")
+    return contaminated_docs_semantic(train, ev, threshold=0.35)
 
 
 @_register(
@@ -2545,6 +2572,243 @@ def q_tpch18(spark, sf_dir):
         "o_orderdate",
         _r6(F.col("o_totalprice")).alias("o_totalprice"),
         "sum_qty",
+    )
+
+
+@_register(
+    "tpch_q7_volume_shipping",
+    """
+    select supp_nation, cust_nation, l_year,
+           round(cast(sum(volume) as double), 6) as revenue,
+           cast(count(*) as bigint) as n_lineitems
+    from (
+      select n1.n_name as supp_nation, n2.n_name as cust_nation,
+             cast(year(l_shipdate) as int) as l_year,
+             l_extendedprice * (1 - l_discount) as volume
+      from supplier s
+      join lineitem l on s.s_suppkey = l.l_suppkey
+      join orders   o on o.o_orderkey = l.l_orderkey
+      join customer c on c.c_custkey = o.o_custkey
+      join nation n1 on s.s_nationkey = n1.n_nationkey
+      join nation n2 on c.c_nationkey = n2.n_nationkey
+      where ((n1.n_name = 'NATION_1' and n2.n_name = 'NATION_2')
+          or (n1.n_name = 'NATION_2' and n2.n_name = 'NATION_1'))
+        and l.l_shipdate >= date '1995-01-01'
+        and l.l_shipdate <  date '1997-01-01'
+    ) shipping
+    group by supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch7(spark, sf_dir):
+    """TPC-H q7 shape (volume shipping between a nation pair, adapted to the
+    synthetic NATION_* names): the two nation dims are PRE-FILTERED to the
+    pair before broadcasting, so the supplier→n1 and customer→n2 joins
+    discard non-pair rows early (the OR spans both sides, so only the final
+    pair filter runs post-join); the shipdate range pushes to the lineitem
+    scan; the only shuffles are the fact equi-joins and the 12-group agg."""
+    pair = ["NATION_1", "NATION_2"]
+    na = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair))
+    n1 = na.select(
+        F.col("n_nationkey").alias("_n1key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = na.select(
+        F.col("n_nationkey").alias("_n2key"), F.col("n_name").alias("cust_nation")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = (
+        li.join(F.broadcast(s.join(F.broadcast(n1), s["s_nationkey"] == F.col("_n1key"))),
+                F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c.join(F.broadcast(n2), c["c_nationkey"] == F.col("_n2key")),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+    ).agg(
+        _r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+        F.count("*").cast("bigint").alias("n_lineitems"),
+    )
+
+
+@_register(
+    "tpch_q13_customer_distribution",
+    """
+    with c_orders as (
+      select c.c_custkey, cast(count(o.o_orderkey) as bigint) as c_count
+      from customer c
+      left outer join orders o
+        on c.c_custkey = o.o_custkey and o.o_orderpriority <> '1-URGENT'
+      group by c.c_custkey
+    )
+    select c_count, cast(count(*) as bigint) as custdist
+    from c_orders group by c_count
+    """,
+)
+def q_tpch13(spark, sf_dir):
+    """TPC-H q13 shape (customer order-count distribution; the comment-regex
+    filter is adapted to an o_orderpriority predicate — the reduced schema
+    carries no comments): a FILTERED left outer join (the filter lives in the
+    join condition, NOT a post-filter — a post-filter would turn outer into
+    inner and lose zero-order customers), then a two-level aggregation:
+    count per customer, histogram over counts. The second agg's key space is
+    |distinct counts| — tiny, so the heavy exchange is only the first."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    joined = c.join(
+        o,
+        (c["c_custkey"] == o["o_custkey"])
+        & (o["o_orderpriority"] != "1-URGENT"),
+        "left_outer",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").cast("bigint").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("bigint").alias("custdist")
+    )
+
+
+@_register(
+    "tpch_q15_top_supplier",
+    """
+    with revenue as (
+      select l_suppkey as supplier_no,
+             round(cast(sum(l_extendedprice * (1 - l_discount))
+                   as double), 6) as total_revenue
+      from lineitem
+      where l_shipdate >= date '1996-01-01'
+        and l_shipdate <  date '1996-04-01'
+      group by l_suppkey
+    )
+    select s.s_suppkey, s.s_name, r.total_revenue
+    from supplier s join revenue r on s.s_suppkey = r.supplier_no
+    where r.total_revenue = (select max(total_revenue) from revenue)
+    """,
+)
+def q_tpch15(spark, sf_dir):
+    """TPC-H q15 shape (top supplier by quarterly revenue): the revenue
+    'view' is computed ONCE; its max is a 1-row aggregate broadcast back as
+    a scalar cross join (no re-scan of lineitem for the subquery, no
+    all-to-one window). The max/equality compare runs on the ROUNDED
+    revenue, so the winning supplier set is cross-engine deterministic even
+    if two suppliers differ below round-6."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "total_revenue"
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
+    s = _t(spark, sf_dir, "supplier")
+    top = revenue.crossJoin(F.broadcast(mx)).filter(
+        F.col("total_revenue") == F.col("_mx")
+    )
+    return s.join(
+        F.broadcast(top), F.col("s_suppkey") == F.col("supplier_no")
+    ).select("s_suppkey", "s_name", "total_revenue")
+
+
+@_register(
+    "tpch_q17_small_quantity_revenue",
+    """
+    select round(cast(sum(l_extendedprice) / 7.0 as double), 6) as avg_yearly,
+           cast(count(*) as bigint) as n_lineitems
+    from lineitem l
+    join part p on p.p_partkey = l.l_partkey
+    where p.p_brand = 'Brand#23' and p.p_size < 11
+      and l.l_quantity < (
+        select 0.2 * avg(l2.l_quantity) from lineitem l2
+        where l2.l_partkey = l.l_partkey)
+    """,
+)
+def q_tpch17(spark, sf_dir):
+    """TPC-H q17 shape (small-quantity-order revenue; the container
+    predicate is adapted to p_size — the reduced schema carries no
+    containers): the correlated per-part avg-quantity subquery is computed
+    as a window over the part key AFTER the broadcast part filter, so
+    lineitem is scanned ONCE (the classic rewrite re-scans it); only the
+    filtered ~4% of lineitem enters the window exchange. l_quantity is
+    integer-valued, so the avg is an exact-sum division — deterministic
+    under any partitioning."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 11)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    joined = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    w = Window.partitionBy("l_partkey")
+    flagged = joined.withColumn("_avg_qty", F.avg("l_quantity").over(w)).filter(
+        F.col("l_quantity") < F.lit(0.2) * F.col("_avg_qty")
+    )
+    return flagged.agg(
+        _r6(F.sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+        F.count("*").cast("bigint").alias("n_lineitems"),
+    )
+
+
+@_register(
+    "tpch_q19_discounted_revenue",
+    """
+    select round(cast(sum(l_extendedprice * (1 - l_discount)) as double), 6)
+             as revenue,
+           cast(count(*) as bigint) as n_matched
+    from lineitem l join part p on p.p_partkey = l.l_partkey
+    where (p.p_brand = 'Brand#12' and p.p_size between 1 and 5
+           and l.l_quantity between 1 and 11)
+       or (p.p_brand = 'Brand#23' and p.p_size between 1 and 10
+           and l.l_quantity between 10 and 20)
+       or (p.p_brand = 'Brand#34' and p.p_size between 1 and 15
+           and l.l_quantity between 20 and 30)
+    """,
+)
+def q_tpch19(spark, sf_dir):
+    """TPC-H q19 shape (disjunctive-predicate revenue; shipmode/container
+    predicates adapted to p_size/l_quantity — reduced schema): the OR spans
+    both sides, so Catalyst cannot push it through the join — the
+    side-local IMPLIED predicates are added explicitly (part: the brand/size
+    union; lineitem: the quantity hull 1–30), shrinking both join inputs
+    before the exact OR runs post-join. Part side broadcasts."""
+    p = _t(spark, sf_dir, "part").filter(
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity").between(1, 30))
+    joined = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    matched = joined.filter(
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return matched.agg(
+        _r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "revenue"
+        ),
+        F.count("*").cast("bigint").alias("n_matched"),
     )
 
 
@@ -4805,6 +5069,35 @@ def q_mix_sample_by_source(spark, sf_dir):
         .cast("bigint")
         .alias("kept_tokens"),
     )
+
+
+@_register(
+    "mix_js_divergence",
+    MX.js_divergence_sql(
+        "select 'c' || cast(cast(substr(source, 4) as int) % 4 as varchar)"
+        " as corpus, tok from (select source, unnest(string_split(text, ' '))"
+        " as tok from documents) where tok <> ''",
+        "tok",
+        "corpus",
+    ),
+)
+def q_mix_js_divergence(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between pseudo-corpus unigram
+    token distributions (operators/mixing.js_divergence — the DoReMi/
+    data-mixing domain-shift metric, Lin 1991): shared-token contributions
+    as 1e-15 fixed-point bigints so the vocabulary sum is order-independent
+    (the graph/PageRank integer trick), single-corpus mass folded in as
+    0.5·ln2·(2−Σpa−Σpb). Only the (corpus, token) count agg touches corpus
+    scale; probs and the pair join are vocab-bounded."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.concat(
+            F.lit("c"),
+            (F.substring("source", 4, 10).cast("int") % 4).cast("string"),
+        ).alias("corpus"),
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return MX.js_divergence(toks, "tok", "corpus")
 
 
 @_register(

@@ -236,6 +236,44 @@ def test_decontaminate_drops_eval_overlap(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_semantic_decon_flags_planted_near_copies(spark):
+    """contaminated_docs_semantic: exact eval-embedding copies hit with
+    max_cosine 1.0 and best_eval_id = their source; scaled copies (same
+    direction) hit identically (cosine is scale-invariant); orthogonal-ish
+    corpus rows below threshold stay absent; plan is broadcast, eval side
+    never shuffles the train side."""
+    from datacurate4llms_spark.operators.decontamination import (
+        contaminated_docs_semantic,
+    )
+
+    e = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    ev = e.filter(F.col("vec_id") % 50 == 0).select("vec_id", "embedding")
+    # plant: exact copy of eval vec 100 as train id 9000, 2x-scaled copy as 9001
+    planted = ev.filter(F.col("vec_id") == 100).select(
+        F.lit(9000).cast("bigint").alias("vec_id"), "embedding"
+    ).unionByName(
+        ev.filter(F.col("vec_id") == 100).select(
+            F.lit(9001).cast("bigint").alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+        )
+    )
+    train = (
+        e.filter(F.col("vec_id") % 50 != 0)
+        .select("vec_id", "embedding")
+        .unionByName(planted)
+    )
+    out = contaminated_docs_semantic(train, ev, threshold=0.9)
+    rows = {r.vec_id: r for r in out.collect()}
+    assert set(rows) >= {9000, 9001}
+    for pid in (9000, 9001):
+        assert rows[pid].max_cosine == 1.0
+        assert rows[pid].best_eval_id == 100
+    # at tau=0.9 nothing in the organic corpus is that close (probed: max 0.45)
+    assert set(rows) == {9000, 9001}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
 def test_crossdoc_dup_frac_flags_copies(spark):
     """crossdoc_dup_frac (Lee et al. ExactSubstr signal over token 8-grams):
     exact copies score 1.0, docs with unique text score 0, and the gram

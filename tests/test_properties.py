@@ -537,6 +537,56 @@ def test_mixture_sample_rates_and_determinism(spark):
     assert 10 <= b_kept <= 40  # Bernoulli(0.25) over 100 docs, wide bound
 
 
+def test_js_divergence_matches_python_and_bounds(spark):
+    """js_divergence: matches a direct python JSD over full distributions
+    (single-corpus tokens included), identical corpora -> 0, skewed pairs
+    ordered correctly, disjoint-vocabulary pairs absent by contract."""
+    import math
+
+    from datacurate4llms_spark.operators.mixing import js_divergence
+
+    # a == b (identical distribution), c skewed vs a, d disjoint vocab
+    rows = []
+    for corpus in ("a", "b"):
+        rows += [(corpus, t) for t in ["x"] * 50 + ["y"] * 30 + ["z"] * 20]
+    rows += [("c", t) for t in ["x"] * 5 + ["y"] * 5 + ["z"] * 80 + ["w"] * 10]
+    rows += [("d", t) for t in ["q"] * 40 + ["r"] * 60]
+    df = spark.createDataFrame(rows, "corpus string, tok string")
+    out = {(r.group_a, r.group_b): r for r in js_divergence(df, "tok", "corpus").collect()}
+
+    # disjoint pairs absent; all others present
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+
+    def py_jsd(p, q):
+        toks = set(p) | set(q)
+        jsd = 0.0
+        for t in toks:
+            pa, pb = p.get(t, 0.0), q.get(t, 0.0)
+            m = 0.5 * (pa + pb)
+            if pa:
+                jsd += 0.5 * pa * math.log(pa / m)
+            if pb:
+                jsd += 0.5 * pb * math.log(pb / m)
+        return jsd
+
+    dist = {
+        "a": {"x": 0.5, "y": 0.3, "z": 0.2},
+        "c": {"x": 0.05, "y": 0.05, "z": 0.8, "w": 0.1},
+    }
+    assert out[("a", "b")].js_divergence == 0.0
+    assert out[("a", "b")].jsd_norm == 0.0
+    assert out[("a", "c")].js_divergence == pytest.approx(
+        py_jsd(dist["a"], dist["c"]), abs=1e-6
+    )
+    assert out[("a", "c")].js_divergence == out[("b", "c")].js_divergence
+    for r in out.values():
+        assert 0.0 <= r.js_divergence <= math.log(2.0) + 1e-9
+        assert 0.0 <= r.jsd_norm <= 1.0
+    # shared-mass bookkeeping: c shares x,y,z with a (0.9 of c's mass)
+    assert out[("a", "c")].overlap_a == pytest.approx(1.0, abs=1e-6)
+    assert out[("a", "c")].overlap_b == pytest.approx(0.9, abs=1e-6)
+
+
 def test_cdc_chunks_shift_robust_tiling_and_twin(spark):
     """cdc_chunks: chunks tile the doc exactly, boundaries are content-
     defined (a prefix insertion preserves all downstream chunk hashes,
