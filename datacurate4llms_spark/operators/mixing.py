@@ -24,7 +24,7 @@ mapper plus one tiny agg, the same shape as the quality-filter north rule.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash32, hash32_sql
@@ -93,6 +93,8 @@ def js_divergence(
     df: DataFrame,
     token_col: str,
     group_col: str,
+    *,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Pairwise Jensen-Shannon divergence between the unigram token
     distributions of corpora — the domain-shift / mixture-design metric
@@ -124,12 +126,21 @@ def js_divergence(
     counts = df.groupBy(group_col, token_col).agg(
         F.count("*").cast("bigint").alias("_cnt")
     )
-    totals = counts.groupBy(group_col).agg(F.sum("_cnt").alias("_tot"))
-    probs = counts.join(F.broadcast(totals), group_col).select(
+    # totals as a window over the vocab-bounded counts table, NOT a separate
+    # groupBy joined back — a self-join of derived frames re-evaluates the
+    # corpus scan + count agg twice (unreused lineage); the window's exchange
+    # carries vocab-bounded rows only, and the bigint sum is exact
+    wt = Window.partitionBy(group_col)
+    probs = counts.withColumn("_tot", F.sum("_cnt").over(wt)).select(
         F.col(group_col).alias("_grp"),
         F.col(token_col).alias("_tok"),
         (F.col("_cnt").cast("double") / F.col("_tot").cast("double")).alias("_p"),
     )
+    # probs is self-joined below — unbroken lineage would re-run the corpus
+    # scan + count agg once per side (the composed-chain lesson); the
+    # checkpointed artifact is vocab-bounded, so materializing it is cheap
+    if checkpoint:
+        probs = probs.localCheckpoint(eager=True)
     a = probs.select(
         F.col("_grp").alias("group_a"), "_tok", F.col("_p").alias("_pa")
     )

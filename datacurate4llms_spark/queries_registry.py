@@ -2641,6 +2641,93 @@ def q_tpch7(spark, sf_dir):
 
 
 @_register(
+    "tpch_q8_market_share",
+    """
+    select o_year,
+           round(cast(sum(case when nation = 'NATION_1' then volume
+                          else 0 end) / sum(volume) as double), 6) as mkt_share,
+           cast(count(*) as bigint) as n_lineitems
+    from (
+      select cast(year(o.o_orderdate) as int) as o_year,
+             l.l_extendedprice * (1 - l.l_discount) as volume,
+             n2.n_name as nation
+      from part p
+      join lineitem l on p.p_partkey = l.l_partkey
+      join supplier s on s.s_suppkey = l.l_suppkey
+      join orders   o on o.o_orderkey = l.l_orderkey
+      join customer c on c.c_custkey = o.o_custkey
+      join nation n1 on c.c_nationkey = n1.n_nationkey
+      join nation n2 on s.s_nationkey = n2.n_nationkey
+      join region r  on n1.n_regionkey = r.r_regionkey
+      where r.r_name = 'EUROPE'
+        and o.o_orderdate >= date '1995-01-01'
+        and o.o_orderdate <  date '1997-01-01'
+        and p.p_type = 'PROMO'
+    ) all_nations
+    group by o_year
+    """,
+)
+def q_tpch8(spark, sf_dir):
+    """TPC-H q8 shape (national market share, no-partsupp schema): share of
+    EUROPE-customer PROMO-part revenue supplied by NATION_1, per year — the
+    8-table chain with a numerator/denominator CASE ratio (the q14
+    error-cancelling-ratio precedent). Plan: part (type-filtered), supplier,
+    both nations and region broadcast; the fact chain lineitem⋈orders⋈customer
+    carries the only shuffles; date range pushes to the orders scan, p_type
+    to the part scan."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_n1key"), F.col("n_regionkey").alias("_n1reg")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_n2key"), F.col("n_name").alias("nation")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    joined = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s.join(F.broadcast(n2), s["s_nationkey"] == F.col("_n2key"))),
+              F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            c.join(
+                F.broadcast(
+                    n1.join(F.broadcast(r), F.col("_n1reg") == F.col("r_regionkey"))
+                ),
+                F.col("c_nationkey") == F.col("_n1key"),
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("volume"),
+            "nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            _r6(
+                F.sum(
+                    F.when(F.col("nation") == "NATION_1", F.col("volume")).otherwise(
+                        F.lit(0)
+                    )
+                )
+                / F.sum("volume")
+            ).alias("mkt_share"),
+            F.count("*").cast("bigint").alias("n_lineitems"),
+        )
+    )
+
+
+@_register(
     "tpch_q13_customer_distribution",
     """
     with c_orders as (
@@ -2711,6 +2798,10 @@ def q_tpch15(spark, sf_dir):
             "total_revenue"
         )
     )
+    # revenue feeds BOTH the max aggregate and the equality filter — an
+    # unbroken lineage would re-scan lineitem per reference (composed-chain
+    # lesson); the checkpointed artifact is |suppliers|-bounded
+    revenue = revenue.localCheckpoint(eager=True)
     mx = revenue.agg(F.max("total_revenue").alias("_mx"))
     s = _t(spark, sf_dir, "supplier")
     top = revenue.crossJoin(F.broadcast(mx)).filter(

@@ -434,3 +434,77 @@ def test_tpch_q14_pushdown_single_aggregate(spark):
     assert "1995-09-01" in plan, "shipdate range must push to the lineitem scan"
     assert plan.count("HashAggregate") <= 2, "one partial + one final agg"
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q7_pair_prefilter_broadcast_no_cartesian(spark):
+    from datacurate4llms_spark import queries_registry as QR
+
+    df = QR.QUERIES["tpch_q7_volume_shipping"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3, "dims (nation x2, supplier) broadcast"
+    assert "1995-01-01" in plan, "shipdate range must push to the lineitem scan"
+    # nation pair filter reaches the nation scans, not a post-join residual only
+    assert "In(n_name" in plan or "NATION_1" in plan
+
+
+def test_tpch_q17_single_lineitem_scan_windowed_avg(spark):
+    from datacurate4llms_spark import queries_registry as QR
+
+    df = QR.QUERIES["tpch_q17_small_quantity_revenue"](spark, SF_CORRECT)
+    plan = _plan(df)
+    # the classic rewrite scans lineitem twice (subquery re-scan); ours once
+    assert plan.count("lineitem.parquet") == 1, "correlated avg must not re-scan"
+    assert "Window" in plan, "per-part avg is a window over the filtered join"
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+
+
+def test_tpch_q15_no_rescan_max_broadcast_back(spark):
+    from datacurate4llms_spark import queries_registry as QR
+
+    df = QR.QUERIES["tpch_q15_top_supplier"](spark, SF_CORRECT)
+    plan = _plan(df)
+    # revenue is eagerly checkpointed (suppliers-bounded): the returned plan
+    # must NOT re-scan lineitem for the max subquery or the equality filter
+    assert plan.count("lineitem.parquet") == 0, "revenue view computed once"
+    assert "ExistingRDD" in plan or "Scan\n" in plan or "LogicalRDD" in plan or "Scan ExistingRDD" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decon_semantic_broadcast_filter_below_window(spark):
+    """The tau filter must sit BELOW the per-doc window exchange so only hit
+    rows shuffle; the eval side broadcasts (never shuffles the corpus)."""
+    from datacurate4llms_spark import queries_registry as QR
+
+    df = QR.QUERIES["decon_semantic"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, "eval side must broadcast"
+    assert "CartesianProduct" not in plan
+    # filter below window: the >= tau predicate appears under the BNLJ side
+    # of the plan, i.e. before the first Exchange in bottom-up order
+    first_exchange = plan.find("Exchange")
+    tau_site = plan.rfind("0.35")
+    assert tau_site > first_exchange, "tau filter must run pre-shuffle (below)"
+
+
+def test_js_divergence_single_corpus_scale_exchange(spark):
+    """Only the (corpus, token) count agg touches corpus scale; everything
+    after operates on vocab-bounded tables (broadcast totals, pair join)."""
+    from datacurate4llms_spark import queries_registry as QR
+
+    from datacurate4llms_spark.operators.mixing import js_divergence
+
+    df = QR.QUERIES["mix_js_divergence"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # probs is eagerly checkpointed (vocab-bounded) before the self-join:
+    # the returned plan must not re-scan the corpus per join side
+    assert plan.count("documents.parquet") == 0, "self-join must not re-scan"
+    # and the checkpoint-free plan (checkpoint=False) shows the intended
+    # shape: ONE corpus-scale count agg feeding a vocab-bounded window
+    d = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    toks = d.select(F.col("source").alias("corpus"),
+                    F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    raw = _plan(js_divergence(toks, "tok", "corpus", checkpoint=False))
+    assert "Window" in raw, "totals computed as a window over vocab-bounded counts"
