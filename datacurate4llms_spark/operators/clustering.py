@@ -185,3 +185,150 @@ def detect_optimal_clusters(gains: list[float], default: int = 50) -> int:
     # reference's "+1 buffer" then clamp to the curve length
     # (data_clustering.py:180-181: optimal += 1; min(optimal, len(gains)))
     return min(int(x[knee_idx]) + 1, len(gains))
+
+
+_SIL_SCALE = 1.0e15  # fixed-point scale for order-independent mean sums
+
+
+def cluster_silhouette(
+    df: DataFrame,
+    centroids: DataFrame | None = None,
+    *,
+    k: int = 8,
+    rounds: int = 2,
+    seed: str = "ivfinit",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Per-cell simplified silhouette over trained k-means cells — the
+    cluster-quality report for the SemDeDup/prototype-prune cell structure
+    (simplified silhouette per Hruschka et al. 2004: distances to CENTROIDS,
+    not all-pairs — the only formulation that scales; classic silhouette is
+    O(n²)). Per point with cosine distance d = 1 − cos: a = distance to its
+    own (nearest) centroid, b = distance to the best OTHER centroid,
+    s = (b − a) / max(a, b) ∈ [0, 1] under nearest-assignment. Returns one
+    row per cell: ``(cell_id int, n bigint, mean_silhouette, mean_centroid_sim)``.
+
+    Cross-engine determinism: the per-point s and rounded own-sim are
+    floored to 1e-15 fixed point and summed as exact bigints (partition-
+    order-independent — the js_divergence/PageRank trick); the means divide
+    once at the end. a/b come from the SORTED plan-literal sims array, so
+    argmax ties resolve by VALUE (both tied values are used), matching the
+    SQL twin exactly.
+
+    Scale shape: centroids re-enter the plan as literals (zero-shuffle
+    scoring, the SemDeDup mechanism); the only exchange is the k-group
+    final aggregation of (cell_id, 3 bigints) partials. Embeddings never
+    shuffle; nothing is all-pairs."""
+    from .ann import ivf_train_centroids
+
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            df, k, rounds=rounds, id_col=id_col, emb_col=emb_col, seed=seed
+        )
+    crows = centroids.orderBy("cell_id").collect()
+    if len(crows) < 2:
+        raise ValueError("cluster_silhouette needs >= 2 centroids")
+    ids = [int(r["cell_id"]) for r in crows]
+    sims = [
+        cosine(F.col(emb_col), F.array(*[F.lit(float(x)) for x in r["cemb"]]))
+        .cast("double")
+        .alias(f"_s{i}")
+        for i, r in enumerate(crows)
+    ]
+    staged = df.filter(F.col(emb_col).isNotNull()).select(id_col, *sims)
+    arr = F.array(*[F.col(f"_s{i}") for i in range(len(crows))])
+    staged = staged.select(
+        id_col,
+        arr.alias("_sims"),
+        F.sort_array(arr, asc=False).alias("_top"),
+    )
+    a_sim = F.element_at("_top", 1)
+    b_sim = F.element_at("_top", 2)
+    # lowest-position tie-break: array_position finds the FIRST occurrence
+    cell_map = F.array(*[F.lit(i) for i in ids])
+    cell = F.element_at(cell_map, F.array_position("_sims", a_sim).cast("int"))
+    a_d, b_d = F.lit(1.0) - a_sim, F.lit(1.0) - b_sim
+    s = F.when(F.greatest(a_d, b_d) <= 0, F.lit(0.0)).otherwise(
+        (b_d - a_d) / F.greatest(a_d, b_d)
+    )
+    pts = staged.select(
+        cell.alias("cell_id"),
+        F.floor(s * F.lit(_SIL_SCALE)).cast("bigint").alias("_s_fp"),
+        F.floor(F.round(a_sim, 6) * F.lit(_SIL_SCALE))
+        .cast("bigint")
+        .alias("_a_fp"),
+    )
+    agg = pts.groupBy("cell_id").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("_s_fp").alias("_ssum"),
+        F.sum("_a_fp").alias("_asum"),
+    )
+    return agg.select(
+        F.col("cell_id").cast("int").alias("cell_id"),
+        "n",
+        F.round(
+            F.col("_ssum").cast("double") / F.col("n").cast("double") / F.lit(_SIL_SCALE), 6
+        ).alias("mean_silhouette"),
+        F.round(
+            F.col("_asum").cast("double") / F.col("n").cast("double") / F.lit(_SIL_SCALE), 6
+        ).alias("mean_centroid_sim"),
+    )
+
+
+def cluster_silhouette_sql(
+    k: int,
+    dim: int,
+    *,
+    rounds: int = 2,
+    seed: str = "ivfinit",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`cluster_silhouette`: shares kmeans_cells_sql's
+    fixed CTE chain (identical round-6 centroid literals), builds the same
+    raw-sims list per point, sorts it for a/b, and uses identical
+    fixed-point sums."""
+    from ..functions.vectors import cosine_sql
+    from .ann import kmeans_cells_sql
+
+    cs = cosine_sql("e.embedding", "c.cemb")
+    return f"""
+    with {kmeans_cells_sql(k, dim, rounds=rounds, seed=seed, table=table)},
+    _sil_sims as (
+      select e.vec_id, c.cell_id, cast({cs} as double) as _s
+      from {table} e cross join (select cell_id, cemb from cent{rounds}) c
+      where e.embedding is not null
+    ),
+    _sil_pt as (
+      select vec_id,
+             list(_s order by cell_id) as _sims,
+             list(cell_id order by cell_id) as _cells
+      from _sil_sims group by vec_id
+    ),
+    _sil_staged as (
+      select vec_id, _sims, _cells,
+             list_sort(_sims, 'DESC') as _top
+      from _sil_pt
+    ),
+    _sil_scored as (
+      select _cells[list_position(_sims, _top[1])] as cell_id,
+             (1.0 - _top[1]) as _a_d, (1.0 - _top[2]) as _b_d,
+             _top[1] as _a_sim
+      from _sil_staged
+    ),
+    _sil_fp as (
+      select cell_id,
+             cast(floor((case when greatest(_a_d, _b_d) <= 0 then 0.0
+                         else (_b_d - _a_d) / greatest(_a_d, _b_d) end)
+                        * {_SIL_SCALE!r}) as bigint) as _s_fp,
+             cast(floor(round(_a_sim, 6) * {_SIL_SCALE!r}) as bigint) as _a_fp
+      from _sil_scored
+    )
+    select cast(cell_id as int) as cell_id,
+           cast(count(*) as bigint) as n,
+           round(cast(sum(_s_fp) as double) / cast(count(*) as double)
+                 / {_SIL_SCALE!r}, 6) as mean_silhouette,
+           round(cast(sum(_a_fp) as double) / cast(count(*) as double)
+                 / {_SIL_SCALE!r}, 6) as mean_centroid_sim
+    from _sil_fp group by cell_id
+    """

@@ -1037,6 +1037,7 @@ def q_qf_gopher(spark, sf_dir):
 
 from .operators import ann as ANN  # noqa: E402
 from .operators import dedup as DD  # noqa: E402
+from .operators.clustering import cluster_silhouette_sql  # noqa: E402
 from .operators import textstats as TS  # noqa: E402
 
 # corpus with injected duplicates: every doc_id % 10 == 0 gets an exact copy
@@ -4031,6 +4032,24 @@ def q_semantic_semdedup(spark, sf_dir):
     selection (flagship) and pair-level embedding near-dup."""
     e = _t(spark, sf_dir, "embeddings")
     return DD.semantic_dedup_flags(e, k=8, rounds=2, threshold=0.3)
+
+
+@_register(
+    "cluster_silhouette_report",
+    cluster_silhouette_sql(k=8, dim=64, rounds=2),
+)
+def q_cluster_silhouette(spark, sf_dir):
+    """Per-cell simplified silhouette over the trained k-means cells
+    (operators/clustering.cluster_silhouette, Hruschka et al. 2004) — the
+    cluster-quality report for the SemDeDup/prototype-prune cell structure,
+    over the SAME round-6 centroid literals. Zero-shuffle scoring (plan-
+    literal centroids, sims staged then sorted in-expression); per-point
+    terms as 1e-15 fixed-point bigints so cell means are partition-order-
+    independent; the only exchange carries k×(id,3 bigints) partials."""
+    from .operators.clustering import cluster_silhouette
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cluster_silhouette(e, k=8, rounds=2)
 
 
 @_register(

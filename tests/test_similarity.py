@@ -162,3 +162,56 @@ def test_ivf_trained_centroids_beat_naive_on_clustered_data(spark):
     r_trained = recall(ivf_topk(queries, corpus, trained, k=10, nprobe=2), true)
     assert r_trained > r_naive, (r_trained, r_naive)
     assert r_trained >= 0.8, (r_trained, r_naive)
+
+
+def test_cluster_silhouette_separates_tight_from_mixed(spark):
+    """cluster_silhouette: two well-separated tight clusters score near-1
+    mean silhouette per cell with caller-supplied centroids; per-cell n sums
+    to the corpus; values match a direct python recomputation."""
+    import pytest
+
+    from datacurate4llms_spark.operators.clustering import cluster_silhouette
+
+    # two orthogonal directions, 20 points each with tiny deterministic jitter
+    rows = []
+    for i in range(40):
+        base = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0, 0.0]
+        jit = [((i * 7 + j * 3) % 5) * 1e-3 for j in range(4)]
+        rows.append((i, [b + e for b, e in zip(base, jit)]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "cell_id int, cemb array<double>",
+    )
+    out = {r.cell_id: r for r in cluster_silhouette(df, cents).collect()}
+    assert set(out) == {0, 1}
+    assert out[0].n + out[1].n == 40
+    for r in out.values():
+        assert r.mean_silhouette > 0.95  # tight, well-separated
+        assert r.mean_centroid_sim > 0.99
+
+    # python recomputation of the same simplified silhouette
+    import math
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return num / (na * nb)
+
+    cents_py = {0: [1.0, 0.0, 0.0, 0.0], 1: [0.0, 1.0, 0.0, 0.0]}
+    agg = {0: [], 1: []}
+    for i, emb in rows:
+        sims = sorted(
+            ((cos(emb, c), cid) for cid, c in cents_py.items()), reverse=True
+        )
+        (a_s, own), (b_s, _) = sims
+        a_d, b_d = 1 - a_s, 1 - b_s
+        agg[own].append((b_d - a_d) / max(a_d, b_d))
+    for cid in (0, 1):
+        assert out[cid].mean_silhouette == pytest.approx(
+            sum(agg[cid]) / len(agg[cid]), abs=1e-6
+        )
+
+    with pytest.raises(ValueError):
+        cluster_silhouette(df, cents.filter("cell_id = 0"))
