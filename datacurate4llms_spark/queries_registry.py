@@ -2110,6 +2110,52 @@ def q_stream_near_dedup(spark, sf_dir):
     )
 
 
+@_register(
+    "stream_attribution_join",
+    # batch twin of the ACTUAL stream-stream run: same user equi-key, same
+    # event-time range condition, same integer-microsecond lag
+    """
+    select c.event_id as click_id, p.event_id as purchase_id, c.user_id,
+           cast(epoch_us(p.ts) - epoch_us(c.ts) as bigint) as lag_us,
+           round(cast(p.value as double), 6) as value
+    from events c join events p on p.user_id = c.user_id
+    where c.event_type = 'click' and p.event_type = 'purchase'
+      and p.ts >= c.ts and p.ts <= c.ts + interval 30 minutes
+    """,
+)
+def q_stream_attribution(spark, sf_dir):
+    """STREAM-STREAM attribution join (streaming/events.attributed_purchases):
+    clicks and purchases as two unbounded streams, inner-joined on user with
+    a 30-minute event-time range — Spark's symmetric stateful hash join,
+    state bounded to watermark+horizon per side (the range condition + both
+    watermarks are what admit append mode at all). Drained with availableNow
+    and compared against the plain batch join — the stream-batch equivalence
+    contract."""
+    import tempfile
+
+    from .streaming.events import attributed_purchases, drain_available_now
+
+    base = tempfile.mkdtemp(prefix="stream_attr_")
+    e = _t(spark, sf_dir, "events")
+    e.filter(F.col("event_type") == "click").write.mode("overwrite").parquet(
+        f"{base}/clicks"
+    )
+    e.filter(F.col("event_type") == "purchase").write.mode("overwrite").parquet(
+        f"{base}/purchases"
+    )
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    clicks = spark.readStream.schema(schema).parquet(f"{base}/clicks")
+    purchases = spark.readStream.schema(schema).parquet(f"{base}/purchases")
+    return drain_available_now(
+        attributed_purchases(clicks, purchases, horizon="30 minutes"),
+        f"{base}/ck",
+        output_mode="append",
+    )
+
+
 @_register("stream_near_dedup_verified", _MINHASH_VERIFIED_SQL)
 def q_stream_near_dedup_verified(spark, sf_dir):
     """Composed stream→batch verify (the VERDICT r5 stretch shape): the

@@ -98,6 +98,63 @@ def enriched_windowed_counts(
     )
 
 
+def attributed_purchases(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    *,
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """STREAM-STREAM inner join with an event-time range condition — the
+    attribution-window pattern (each purchase matched to every click by the
+    same user within ``horizon`` BEFORE it). The missing streaming shape in
+    the engine until now: both sides are unbounded, so Spark runs a
+    symmetric stateful hash join where each side buffers rows until the
+    other side's watermark passes the end of the join-time range — the
+    range condition plus the two ``withWatermark`` calls are what make the
+    state BOUNDED (without them Spark rejects append-mode stream-stream
+    joins outright). State per side ≈ rows inside the watermark+horizon
+    span, keyed on user_id — O(arrival rate × horizon), independent of
+    stream length.
+
+    Inner-join emission is incremental (matches emit as the later side
+    arrives), so under ``availableNow`` the drained table equals the batch
+    join verbatim — the stream-batch equivalence contract, oracle-checked
+    by the registry query.
+
+    Returns ``(click_id, purchase_id, user_id, lag_seconds, value)``."""
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("_p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value"),
+    )
+    joined = c.join(
+        p,
+        (F.col("user_id") == F.col("_p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"interval {horizon}")),
+        "inner",
+    )
+    # integer-microsecond lag: exact, no float, NTZ-safe (the range-join
+    # lesson: events ts is TIMESTAMP_NTZ — unix_micros needs the cast)
+    lag_us = F.unix_micros(
+        F.col("purchase_ts").cast("timestamp")
+    ) - F.unix_micros(F.col("click_ts").cast("timestamp"))
+    return joined.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        lag_us.cast("bigint").alias("lag_us"),
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+    )
+
+
 KMV_OUTPUT_SCHEMA = (
     "win bigint, event_type string, n_sketch bigint, n_estimate double, "
     "final boolean"

@@ -508,3 +508,67 @@ def test_streaming_near_dedup_ttl_eviction(spark, tmp_path):
     assert all(hits[1]), f"in-window copy must hit every band: {hits}"
     assert not any(hits[4]), f"post-eviction copy must read fresh: {hits}"
     assert not any(hits[0])
+
+
+def test_stream_stream_attribution_matches_across_micro_batches(spark, tmp_path):
+    """Stream-stream attribution join: a purchase arriving in a LATER
+    micro-batch must still match a click buffered in join state from an
+    earlier one (maxFilesPerTrigger=1 forces the split); out-of-horizon and
+    wrong-user purchases must not match; result equals the batch join."""
+    from datacurate4llms_spark.streaming.events import (
+        attributed_purchases,
+        run_available_now,
+        write_time_ordered_batches,
+    )
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+
+    def ev(eid, ts, uid, etype, val):
+        return (eid, ts, uid, etype, val, "{}")
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    # clicks arrive in batch 1; purchases in batch 2 (cross-batch state)
+    clicks_b1 = spark.createDataFrame(
+        [ev(1, at(0), 7, "click", 0.0), ev(2, at(5), 8, "click", 0.0)], schema
+    )
+    clicks_b2 = spark.createDataFrame([ev(3, at(40), 7, "click", 0.0)], schema)
+    c_glob = write_time_ordered_batches([clicks_b1, clicks_b2], str(tmp_path / "c"))
+
+    purchases_b1 = spark.createDataFrame(
+        [ev(100, at(10), 7, "purchase", 5.0)], schema  # matches click 1 (10 min)
+    )
+    purchases_b2 = spark.createDataFrame(
+        [
+            ev(101, at(20), 8, "purchase", 7.0),   # matches click 2 (15 min, cross-batch)
+            ev(102, at(120), 7, "purchase", 9.0),  # out of horizon for all clicks
+            ev(103, at(12), 99, "purchase", 1.0),  # wrong user
+        ],
+        schema,
+    )
+    p_glob = write_time_ordered_batches([purchases_b1, purchases_b2], str(tmp_path / "p"))
+
+    c_stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(c_glob)
+    )
+    p_stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(p_glob)
+    )
+    rows = run_available_now(
+        attributed_purchases(c_stream, p_stream, horizon="30 minutes"),
+        str(tmp_path / "ck"),
+        output_mode="append",
+    )
+    got = {(r.click_id, r.purchase_id): r for r in rows}
+    assert set(got) == {(1, 100), (2, 101)}, f"got {sorted(got)}"
+    assert got[(1, 100)].lag_us == 10 * 60 * 1_000_000
+    assert got[(2, 101)].lag_us == 15 * 60 * 1_000_000
+    assert got[(2, 101)].value == 7.0
