@@ -583,8 +583,13 @@ def kmv_overlap(
 
     Scale shape: sketches via the two-level mergeable bottom-k (corpus
     never shuffles); the pair join touches |groups|² bounded arrays —
-    sketch-sized work, independent of corpus size."""
-    sk = _kmv_merged_sketch(df, cols, k=k, group_by=[group_col], seed=seed)
+    sketch-sized work, independent of corpus size. The sketch table is
+    eagerly checkpointed before the self-join (|groups| bounded rows):
+    unbroken lineage would run the corpus-scale sketch build once per join
+    side (the composed-chain lesson)."""
+    sk = _kmv_merged_sketch(
+        df, cols, k=k, group_by=[group_col], seed=seed
+    ).localCheckpoint(eager=True)
     a = sk.select(F.col(group_col).alias("group_a"), F.col("_m").alias("_ma"))
     b = sk.select(F.col(group_col).alias("group_b"), F.col("_m").alias("_mb"))
     pairs = a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))

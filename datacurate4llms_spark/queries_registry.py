@@ -1292,7 +1292,8 @@ def q_dedup_keep_longest(spark, sf_dir):
     metric ties reproduce keep-first exactly."""
     corpus = _dup_corpus(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
     return DD.near_dedup_minhash(
-        corpus, content_col="text", threshold=0.7, keep="longest"
+        corpus, content_col="text", threshold=0.7, keep="longest",
+        checkpoint=True,  # corpus is a union+transform pipeline referenced 5x
     ).select("doc_id")
 
 
