@@ -132,3 +132,78 @@ def quality_score_sql(langid="langid_score", alnum="alnum_ratio",
         f"({langid} * 0.3 + {alnum} * 0.3 + (1.0 - {dup}) * 0.2 "
         f"+ least(1.0, cast({words} as double) / 100.0) * 0.2)"
     )
+
+
+def inverted_index(
+    df,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_df: int | None = None,
+):
+    """Materialized inverted index — the search-index-build shape a RAG /
+    retrieval pipeline runs over the curated corpus (the BM25 query scores
+    ad hoc; this PERSISTS the postings): one row per term,
+    ``(term, df, total_tf, postings)`` with postings the doc-sorted
+    ``"doc_id:tf"`` list as a deterministic string (string form keeps the
+    artifact hashable and cross-engine comparable; split on ',' to consume).
+
+    ``max_df`` drops stop-terms above a document-frequency cap — the same
+    bound that keeps per-term state sane at corpus scale (a term appearing
+    in every doc would collect the whole corpus into one group; real
+    indexes cap or tier exactly these terms, cf. repo_set_similarity's
+    stop-gram cap / Vernica et al. 2010).
+
+    Scale shape: explode → (term, doc) tf agg (map-side combine) →
+    per-term postings agg. Both exchanges are keyed on the term (hash-
+    partitioned = the index's natural shard key); per-term list size is
+    bounded by df ≤ max_df. Postings are sorted by doc_id inside the
+    array expression, so output is partition-order-independent."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(_c(content_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("term", "doc_id").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    posting = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("doc_id", "tf"))),
+            lambda x: F.concat(
+                x["doc_id"].cast("string"), F.lit(":"), x["tf"].cast("string")
+            ),
+        ),
+        ",",
+    )
+    out = tf.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+        posting.alias("postings"),
+    )
+    if max_df is not None:
+        out = out.filter(F.col("df") <= int(max_df))
+    return out
+
+
+def inverted_index_sql(
+    from_sql: str, *, max_df: int | None = None
+) -> str:
+    """DuckDB twin of :func:`inverted_index`; ``from_sql`` exposes
+    (doc_id, text). Same whitespace split, same doc-sorted ``doc:tf``
+    string aggregation."""
+    having = f"having count(*) <= {int(max_df)}" if max_df is not None else ""
+    return f"""
+    with _ii_tf as (
+      select term, doc_id, cast(count(*) as bigint) as tf
+      from (
+        select doc_id, unnest(string_split(text, ' ')) as term
+        from ({from_sql})
+      ) where term <> ''
+      group by 1, 2
+    )
+    select term, cast(count(*) as bigint) as df,
+           cast(sum(tf) as bigint) as total_tf,
+           string_agg(cast(doc_id as varchar) || ':' || cast(tf as varchar),
+                      ',' order by doc_id) as postings
+    from _ii_tf group by term {having}
+    """

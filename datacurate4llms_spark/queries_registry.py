@@ -2499,6 +2499,98 @@ def q_asof(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+from .operators import sketches as SK  # noqa: E402  (also imported below; same alias)
+
+_DATACARD_CORPUS_SQL = """
+    select doc_id, lang, text, n_chars from documents
+    union all
+    select doc_id + 100000 as doc_id, lang, text, n_chars
+    from documents where doc_id % 10 = 0
+"""
+
+
+@_register(
+    "rel_corpus_datacard",
+    f"""
+    with corpus as materialized ({_DATACARD_CORPUS_SQL}),
+    base as (
+      select lang, cast(count(*) as bigint) as n_docs,
+             cast(sum({TS.token_count_ws_sql('text')}) as bigint) as total_tokens,
+             round(cast(sum(n_chars) as double) / cast(count(*) as double), 6)
+               as mean_chars
+      from corpus group by lang
+    ),
+    dupg as (
+      select lang, md5(text) as _h, cast(count(*) as bigint) as _cnt
+      from corpus group by 1, 2
+    ),
+    dups as (
+      select lang,
+             cast(sum(case when _cnt > 1 then _cnt else 0 end) as bigint)
+               as dup_docs
+      from dupg group by lang
+    ),
+    kmv as (
+      {SK.kmv_distinct_sql(
+          "select lang, tok from (select lang, unnest(string_split(text, ' '))"
+          " as tok from corpus) where tok <> ''",
+          ["tok"], k=64, group_by=["lang"])}
+    )
+    select b.lang, b.n_docs, d.dup_docs, b.total_tokens, b.mean_chars,
+           round(cast(k.n_estimate as double), 6) as distinct_tokens_est
+    from base b join dups d using (lang) join kmv k using (lang)
+    """,
+)
+def q_corpus_datacard(spark, sf_dir):
+    """Composed corpus data card — the curation dashboard table a data team
+    publishes per corpus slice (HF dataset-card quantitative section): per
+    lang over a dup-planted corpus, document count, exact-duplicate count
+    (md5 group sizes > 1), whitespace-token total, mean chars, and the KMV
+    distinct-vocabulary estimate. Three lang-keyed aggregates (docs stats /
+    dup groups / mergeable KMV) joined on the |langs|-row key — each
+    corpus-scale pass is a single agg with map-side combine; the joins are
+    broadcast-size by construction. mean_chars is an exact integer-sum
+    division (deterministic under any partitioning)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text", "n_chars")
+    copies = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "lang", "text", "n_chars"
+    )
+    corpus = d.unionByName(copies)
+    base = corpus.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(TS.token_count_ws("text")).cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.count("*").cast("double"), 6
+        ).alias("mean_chars"),
+    )
+    dups = (
+        corpus.groupBy("lang", F.md5("text").alias("_h"))
+        .agg(F.count("*").cast("bigint").alias("_cnt"))
+        .groupBy("lang")
+        .agg(
+            F.sum(F.when(F.col("_cnt") > 1, F.col("_cnt")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("dup_docs")
+        )
+    )
+    toks = corpus.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    kmv = SK.kmv_distinct(toks, ["tok"], k=64, group_by=["lang"])
+    return (
+        base.join(F.broadcast(dups), "lang")
+        .join(F.broadcast(kmv.select("lang", "n_estimate")), "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "dup_docs",
+            "total_tokens",
+            "mean_chars",
+            _r6(F.col("n_estimate")).alias("distinct_tokens_est"),
+        )
+    )
+
+
 @_register(
     "rel_rollup_counts",
     """
@@ -4264,6 +4356,21 @@ def _bm25_sql(terms=_BM25_TERMS, k1="1.2", b="0.75") -> str:
     select doc_id, round(cast(score as double), 6) as bm25, cast(rnk as int) as rnk
     from ranked where rnk <= 20
     """
+
+
+@_register(
+    "ts_inverted_index",
+    TS.inverted_index_sql("select doc_id, text from documents", max_df=450),
+)
+def q_inverted_index(spark, sf_dir):
+    """Materialized inverted index (operators/textstats.inverted_index) —
+    the persisted search-index artifact a RAG pipeline builds over the
+    curated corpus (BM25 scores ad hoc; this is the index-build shape): one
+    row per term with df, total_tf, and the doc-sorted doc:tf postings
+    string. Both exchanges key on the term (the index's natural shard);
+    max_df caps stop-term state (the Vernica et al. stop-gram bound)."""
+    d = _t(spark, sf_dir, "documents")
+    return TS.inverted_index(d, "text", "doc_id", max_df=450)
 
 
 @_register(

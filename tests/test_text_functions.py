@@ -181,3 +181,29 @@ def test_langid_model_beats_stopword_heuristic(spark):
         ).alias("p")
     ).collect()[0].p
     assert unk == "unk"
+
+
+def test_inverted_index_postings_and_stopterm_cap(spark):
+    """inverted_index: postings are doc-sorted doc:tf strings, df/total_tf
+    consistent, and max_df drops stop-terms (the per-term state bound)."""
+    from datacurate4llms_spark.operators.textstats import inverted_index
+
+    df = spark.createDataFrame(
+        [
+            (3, "apple banana apple"),
+            (1, "banana cherry"),
+            (2, "banana banana date"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.term: r for r in inverted_index(df, "text", "doc_id").collect()}
+    assert out["apple"].postings == "3:2"
+    assert out["apple"].df == 1 and out["apple"].total_tf == 2
+    assert out["banana"].postings == "1:1,2:2,3:1"  # doc-sorted, not arrival
+    assert out["banana"].df == 3 and out["banana"].total_tf == 4
+    assert out["cherry"].postings == "1:1" and out["date"].postings == "2:1"
+
+    capped = {
+        r.term for r in inverted_index(df, "text", "doc_id", max_df=2).collect()
+    }
+    assert capped == {"apple", "cherry", "date"}  # banana (df=3) dropped
