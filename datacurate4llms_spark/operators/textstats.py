@@ -207,3 +207,64 @@ def inverted_index_sql(
                       ',' order by doc_id) as postings
     from _ii_tf group by term {having}
     """
+
+
+def oov_rate(
+    df,
+    vocab,
+    content_col: str = "text",
+    group_col: str = "lang",
+    *,
+    vocab_col: str = "term",
+):
+    """Out-of-vocabulary rate per group — the tokenizer-fit metric (how much
+    of a corpus slice a fixed vocabulary covers; rising OOV on a new slice
+    is the standard drift signal before retraining a tokenizer). Returns
+    ``(group, n_tokens, oov_tokens, oov_rate)`` with oov_rate an exact
+    integer-count division rounded to 6.
+
+    Scale shape: the vocabulary is broadcast (vocabularies are 10⁴–10⁶
+    terms by construction); the corpus side is one explode → broadcast
+    left join → count agg, a single pipelined pass with map-side combine —
+    the decontamination plan shape with membership inverted."""
+    v = vocab.select(F.col(vocab_col).alias("_v_term")).distinct().withColumn(
+        "_in_v", F.lit(1)
+    )
+    toks = df.select(
+        F.col(group_col).alias("_grp"),
+        F.explode(F.split(_c(content_col), " ")).alias("_tok"),
+    ).filter(F.col("_tok") != "")
+    joined = toks.join(
+        F.broadcast(v), toks["_tok"] == F.col("_v_term"), "left"
+    )
+    return joined.groupBy(F.col("_grp").alias(group_col)).agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("_in_v").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("oov_tokens"),
+    ).withColumn(
+        "oov_rate",
+        F.round(
+            F.col("oov_tokens").cast("double") / F.col("n_tokens").cast("double"), 6
+        ),
+    )
+
+
+def oov_rate_sql(from_sql: str, vocab_sql: str) -> str:
+    """DuckDB twin of :func:`oov_rate`; ``from_sql`` exposes (lang, text),
+    ``vocab_sql`` exposes (term)."""
+    return f"""
+    with _oov_v as (select distinct term as _v_term from ({vocab_sql})),
+    _oov_t as (
+      select lang, tok from (
+        select lang, unnest(string_split(text, ' ')) as tok from ({from_sql})
+      ) where tok <> ''
+    )
+    select t.lang, cast(count(*) as bigint) as n_tokens,
+           cast(sum(case when v._v_term is null then 1 else 0 end) as bigint)
+             as oov_tokens,
+           round(cast(sum(case when v._v_term is null then 1 else 0 end) as double)
+                 / cast(count(*) as double), 6) as oov_rate
+    from _oov_t t left join _oov_v v on t.tok = v._v_term
+    group by t.lang
+    """

@@ -4374,6 +4374,31 @@ def q_inverted_index(spark, sf_dir):
 
 
 @_register(
+    "ts_oov_rate",
+    TS.oov_rate_sql(
+        "select lang, text from documents",
+        "select distinct tok as term from (select unnest(string_split(text,"
+        f" ' ')) as tok from documents) where tok <> '' and {hash32_sql('tok', seed='vocab')} % 3 <> 0",
+    ),
+)
+def q_oov_rate(spark, sf_dir):
+    """Out-of-vocabulary rate per lang (operators/textstats.oov_rate) — the
+    tokenizer-fit / drift metric: fraction of corpus tokens outside a fixed
+    reference vocabulary. Vocabulary here = the deterministic hash-selected
+    2/3 of the corpus vocab (hash32(term) % 3 != 0), broadcast; the corpus
+    side is one explode -> broadcast left join -> count agg, a single
+    pipelined pass. Exact integer-count division."""
+    d = _t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+        .filter(hash32("term", seed="vocab") % 3 != 0)
+    )
+    return TS.oov_rate(d.select("lang", "text"), vocab, "text", "lang")
+
+
+@_register(
     "ts_tfidf_top_terms",
     """
     with t2 as (
