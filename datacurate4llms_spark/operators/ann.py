@@ -508,3 +508,126 @@ def ivf_topk_sql(k: int, n_centroids: int, nprobe: int, query_limit: int) -> str
     select query_id, neighbour_id, round(cast(sim as double), 6) as sim, cast(rank as int) as rank
     from ranked where rank <= {k}
     """
+
+
+def quantize_int8(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the 4× memory/IO reduction
+    that makes a 100 TB embedding store scannable (FAISS SQ8 / product-
+    quantization-lite; the standard first compression step before ANN):
+    ``scale = max(|x|)/127``, ``q_i = clamp(floor(x_i/scale + 0.5), ±127)``.
+    Returns ``(id, scale double, qemb array<int>)``; reconstruct as
+    ``q_i · scale``.
+
+    floor(x+0.5) instead of round(): Spark and DuckDB disagree on
+    round-half for negatives; floor is floor in both, so quantized codes
+    are bit-identical cross-engine. All-zero vectors get scale 0 and zero
+    codes (guarded division). Pure per-row expressions — zero shuffle,
+    zero python."""
+    x = F.col(emb_col)
+    scale = (
+        F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+        / F.lit(127.0)
+    )
+    staged = df.filter(x.isNotNull()).select(
+        id_col, emb_col, scale.alias("_scale")
+    )
+    def qcode(v):
+        return F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.floor(v.cast("double") / F.col("_scale") + F.lit(0.5)).cast("int"),
+            ),
+        )
+    q = F.when(
+        F.col("_scale") <= 0,
+        F.transform(F.col(emb_col), lambda v: F.lit(0)),
+    ).otherwise(F.transform(F.col(emb_col), qcode))
+    return staged.select(
+        id_col,
+        F.col("_scale").alias("scale"),
+        q.alias("qemb"),
+    )
+
+
+def quantized_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    *,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k over the int8-RECONSTRUCTED corpus (float queries ×
+    dequantized corpus — the asymmetric-distance convention, ADC): the
+    recall cost of quantization is measured by tests against the float
+    brute force; ranking runs on round-6 sims with id tie-breaks so the
+    winner set is cross-engine deterministic. Same plan as brute_force_topk
+    with the dequantization fused into the scan projection."""
+    from ..functions.vectors import cosine
+
+    cq = quantize_int8(corpus, id_col=corpus_id, emb_col=emb_col)
+    recon = F.transform(
+        F.col("qemb"), lambda v: v.cast("double") * F.col("scale")
+    )
+    c = cq.select(F.col(corpus_id).alias("neighbour_id"), recon.alias("_ce"))
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(emb_col).alias("_qe")
+    )
+    edges = q.join(c, F.col("query_id") != F.col("neighbour_id")).select(
+        "query_id",
+        "neighbour_id",
+        F.round(cosine(F.col("_qe"), F.col("_ce")).cast("double"), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbour_id"))
+    return edges.withColumn("rank", F.row_number().over(w).cast("int")).filter(
+        F.col("rank") <= k
+    )
+
+
+def quantized_topk_sql(k: int, *, table: str = "embeddings", query_filter: str = "vec_id < 20") -> str:
+    """DuckDB twin of :func:`quantized_topk`: identical scale / floor(+0.5)
+    clamp codes, identical reconstruction and round-6 ranking (cosine via
+    the shared vectors.cosine_sql builder)."""
+    from ..functions.vectors import cosine_sql
+
+    cs = cosine_sql("q.embedding", "c.emb")
+    scale = "list_max(list_transform(embedding, v -> abs(cast(v as double)))) / 127.0"
+    return f"""
+    with _qz as (
+      select vec_id, {scale} as _scale, embedding
+      from {table} where embedding is not null
+    ),
+    _codes as (
+      select vec_id, _scale,
+             case when _scale <= 0
+                  then list_transform(embedding, v -> 0)
+                  else list_transform(embedding, v ->
+                    greatest(-127, least(127,
+                      cast(floor(cast(v as double) / _scale + 0.5) as int))))
+             end as qemb
+      from _qz
+    ),
+    _recon as (
+      select vec_id, list_transform(qemb, v -> cast(v as double) * _scale) as emb
+      from _codes
+    ),
+    _edges as (
+      select q.vec_id as query_id, c.vec_id as neighbour_id,
+             round(cast({cs} as double), 6) as sim
+      from (select vec_id, embedding from {table} where {query_filter}) q
+      join _recon c on q.vec_id <> c.vec_id
+    )
+    select query_id, neighbour_id, sim, cast(rank as int) as rank
+    from (
+      select *, row_number() over (partition by query_id
+                                   order by sim desc, neighbour_id asc) as rank
+      from _edges
+    ) where rank <= {k}
+    """

@@ -1639,6 +1639,23 @@ def q_ann_brute(spark, sf_dir):
     return out.select("query_id", "neighbour_id", _r6(F.col("sim")).alias("sim"), "rank")
 
 
+@_register(
+    "ann_quantized_topk",
+    ANN.quantized_topk_sql(5),
+)
+def q_ann_quantized(spark, sf_dir):
+    """Int8-quantized ANN (operators/ann.quantize_int8 + quantized_topk —
+    FAISS-SQ8-style symmetric per-vector quantization, asymmetric-distance
+    ranking): the 4x memory/IO compression that makes a 100 TB embedding
+    store scannable; codes use floor(x/scale + 0.5) so they are
+    bit-identical cross-engine (Spark/DuckDB disagree on round-half for
+    negatives). Recall vs the float brute force is tested separately;
+    ranking here is exact over the reconstructed vectors (round-6 sims, id
+    tie-breaks)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return ANN.quantized_topk(e.filter(F.col("vec_id") < 20), e, k=5)
+
+
 @_register("ann_lsh_topk", ANN.lsh_topk_sql(k=5, num_planes=3, num_tables=6, query_limit=20))
 def q_ann_lsh(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
@@ -2588,6 +2605,70 @@ def q_corpus_datacard(spark, sf_dir):
             "mean_chars",
             _r6(F.col("n_estimate")).alias("distinct_tokens_est"),
         )
+    )
+
+
+@_register(
+    "rel_corpus_diff",
+    """
+    with old as (select doc_id, text from documents where doc_id % 5 <> 0),
+    new as (
+      select doc_id,
+             case when doc_id % 7 = 0 then text || ' edited' else text end as text
+      from documents where doc_id % 13 <> 0
+      union all
+      select doc_id + 900000 as doc_id, text from documents where doc_id % 11 = 0
+    ),
+    joined as (
+      select coalesce(o.doc_id, n.doc_id) as doc_id,
+             case when o.doc_id is null then 'added'
+                  when n.doc_id is null then 'removed'
+                  when md5(o.text) <> md5(n.text) then 'changed'
+                  else 'unchanged' end as status
+      from old o full outer join new n on o.doc_id = n.doc_id
+    )
+    select doc_id, status from joined where status <> 'unchanged'
+    """,
+)
+def q_corpus_diff(spark, sf_dir):
+    """Corpus snapshot diff — the version-to-version change report an
+    incremental curation pipeline runs before reprocessing (only 'added' /
+    'changed' docs re-enter the pipeline; 'removed' ids propagate as
+    deletes): FULL OUTER join on doc_id with an md5 content compare, then
+    the bounded changed-set projection (unchanged rows — the overwhelming
+    majority at scale — are filtered before anything downstream). One
+    id-keyed shuffle per side; content never joins, only its hash."""
+    d = _t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id", F.md5("text").alias("_oh")
+    )
+    new = (
+        d.filter(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" edited"))
+                ).otherwise(F.col("text"))
+            ).alias("_nh"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 900000).alias("doc_id"),
+                F.md5("text").alias("_nh"),
+            )
+        )
+    )
+    joined = old.join(new, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("_oh").isNull(), F.lit("added"))
+        .when(F.col("_nh").isNull(), F.lit("removed"))
+        .when(F.col("_oh") != F.col("_nh"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select("doc_id", status.alias("status"))
+        .filter(F.col("status") != "unchanged")
     )
 
 

@@ -215,3 +215,43 @@ def test_cluster_silhouette_separates_tight_from_mixed(spark):
 
     with pytest.raises(ValueError):
         cluster_silhouette(df, cents.filter("cell_id = 0"))
+
+
+def test_int8_quantization_error_bound_and_recall(spark):
+    """quantize_int8: reconstruction error <= scale/2 per component, codes in
+    [-127,127]; quantized top-k recall@5 vs float brute force stays high
+    (int8 is near-lossless for cosine ranking at dim 64); all-zero vectors
+    survive with zero codes."""
+    from datacurate4llms_spark.operators.ann import (
+        brute_force_topk,
+        quantize_int8,
+        quantized_topk,
+    )
+
+    e = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    qz = quantize_int8(e).join(e, "vec_id").collect()
+    for r in qz:
+        assert len(r.qemb) == len(r.embedding)
+        for code, x in zip(r.qemb, r.embedding):
+            assert -127 <= code <= 127
+            assert abs(code * r.scale - float(x)) <= r.scale / 2 + 1e-12
+
+    queries = e.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(queries, e, k=5).collect()
+    quant = quantized_topk(queries, e, k=5).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbour_id)
+    hit = total = 0
+    for r in quant:
+        total += 1
+        hit += r.neighbour_id in exact_sets[r.query_id]
+    assert hit / total >= 0.9, f"recall@5 {hit}/{total}"
+
+    z = spark.createDataFrame(
+        [(0, [0.0] * 4), (1, [1.0, 0.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    zq = {r.vec_id: r for r in quantize_int8(z).collect()}
+    assert zq[0].scale == 0.0 and list(zq[0].qemb) == [0, 0, 0, 0]
+    assert list(zq[1].qemb) == [127, 0, 0, 0]
