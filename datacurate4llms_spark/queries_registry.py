@@ -2609,6 +2609,103 @@ def q_corpus_datacard(spark, sf_dir):
 
 
 @_register(
+    "ev_funnel_analysis",
+    """
+    with ev as (
+      select user_id, event_type, epoch_us(ts) as ts_us from events
+      where event_type in ('click', 'view', 'purchase')
+        and ts < timestamp '2024-01-02 12:00:00'
+    ),
+    t1 as (
+      select user_id, min(ts_us) as tc from ev
+      where event_type = 'click' group by user_id
+    ),
+    t2 as (
+      select e.user_id, min(e.ts_us) as tv
+      from ev e join t1 using (user_id)
+      where e.event_type = 'view' and e.ts_us > t1.tc
+      group by e.user_id
+    ),
+    t3 as (
+      select e.user_id, min(e.ts_us) as tp
+      from ev e join t2 using (user_id)
+      where e.event_type = 'purchase' and e.ts_us > t2.tv
+      group by e.user_id
+    )
+    select cast((select count(*) from t1) as bigint) as n_clicked,
+           cast((select count(*) from t2) as bigint) as n_click_view,
+           cast((select count(*) from t3) as bigint) as n_click_view_purchase,
+           round(cast((select count(*) from t2) as double)
+                 / cast((select count(*) from t1) as double), 6) as view_rate,
+           round(cast((select count(*) from t3) as double)
+                 / cast((select count(*) from t2) as double), 6) as purchase_rate
+    """,
+)
+def q_funnel(spark, sf_dir):
+    """Ordered funnel analysis (click -> first view AFTER it -> first
+    purchase AFTER that, per user) — the event-analytics shape product
+    pipelines run on the events table: each stage is a user-keyed min
+    aggregation joined onto the next stage's filtered stream (integer-
+    microsecond comparisons, exact). Three narrow user-keyed exchanges with
+    map-side combine; stage tables shrink monotonically, so the stage-2/3
+    joins broadcast the per-user scalar frames at scale."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view", "purchase"))
+        .filter(F.col("ts") < F.lit("2024-01-02 12:00:00").cast("timestamp"))
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+    )
+    t1 = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("tc"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(F.broadcast(t1), "user_id")
+        .filter(F.col("ts_us") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("tv"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(t2), "user_id")
+        .filter(F.col("ts_us") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("tp"))
+    )
+    counts = (
+        t1.agg(F.count("*").cast("bigint").alias("n_clicked"))
+        .crossJoin(
+            F.broadcast(t2.agg(F.count("*").cast("bigint").alias("n_click_view")))
+        )
+        .crossJoin(
+            F.broadcast(
+                t3.agg(F.count("*").cast("bigint").alias("n_click_view_purchase"))
+            )
+        )
+    )
+    return counts.select(
+        "n_clicked",
+        "n_click_view",
+        "n_click_view_purchase",
+        F.round(
+            F.col("n_click_view").cast("double") / F.col("n_clicked").cast("double"),
+            6,
+        ).alias("view_rate"),
+        F.round(
+            F.col("n_click_view_purchase").cast("double")
+            / F.col("n_click_view").cast("double"),
+            6,
+        ).alias("purchase_rate"),
+    )
+
+
+@_register(
     "rel_corpus_diff",
     """
     with old as (select doc_id, text from documents where doc_id % 5 <> 0),
