@@ -684,3 +684,67 @@ def kmv_overlap_sql(
                  / cast(greatest(len(_v), 1) as double), 6) as jaccard_est
     from _kv_staged
     """
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    weight_col: str,
+    k: int,
+    *,
+    seed: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006 priority sampling, log form): each row gets
+    ``key = ln(u) / w`` with ``u = (hash32(keys)+1) / 2^32 ∈ (0,1]``; the
+    top-k rows by key (DESC) are exactly a weight-proportional
+    without-replacement draw — the primitive behind weighted corpus
+    subsetting when per-doc weights (quality scores, token counts, DSIR
+    ratios) must bias selection. No RNG: same keys every run, every engine.
+
+    Rows with NULL or non-positive weight are excluded (documented
+    contract — a zero weight cannot be drawn). Ranking runs on the ROUNDED
+    key with the hash as tie-break, so the selected set is cross-engine
+    deterministic; ln and the division bit-match across engines (the DSIR/
+    BM25 precedent). Returns the sampled rows + ``sample_key``.
+
+    Scale shape: pure projection + global top-k = TakeOrderedAndProject
+    (per-partition heap, k-row merge) — zero shuffle, identical to
+    bottom_k_sample."""
+    h = hash32(*key_cols, seed=seed)
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(4294967296.0)
+    w = F.col(weight_col).cast("double")
+    key = F.round(F.log(u) / w, 6)
+    staged = df.filter(w.isNotNull() & (w > 0)).withColumn(
+        "sample_key", key
+    ).withColumn("_h", h)
+    return (
+        staged.orderBy(F.col("sample_key").desc(), F.col("_h").asc())
+        .limit(k)
+        .drop("_h")
+    )
+
+
+def weighted_sample_sql(
+    from_sql: str,
+    key_exprs: list[str],
+    weight_expr: str,
+    k: int,
+    *,
+    seed: str = "wsample",
+) -> str:
+    """DuckDB twin of :func:`weighted_sample` (same u, same ln-key, same
+    rounded-key + hash ordering)."""
+    h = hash32_sql(*key_exprs, seed=seed)
+    return f"""
+    select * exclude (_h) from (
+      select *,
+             round(ln((cast({h} as double) + 1.0) / 4294967296.0)
+                   / cast({weight_expr} as double), 6) as sample_key,
+             {h} as _h
+      from ({from_sql})
+      where {weight_expr} is not null and {weight_expr} > 0
+    )
+    order by sample_key desc, _h asc
+    limit {k}
+    """

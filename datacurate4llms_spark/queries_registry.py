@@ -2609,6 +2609,87 @@ def q_corpus_datacard(spark, sf_dir):
 
 
 @_register(
+    "ev_value_anomalies",
+    """
+    with wt as (
+      select cast(floor(epoch(ts) / 21600) as bigint) as win, event_type,
+             cast(sum(cast(round(value * 100) as bigint)) as bigint) as cents,
+             cast(count(*) as bigint) as n_events
+      from events group by 1, 2
+    ),
+    stats as (
+      select event_type,
+             cast(count(*) as bigint) as _nw,
+             cast(sum(cents) as bigint) as _s1,
+             cast(sum(cents * cents) as bigint) as _s2
+      from wt group by event_type
+    ),
+    scored as (
+      select w.win, w.event_type, w.n_events,
+             round(cast(w.cents as double) / 100.0, 6) as total_value,
+             round((cast(w.cents as double) - cast(s._s1 as double) / cast(s._nw as double))
+                   / sqrt(cast(s._s2 as double) / cast(s._nw as double)
+                          - (cast(s._s1 as double) / cast(s._nw as double))
+                            * (cast(s._s1 as double) / cast(s._nw as double))), 6)
+               as z_score
+      from wt w join stats s using (event_type)
+    )
+    select win, event_type, n_events, total_value, z_score
+    from scored where abs(z_score) > 2.0
+    """,
+)
+def q_value_anomalies(spark, sf_dir):
+    """Windowed anomaly detection — flag 6-hour windows whose per-type value
+    total is > 2σ from that type's mean (the ops-monitoring query over the
+    curation event stream). Exactness trick: values are cents, so window
+    totals and BOTH moments (Σt, Σt²) are exact bigints — the mean/std are
+    each ONE fixed float expression over exact integers, and the z-score is
+    rounded before the |z|>2 cut (round-then-compare convention). Two
+    window-keyed aggs with map-side combine; the 5-row per-type stats
+    broadcast back."""
+    e = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    wt = (
+        e.groupBy(
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(21_600_000_000)
+            )
+            .cast("bigint")
+            .alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.sum(cents).cast("bigint").alias("cents"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+    )
+    stats = wt.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("_nw"),
+        F.sum("cents").cast("bigint").alias("_s1"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("_s2"),
+    )
+    mu = F.col("_s1").cast("double") / F.col("_nw").cast("double")
+    z = F.round(
+        (F.col("cents").cast("double") - mu)
+        / F.sqrt(F.col("_s2").cast("double") / F.col("_nw").cast("double") - mu * mu),
+        6,
+    )
+    return (
+        wt.join(F.broadcast(stats), "event_type")
+        .select(
+            "win",
+            "event_type",
+            "n_events",
+            F.round(F.col("cents").cast("double") / F.lit(100.0), 6).alias(
+                "total_value"
+            ),
+            z.alias("z_score"),
+        )
+        .filter(F.abs(F.col("z_score")) > 2.0)
+    )
+
+
+@_register(
     "ev_funnel_analysis",
     """
     with ev as (
@@ -3870,6 +3951,27 @@ def q_kmv_overlap(spark, sf_dir):
         F.explode(F.split(F.col("text"), " ")).alias("tok"),
     ).filter(F.col("tok") != "")
     return SK.kmv_overlap(toks, ["tok"], "corpus", k=64)
+
+
+@_register(
+    "sketch_weighted_sample",
+    SK.weighted_sample_sql(
+        "select doc_id, lang, n_chars from documents",
+        ["doc_id"],
+        "n_chars",
+        k=50,
+    ),
+)
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (operators/sketches.weighted_sample — Efraimidis & Spirakis 2006
+    priority sampling, ln-key form): top-50 docs by ln(u)/n_chars, a
+    length-proportional draw with no RNG (u from hash32, so the sample is
+    identical every run and engine). Plans as TakeOrderedAndProject — the
+    zero-shuffle top-k; key rounded before ranking with the hash as
+    tie-break."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return SK.weighted_sample(d, ["doc_id"], "n_chars", k=50)
 
 
 @_register(

@@ -629,3 +629,38 @@ def test_cdc_chunks_shift_robust_tiling_and_twin(spark):
         for r in cdc_chunks(df.repartition(7), "text").collect()
     )
     assert out2 == out
+
+
+def test_weighted_sample_properties(spark):
+    """weighted_sample: exactly k rows; zero/negative/NULL weights excluded;
+    equal weights reduce to a pure hash draw (order = u desc); proportional
+    weights overrepresent heavy rows vs the corpus mean."""
+    from datacurate4llms_spark.operators.sketches import weighted_sample
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    s = weighted_sample(docs, ["doc_id"], "n_chars", k=50).collect()
+    assert len(s) == 50
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    assert sum(r.n_chars for r in s) / 50 > corpus_mean  # length-biased
+
+    # zero/negative/NULL weights can never be drawn
+    rows = [(1, 10.0), (2, 0.0), (3, -5.0), (4, None), (5, 1.0)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+    got = {r.doc_id for r in weighted_sample(df, ["doc_id"], "w", k=10).collect()}
+    assert got == {1, 5}
+
+    # equal weights == rank by u descending (pure hash draw)
+    from datacurate4llms_spark.functions.hashing import hash32
+
+    const = docs.withColumn("w", F.lit(1.0))
+    eq = [r.doc_id for r in weighted_sample(const, ["doc_id"], "w", k=20).collect()]
+    by_hash = [
+        r.doc_id
+        for r in docs.select("doc_id", hash32("doc_id", seed="wsample").alias("_h"))
+        .orderBy(F.desc("_h"))
+        .limit(20)
+        .collect()
+    ]
+    assert set(eq) == set(by_hash)
