@@ -4679,6 +4679,100 @@ def q_oov_rate(spark, sf_dir):
 
 
 @_register(
+    "ts_pmi_collocations",
+    """
+    with toks as (
+      select doc_id, string_split(text, ' ') as ts from documents
+    ),
+    pairs as (
+      select p['a'] as w1, p['b'] as w2 from (
+        select unnest(list_transform(range(1, len(ts)),
+                      i -> struct_pack(a := ts[i], b := ts[i+1]))) as p
+        from toks where len(ts) >= 2
+      )
+    ),
+    bi as materialized (
+      select w1, w2, cast(count(*) as bigint) as c_ab
+      from pairs group by 1, 2
+    ),
+    uni as (
+      select w1 as w, cast(sum(c_ab) as bigint) as c from bi group by 1
+    ),
+    uni2 as (
+      select w2 as w, cast(sum(c_ab) as bigint) as c from bi group by 1
+    ),
+    n as (select cast(sum(c_ab) as bigint) as n_pairs from bi),
+    scored as (
+      select b.w1, b.w2, b.c_ab,
+             round(ln(cast(n.n_pairs as double) * cast(b.c_ab as double)
+                      / (cast(ua.c as double) * cast(ub.c as double))), 6) as pmi
+      from bi b join uni ua on b.w1 = ua.w
+                join uni2 ub on b.w2 = ub.w
+                cross join n
+      where b.c_ab >= 5
+    )
+    select w1, w2, c_ab, pmi from scored
+    order by pmi desc, w1 asc, w2 asc limit 20
+    """,
+)
+def q_pmi_collocations(spark, sf_dir):
+    """PMI collocation extraction (Church & Hanks 1990) — top adjacent-token
+    associations: pmi = ln(N·c(a,b) / (c_left(a)·c_right(b))) over the
+    bigram stream, min support 5, top-20 by rounded PMI with lexicographic
+    tie-break. The corpus-scale work is ONE bigram-keyed count agg; the
+    unigram margins and N are margins of that vocab^2-bounded contingency
+    table (checkpointed — referenced 4x), broadcast back; ranking plans as
+    TakeOrderedAndProject. sequence()
+    DESCENDS when start > stop, so single-token docs are filtered before
+    the transform (the CLAUDE.md guard)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.split(F.col("text"), " ").alias("ts")).filter(
+        F.size("ts") >= 2
+    )
+    pair = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ts") - 1),
+            lambda i: F.struct(
+                F.element_at("ts", i).alias("w1"),
+                F.element_at("ts", i + 1).alias("w2"),
+            ),
+        )
+    )
+    pairs = toks.select(pair.alias("p")).select("p.w1", "p.w2")
+    # the unigram margins and N are MARGINS of the bigram contingency table,
+    # so they re-aggregate the vocab^2-bounded bi table — the corpus-scale
+    # pair stream is touched exactly once; bi is checkpointed because it is
+    # referenced 4x (scores + two margins + N), the lineage-reuse lesson
+    bi = pairs.groupBy("w1", "w2").agg(
+        F.count("*").cast("bigint").alias("c_ab")
+    ).localCheckpoint(eager=True)
+    ua = bi.groupBy(F.col("w1").alias("_wa")).agg(
+        F.sum("c_ab").cast("bigint").alias("_ca")
+    )
+    ub = bi.groupBy(F.col("w2").alias("_wb")).agg(
+        F.sum("c_ab").cast("bigint").alias("_cb")
+    )
+    n = bi.agg(F.sum("c_ab").cast("bigint").alias("_n"))
+    pmi = F.round(
+        F.log(
+            F.col("_n").cast("double")
+            * F.col("c_ab").cast("double")
+            / (F.col("_ca").cast("double") * F.col("_cb").cast("double"))
+        ),
+        6,
+    )
+    return (
+        bi.filter(F.col("c_ab") >= 5)
+        .join(F.broadcast(ua), F.col("w1") == F.col("_wa"))
+        .join(F.broadcast(ub), F.col("w2") == F.col("_wb"))
+        .crossJoin(F.broadcast(n))
+        .select("w1", "w2", "c_ab", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )
+
+
+@_register(
     "ts_tfidf_top_terms",
     """
     with t2 as (
