@@ -1,0 +1,194 @@
+#!/usr/bin/env python
+"""Component-isolation benchmarks (guide §1.4: noop sink) for the headline
+suite. NOT the graded bench — bench.py stays frozen; numbers here feed
+OPTIMIZATION_r07.md. Each piece is timed with the noop sink so we measure
+the computation, not the sink, and jobs are labelled for the UI/logs.
+
+Usage: python bench_extra.py [qf|selection|knn|dedup|tpch|all] [--explain]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "20"))
+REPS = int(os.environ.get("BENCH_REPS", "2"))
+PLAN_DIR = Path(__file__).resolve().parent / "plans" / "r07"
+
+
+def noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from datacurate4llms_spark.deploy import ensure_workers_can_import
+    from datacurate4llms_spark.session import get_spark
+
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    do_explain = "--explain" in sys.argv
+    suffix = "_after" if "--after" in sys.argv else "_before"
+
+    spark = get_spark(
+        app_name="bench_extra",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+        extra_confs={"spark.sql.files.maxPartitionBytes": str(256 * 1024)},
+    )
+    ensure_workers_can_import(spark)
+    sc = spark.sparkContext
+
+    from bench import replicated_corpus
+
+    timings: dict[str, float] = {}
+
+    def timed(name, build, *, action=noop):
+        best = None
+        for _ in range(REPS):
+            sc.setJobDescription(name)
+            t0 = time.perf_counter()
+            action(build())
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            sc.setJobDescription(None)
+        timings[name] = round(best, 3)
+
+    def explain_to(name, df):
+        if do_explain:
+            PLAN_DIR.mkdir(parents=True, exist_ok=True)
+            mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+            (PLAN_DIR / f"{name}{suffix}.txt").write_text(
+                df._jdf.queryExecution().explainString(mode)
+            )
+
+    # ---------------- qf_pipeline decomposition ----------------
+    if which in ("qf", "all"):
+        from datacurate4llms_spark.functions.quality import (
+            with_keep_decision,
+            with_quality_metrics,
+        )
+        from datacurate4llms_spark.functions.scrub import with_scrub
+        from datacurate4llms_spark.pipelines.quality_filter import quality_filter
+
+        def corpus():
+            return replicated_corpus(spark, SF_DIR, REPLICATE)
+
+        timed("qf_0_corpus_derivation", corpus)
+        timed("qf_1_metrics", lambda: with_quality_metrics(corpus()))
+        timed("qf_2_metrics_decision", lambda: with_keep_decision(with_quality_metrics(corpus())))
+        timed("qf_3_scrub_only", lambda: with_scrub(corpus()))
+        timed("qf_4_no_scores", lambda: quality_filter(corpus(), with_model_scores=False))
+        timed("qf_5_full", lambda: quality_filter(corpus(), with_model_scores=True))
+        explain_to("qf_pipeline", quality_filter(corpus(), with_model_scores=True))
+
+    # ---------------- selection decomposition ----------------
+    if which in ("selection", "all"):
+        from datacurate4llms_spark.functions.encoders import embed_dataframe
+        from datacurate4llms_spark.operators.selection import (
+            global_top_k,
+            select_per_fold,
+            select_subset,
+        )
+        from datacurate4llms_spark.pipelines.selection_pipeline import run_selection
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+        def embedded():
+            return embed_dataframe(docs.select("doc_id", "text"), "text", "embedding", dim=16)
+
+        timed("sel_0_embed", embedded)
+        timed(
+            "sel_1_perfold",
+            lambda: select_per_fold(embedded(), num_folds=CPUS, percent=10.0),
+        )
+        timed(
+            "sel_2_topk",
+            lambda: global_top_k(select_per_fold(embedded(), num_folds=CPUS, percent=10.0), 500),
+        )
+        timed("sel_3_subset", lambda: select_subset(embedded(), num_folds=CPUS, percent=10.0))
+        timed(
+            "sel_4_full",
+            lambda: run_selection(spark, SF_DIR, percent=10.0, num_folds=CPUS),
+        )
+        explain_to("selection", run_selection(spark, SF_DIR, percent=10.0, num_folds=CPUS))
+
+    # ---------------- knn decomposition ----------------
+    if which in ("knn", "all"):
+        from datacurate4llms_spark.operators.similarity import broadcast_knn
+
+        def emb():
+            return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+        def knn_full():
+            e = emb()
+            return broadcast_knn(e, e, k=10, known_dim=64)
+
+        def collect_only():
+            import numpy as np
+
+            q_pd = emb().select("vec_id", "embedding").toPandas()
+            np.stack([__import__("numpy").asarray(v) for v in q_pd["embedding"]])
+            return None
+
+        timed("knn_0_collect", collect_only, action=lambda x: None)
+        timed("knn_1_full", knn_full)
+        explain_to("knn_topk", knn_full())
+
+    # ---------------- dedup decomposition ----------------
+    if which in ("dedup", "all"):
+        from datacurate4llms_spark.operators.dedup import exact_dedup
+
+        def corpus():
+            return replicated_corpus(spark, SF_DIR, REPLICATE)
+
+        timed("dedup_0_corpus", corpus)
+        timed("dedup_1_exact", lambda: exact_dedup(corpus(), content_col="content", id_col="doc_id"))
+        explain_to("dedup_exact", exact_dedup(corpus(), content_col="content", id_col="doc_id"))
+
+    # ---------------- tpch ----------------
+    if which in ("tpch", "all"):
+        def q1():
+            li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+            return (
+                li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(F.sum("l_quantity"), F.avg("l_extendedprice"), F.count("*"))
+            )
+
+        def q3():
+            c = spark.read.parquet(f"{SF_DIR}/customer.parquet").filter(
+                F.col("c_mktsegment") == "BUILDING"
+            )
+            o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+                F.col("o_orderdate") < F.lit("1995-03-15").cast("date")
+            )
+            li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").filter(
+                F.col("l_shipdate") > F.lit("1995-03-15").cast("date")
+            )
+            return (
+                c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+                .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+                .groupBy("o_orderkey", "o_orderdate")
+                .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            )
+
+        timed("tpch_q1", q1)
+        timed("tpch_q3", q3)
+        explain_to("tpch_q1", q1())
+        explain_to("tpch_q3", q3())
+
+    print(json.dumps(timings, indent=2))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

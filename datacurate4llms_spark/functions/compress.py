@@ -109,12 +109,15 @@ def _codes(text: str) -> np.ndarray:
     return codes[codes >= 0]
 
 
-def _perplexity_one(text: str, table: np.ndarray) -> float:
-    seq = _codes(text)
+def _perplexity_from_seq(seq: np.ndarray, table: np.ndarray) -> float:
     if len(seq) < 2:
         return float("nan")
     mean_lp = float(table[seq[:-1], seq[1:]].mean())
     return 2.0 ** (-mean_lp)
+
+
+def _perplexity_one(text: str, table: np.ndarray) -> float:
+    return _perplexity_from_seq(_codes(text), table)
 
 
 def char_perplexity_udf():
@@ -143,14 +146,18 @@ _LANG_SAMPLES = {
 _TRI_DIM = 27 ** 3
 
 
-def _trigram_counts(text: str) -> np.ndarray:
-    """Vector of char-trigram counts over the 27-symbol alphabet (vectorized:
-    map bytes → indices, drop invalid, polynomial trigram codes, bincount)."""
-    seq = _codes(text).astype(np.int32)
+def _trigram_counts_from_seq(seq: np.ndarray) -> np.ndarray:
+    seq = seq.astype(np.int32)
     if len(seq) < 3:
         return np.zeros(0, dtype=np.int64)
     codes = seq[:-2] * 729 + seq[1:-1] * 27 + seq[2:]
     return np.bincount(codes, minlength=_TRI_DIM)
+
+
+def _trigram_counts(text: str) -> np.ndarray:
+    """Vector of char-trigram counts over the 27-symbol alphabet (vectorized:
+    map bytes → indices, drop invalid, polynomial trigram codes, bincount)."""
+    return _trigram_counts_from_seq(_codes(text))
 
 
 def _lang_profiles() -> dict[str, np.ndarray]:
@@ -163,9 +170,9 @@ def _lang_profiles() -> dict[str, np.ndarray]:
     return _LM_CACHE["profiles"]  # type: ignore[return-value]
 
 
-def _langid_one(text: str) -> tuple[str, float]:
+def _langid_from_seq(seq: np.ndarray) -> tuple[str, float]:
     profiles = _lang_profiles()
-    tg = _trigram_counts(text)
+    tg = _trigram_counts_from_seq(seq)
     if tg.size == 0 or not tg.any():
         return ("unk", 0.0)
     tg = tg.astype(np.float64)
@@ -176,6 +183,10 @@ def _langid_one(text: str) -> tuple[str, float]:
         if s > best_s:
             best, best_s = lang, s
     return (best, best_s)
+
+
+def _langid_one(text: str) -> tuple[str, float]:
+    return _langid_from_seq(_codes(text))
 
 
 def langid_udf():
@@ -312,22 +323,33 @@ def model_scores_udf():
         table = _bigram_logprob_table()
         _lang_profiles()
 
-        def one(t):
-            if t is None:
-                return (None, None, None, None)
-            gz = len(_gzip.compress(t.encode("utf-8"), compresslevel=6))
-            ppl = _perplexity_one(t, table)
-            lang, conf = _langid_one(t)
-            return (gz, ppl, lang, conf)
-
         for s in batches:
-            vals = s.map(one)
+            # one pass per row sharing the utf-8 encode and the byte→alphabet
+            # LUT between perplexity and langid (they were each re-deriving
+            # the code sequence — OPTIMIZATION_r07.md §qf). Same numerics:
+            # _perplexity_one/_langid_one delegate to the same *_from_seq
+            # bodies, and for strictly-encodable text (anything else raised
+            # inside gzip already) strict == errors='ignore' bytes.
+            gz_l, ppl_l, lang_l, conf_l = [], [], [], []
+            for t in s:
+                if t is None:
+                    gz_l.append(None); ppl_l.append(None)
+                    lang_l.append(None); conf_l.append(None)
+                    continue
+                b = t.encode("utf-8")
+                gz_l.append(len(_gzip.compress(b, compresslevel=6)))
+                raw = np.frombuffer(b, dtype=np.uint8)
+                codes = _BYTE_LUT[raw]
+                seq = codes[codes >= 0]
+                ppl_l.append(_perplexity_from_seq(seq, table))
+                lang, conf = _langid_from_seq(seq)
+                lang_l.append(lang); conf_l.append(conf)
             yield pd.DataFrame(
                 {
-                    "gzip_len": vals.map(lambda v: v[0]).astype("Int32"),
-                    "perplexity": vals.map(lambda v: v[1]),
-                    "lang_pred": vals.map(lambda v: v[2]),
-                    "lang_conf": vals.map(lambda v: v[3]),
+                    "gzip_len": pd.array(gz_l, dtype="Int32"),
+                    "perplexity": pd.Series(ppl_l, dtype="object"),
+                    "lang_pred": lang_l,
+                    "lang_conf": pd.Series(conf_l, dtype="object"),
                 }
             )
 

@@ -358,16 +358,24 @@ def mean_word_len(content: Column | str, toks: Column | None = None) -> Column:
     return F.when(n <= 0, F.lit(0.0)).otherwise(total / n.cast("double"))
 
 
-def stopword_hits(content: Column | str) -> Column:
-    """How many of the 8 Gopher required stopwords appear as whole lowercase
-    tokens (Gopher: < 2 → drop for prose). Token membership = substring
-    search for ``' word '`` over the space-normalized padded text — 8 cheap
-    contains() calls instead of a tokenize + set-intersect per row."""
-    padded = F.concat(
+def _padded_lower(content: Column | str) -> Column:
+    """Space-normalized, lowercased, space-padded text — the stopword search
+    buffer. Stage it as a real column when several metrics share it."""
+    return F.concat(
         F.lit(" "),
         F.translate(F.lower(_c(content)), _WS_CHARS, " " * len(_WS_CHARS)),
         F.lit(" "),
     )
+
+
+def stopword_hits(content: Column | str, padded: Column | None = None) -> Column:
+    """How many of the 8 Gopher required stopwords appear as whole lowercase
+    tokens (Gopher: < 2 → drop for prose). Token membership = substring
+    search for ``' word '`` over the space-normalized padded text — 8 cheap
+    contains() calls instead of a tokenize + set-intersect per row. Pass
+    ``padded`` (a pre-staged :func:`_padded_lower` column) so the
+    lower+translate pass runs once, not once per stopword."""
+    padded = padded if padded is not None else _padded_lower(content)
     hits = [F.contains(padded, F.lit(f" {s} ")).cast("int") for s in STOPWORDS]
     out = hits[0]
     for h in hits[1:]:
@@ -387,20 +395,23 @@ def alpha_word_frac(content: Column | str, toks: Column | None = None) -> Column
     return F.when(n <= 0, F.lit(0.0)).otherwise(n_alpha.cast("double") / n.cast("double"))
 
 
-def with_quality_metrics(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """Attach all metric columns via a two-stage projection: the line and
-    token arrays are STAGED as real columns first, and every array metric
-    references the staged attribute. CollapseProject refuses to merge
-    projections when it would duplicate non-cheap expressions, so the
-    regex tokenize and the line split each run ONCE per row instead of once
-    per metric (measured 2× on the full pipeline: 4.8s → 2.4s at sf0.1;
-    counting on codegen common-subexpression elimination instead does NOT
-    work here — higher-order functions are codegen fallbacks)."""
-    c = F.col(content_col)
-    staged = df.withColumns({"_ls": lines(c), "_toks": _ws_tokens(c)})
-    ls, toks = F.col("_ls"), F.col("_toks")
-    return staged.withColumns(
-        {
+# Column-expression trees are immutable and resolve per-DataFrame, so the
+# metric/decision/staging trees are built ONCE per (python process,
+# content_col) and reused across every quality_filter call. Building them
+# costs ~0.4 s of py4j round trips (3k socket hops measured in
+# OPTIMIZATION_r07.md §qf) and the driver bench rebuilds the pipeline per
+# rep — this is query-CONSTRUCTION caching, never data caching: every run
+# still scans parquet and computes every row.
+_COLS_CACHE: dict = {}
+
+
+def _metric_columns(content_col: str) -> tuple[dict, dict]:
+    key = ("metrics", content_col)
+    if key not in _COLS_CACHE:
+        c = F.col(content_col)
+        staged = {"_ls": lines(c), "_toks": _ws_tokens(c), "_padded": _padded_lower(c)}
+        ls, toks = F.col("_ls"), F.col("_toks")
+        metrics = {
             "n_lines": F.size(ls).cast("int"),
             "max_line_len": F.array_max(F.transform(ls, F.length)).cast("int"),
             "avg_line_len": (
@@ -418,10 +429,29 @@ def with_quality_metrics(df: DataFrame, content_col: str = "content") -> DataFra
             "bullet_line_frac": bullet_line_frac(c, ls),
             "ellipsis_line_frac": ellipsis_line_frac(c, ls),
             "mean_word_len": mean_word_len(c, toks),
-            "stopword_hits": stopword_hits(c),
+            "stopword_hits": stopword_hits(c, F.col("_padded")),
             "alpha_word_frac": alpha_word_frac(c, toks),
         }
-    ).drop("_ls", "_toks")
+        _COLS_CACHE[key] = (staged, metrics)
+    return _COLS_CACHE[key]
+
+
+def with_quality_metrics(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Attach all metric columns via a two-stage projection: the line and
+    token arrays (and the stopword search buffer) are STAGED as real columns
+    first, and every array metric references the staged attribute.
+    CollapseProject refuses to merge projections when it would duplicate
+    non-cheap expressions, so the regex tokenize, the line split and the
+    lower+translate pad each run ONCE per row instead of once per metric
+    (measured 2× on the full pipeline: 4.8s → 2.4s at sf0.1; counting on
+    codegen common-subexpression elimination instead does NOT work here —
+    higher-order functions are codegen fallbacks)."""
+    staged, metrics = _metric_columns(content_col)
+    return (
+        df.withColumns(staged)
+        .withColumns(metrics)
+        .drop("_ls", "_toks", "_padded")
+    )
 
 
 def with_repetition_metrics(df: DataFrame, content_col: str = "content") -> DataFrame:
@@ -489,10 +519,17 @@ def drop_reason(thresholds: dict | None = None) -> Column:
 
 
 def with_keep_decision(df: DataFrame, thresholds: dict | None = None) -> DataFrame:
-    reason = drop_reason(thresholds)
-    return df.withColumn("drop_reason", reason).withColumn(
-        "keep", F.col("drop_reason").isNull()
+    # same construction-caching as _metric_columns (the CASE chain is ~40
+    # py4j hops); keyed on the threshold values so profile surgery still
+    # builds its own chain
+    key = (
+        "decision",
+        None if thresholds is None else tuple(sorted(thresholds.items())),
     )
+    if key not in _COLS_CACHE:
+        _COLS_CACHE[key] = (drop_reason(thresholds), F.col("drop_reason").isNull())
+    reason, keep = _COLS_CACHE[key]
+    return df.withColumn("drop_reason", reason).withColumn("keep", keep)
 
 
 # ---------------------------------------------------------------------------

@@ -39,6 +39,9 @@ def scrub(content: Column | str) -> Column:
     return c
 
 
+_SCRUB_COLS_CACHE: dict = {}
+
+
 def with_scrub(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Attach content_scrubbed / scrub_applied / sha256 columns.
 
@@ -47,15 +50,19 @@ def with_scrub(df: DataFrame, content_col: str = "content") -> DataFrame:
     triple both the expression tree (optimizer time — the plan is rebuilt per
     driver run) and, without codegen CSE, the per-row regex work.
     CollapseProject keeps the stages separate because merging would duplicate
-    a non-cheap expression."""
-    staged = df.withColumn("content_scrubbed", scrub(content_col))
-    return staged.withColumns(
-        {
-            "scrub_applied": F.col(content_col) != F.col("content_scrubbed"),
-            "content_sha256": F.sha2(F.col(content_col), 256),
-            "scrubbed_sha256": F.sha2(F.col("content_scrubbed"), 256),
-        }
-    )
+    a non-cheap expression. The Column trees are built once per process and
+    reused (construction caching — see quality._COLS_CACHE)."""
+    if content_col not in _SCRUB_COLS_CACHE:
+        _SCRUB_COLS_CACHE[content_col] = (
+            scrub(content_col),
+            {
+                "scrub_applied": F.col(content_col) != F.col("content_scrubbed"),
+                "content_sha256": F.sha2(F.col(content_col), 256),
+                "scrubbed_sha256": F.sha2(F.col("content_scrubbed"), 256),
+            },
+        )
+    scrubbed, derived = _SCRUB_COLS_CACHE[content_col]
+    return df.withColumn("content_scrubbed", scrubbed).withColumns(derived)
 
 
 def scrub_sql(content: str = "content") -> str:

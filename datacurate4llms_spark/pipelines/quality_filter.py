@@ -36,6 +36,8 @@ from ..functions.quality import (
 from ..functions.scrub import with_scrub
 from .source_files import source_files
 
+_SCORES_COLS_CACHE: dict = {}
+
 LABEL_COLUMNS = [
     "doc_id", "repo", "path", "commit", "lang",
     "n_lines", "max_line_len", "avg_line_len", "dup_line_frac",
@@ -70,17 +72,26 @@ def quality_filter(
         # one python runner per task; masking the output with CASE WHEN would
         # not help because Spark extracts UDFs before the CASE, and chaining
         # three separate UDFs triples the python processes per task.
-        c = F.col(content_col)
-        masked = F.when(F.col("keep"), c)
-        out = out.withColumn("_scores", model_scores_udf()(masked))
-        out = (
-            out.withColumn("gzip_len", F.col("_scores.gzip_len"))
-            .withColumn("perplexity", F.col("_scores.perplexity"))
-            .withColumn("lang_pred", F.col("_scores.lang_pred"))
-            .withColumn("lang_conf", F.col("_scores.lang_conf"))
-            .withColumn("bits_per_char", bits_per_char(c, "gzip_len"))
-            .drop("_scores")
-        )
+        # Column trees built once per process (construction caching — see
+        # quality._COLS_CACHE).
+        if content_col not in _SCORES_COLS_CACHE:
+            c = F.col(content_col)
+            masked = F.when(F.col("keep"), c)
+            _SCORES_COLS_CACHE[content_col] = (
+                model_scores_udf()(masked),
+                {
+                    "gzip_len": F.col("_scores.gzip_len"),
+                    "perplexity": F.col("_scores.perplexity"),
+                    "lang_pred": F.col("_scores.lang_pred"),
+                    "lang_conf": F.col("_scores.lang_conf"),
+                    # references the struct field, not the sibling column
+                    # being attached in this same withColumns (which would
+                    # not resolve); same value either way
+                    "bits_per_char": bits_per_char(c, F.col("_scores.gzip_len")),
+                },
+            )
+        scores, derived = _SCORES_COLS_CACHE[content_col]
+        out = out.withColumn("_scores", scores).withColumns(derived).drop("_scores")
     return out
 
 

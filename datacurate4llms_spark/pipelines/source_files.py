@@ -40,26 +40,44 @@ def source_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_files_from(spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet"))
 
 
+_DERIVED_COLS_CACHE: list = []
+
+
 def source_files_from(d: DataFrame) -> DataFrame:
     """Derivation over any documents-shaped frame (doc_id, text, lang, source).
 
     Kept separate from the scan so callers can repartition the cheap base
     rows BEFORE this projection — the derivation (md5s, repeats, CASEs)
     multiplies bytes ~2× and should run after the shuffle, spread across the
-    cluster, not inside a handful of scan tasks.
+    cluster, not inside a handful of scan tasks. The Column trees are built
+    once per process and reused (construction caching, ~0.25 s of py4j per
+    build otherwise — OPTIMIZATION_r07.md §qf).
     """
+    if _DERIVED_COLS_CACHE:
+        return d.select(*_DERIVED_COLS_CACHE)
     i = F.col("doc_id")
 
     repo_id = F.when(i % 3 == 0, F.lit(0)).otherwise(i % 40)
     repo = F.concat(F.lit("repo_"), F.lpad(repo_id.cast("string"), 2, "0"))
 
+    # FLAT when-chains (keys are mutually exclusive, so chain order is
+    # irrelevant and this equals the r1-r6 fold-over-otherwise form). The
+    # folded form nested each CASE inside the next's else branch; referencing
+    # it from `ext`/`path` then re-expanded it per branch, and together with
+    # the content modifiers below the derivation's expression tree grew
+    # ~2^5 copies of the base text — ~1 s of pure analysis+codegen per plan
+    # build at bench scale (measured, OPTIMIZATION_r07.md §qf). Same strings.
     lang_expr = F.col("lang")
-    code_lang = lang_expr
+    code_lang = None
     for k, v in LANG_MAP.items():
-        code_lang = F.when(lang_expr == k, F.lit(v)).otherwise(code_lang)
-    ext = code_lang
+        code_lang = (F if code_lang is None else code_lang).when(
+            lang_expr == k, F.lit(v)
+        )
+    code_lang = code_lang.otherwise(lang_expr)
+    ext = None
     for k, v in EXT_MAP.items():
-        ext = F.when(code_lang == k, F.lit(v)).otherwise(ext)
+        ext = (F if ext is None else ext).when(code_lang == k, F.lit(v))
+    ext = ext.otherwise(code_lang)
 
     path = F.concat(
         F.lit("src/"), F.col("source"), F.lit("/f_"), i.cast("string"), F.lit("."), ext
@@ -70,45 +88,51 @@ def source_files_from(d: DataFrame) -> DataFrame:
     )
 
     nl = F.lit("\n")
-    content = F.col("text")
-    content = F.when(
+    # Content as ONE concat of a base plus four conditional suffixes — the
+    # exact shape of the DuckDB twin below (`|| case when .. else '' end`),
+    # so the strings are byte-identical to the nested-CASE form while the
+    # expression tree stays linear (every modifier APPENDS; only the junk
+    # rule replaces the base).
+    base = F.when(
         i % MOD_JUNK == 0,
         F.concat(F.lit("$#@! %^&* ()[]{} "), F.repeat(F.lit("$#@!%^&* "), 30)),
-    ).otherwise(content)
-    content = F.when(
+    ).otherwise(F.col("text"))
+    email_sfx = F.when(
         i % MOD_EMAIL == 0,
         F.concat(
-            content, nl,
-            F.lit("contact: user"), i.cast("string"), F.lit("@example.com ip=10.0.0."),
-            (i % 256).cast("string"),
+            nl, F.lit("contact: user"), i.cast("string"),
+            F.lit("@example.com ip=10.0.0."), (i % 256).cast("string"),
         ),
-    ).otherwise(content)
-    content = F.when(
+    ).otherwise(F.lit(""))
+    boiler_sfx = F.when(
         i % MOD_BOILER == 0,
-        F.concat(content, F.repeat(F.concat(nl, F.lit("# auto-generated boilerplate")), 8)),
-    ).otherwise(content)
-    content = F.when(
-        i % MOD_LONGLINE == 0,
-        F.concat(content, nl, F.repeat(F.lit("x"), 400)),
-    ).otherwise(content)
-    content = F.when(
+        F.repeat(F.concat(nl, F.lit("# auto-generated boilerplate")), 8),
+    ).otherwise(F.lit(""))
+    long_sfx = F.when(
+        i % MOD_LONGLINE == 0, F.concat(nl, F.repeat(F.lit("x"), 400))
+    ).otherwise(F.lit(""))
+    secret_sfx = F.when(
         i % MOD_SECRET == 0,
         F.concat(
-            content, nl, F.lit('secret_key = "'),
+            nl, F.lit('secret_key = "'),
             F.md5(F.concat(F.lit("k"), i.cast("string"))),
             F.md5(F.concat(F.lit("l"), i.cast("string"))),
             F.lit('"'),
         ),
-    ).otherwise(content)
+    ).otherwise(F.lit(""))
+    content = F.concat(base, email_sfx, boiler_sfx, long_sfx, secret_sfx)
 
-    return d.select(
-        F.col("doc_id"),
-        repo.alias("repo"),
-        path.alias("path"),
-        commit.alias("commit"),
-        code_lang.alias("lang"),
-        content.alias("content"),
+    _DERIVED_COLS_CACHE.extend(
+        [
+            F.col("doc_id"),
+            repo.alias("repo"),
+            path.alias("path"),
+            commit.alias("commit"),
+            code_lang.alias("lang"),
+            content.alias("content"),
+        ]
     )
+    return d.select(*_DERIVED_COLS_CACHE)
 
 
 def source_files_sql() -> str:
