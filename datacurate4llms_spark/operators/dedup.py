@@ -91,7 +91,27 @@ def exact_dedup(
     policy via ``keep`` (:func:`_survivor_order`): 'first' (lowest id,
     default), 'longest' (degenerate here — identical content ties, so it
     falls back to lowest id), or a metric Column (e.g. a quality score that
-    varies across copies with different metadata)."""
+    varies across copies with different metadata).
+
+    The default keep-lowest-id policy plans as ``min_by(row, id)`` hash
+    aggregation rather than a row_number window (r7): identical survivors
+    (assuming non-null ids — the id contract), but the aggregate does
+    partial (map-side) combination, so a pathologically hot content value
+    (a billion identical boilerplate docs at 100 TB) collapses to one row
+    per map task BEFORE the exchange, where the window form funnels every
+    copy into a single partition and sorts it (AQE skew handling does not
+    split window keys). Metric ``keep`` policies retain the window (their
+    order key can be an arbitrary orderable Column, which min_by/max_by
+    cannot compose with the id tie-break in one pass)."""
+    if isinstance(keep, str) and keep == "first":
+        cols = df.columns
+        row = F.struct(*[F.col(c) for c in cols])
+        agg = df.groupBy(F.md5(F.col(content_col)).alias("_h")).agg(
+            F.min_by(row, F.col(id_col)).alias("_row")
+        )
+        return agg.select(
+            *[F.col("_row").getField(c).alias(c) for c in cols]
+        )
     w = Window.partitionBy(F.md5(F.col(content_col))).orderBy(
         *_survivor_order(keep, content_col, id_col)
     )

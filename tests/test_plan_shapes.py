@@ -532,3 +532,82 @@ def test_near_dedup_keep_metric_checkpoint_collapses_rescans(spark):
     assert sorted(r.doc_id for r in raw.collect()) == sorted(
         r.doc_id for r in ck.collect()
     )
+
+
+def test_funnel_stage_joins_are_unhinted(spark):
+    """ev_funnel_analysis (r7, VERDICT r6 #1): the per-user stage frames are
+    O(active users) at scale, so their joins must carry NO broadcast hint —
+    an explicit hint overrides the size threshold and OOMs executors at
+    100 TB. Only the three 1-row scalar COUNT frames may be hint-broadcast
+    (bounded by construction)."""
+    from datacurate4llms_spark import queries_registry as QR
+
+    df = QR.QUERIES["ev_funnel_analysis"](spark, SF_CORRECT)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in opt.splitlines():
+        if "Join Inner" in line:
+            assert "Hint" not in line, f"user-keyed stage join is hinted: {line}"
+    # the scalar-count cross joins stay broadcast (1-row frames)
+    assert opt.count("strategy=broadcast") == 2
+    phys = _plan(df)
+    assert "CartesianProduct" not in phys
+
+
+def test_pmi_margins_unhinted_and_support_prefiltered(spark):
+    """ts_pmi_collocations (r7, VERDICT r6 #2 + Next #5): the unigram margin
+    frames are vocab-cardinality — their joins must be un-hinted equi-joins,
+    each margin pre-filtered by a left_semi join against the support-≥5 term
+    set; only the 1-row N frame is hint-broadcast. Ranking must stay
+    TakeOrderedAndProject."""
+    from datacurate4llms_spark import queries_registry as QR
+
+    df = QR.QUERIES["ts_pmi_collocations"](spark, SF_CORRECT)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in opt.splitlines():
+        if "Join Inner" in line:
+            assert "Hint" not in line, f"margin join is hinted: {line}"
+    assert opt.count("Join LeftSemi") == 2, "margins must be support-prefiltered"
+    assert opt.count("strategy=broadcast") == 1  # the 1-row N frame only
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_value_anomalies_stats_broadcast_no_cartesian(spark):
+    """ev_value_anomalies (r7 audit): the per-(win, event_type) stats frame
+    is bounded (one row per window x type) and joins broadcast; the corpus
+    never cartesians."""
+    from datacurate4llms_spark import queries_registry as QR
+
+    phys = _plan(QR.QUERIES["ev_value_anomalies"](spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in phys
+    assert "SortMergeJoin" not in phys
+    assert "CartesianProduct" not in phys and "BroadcastNestedLoopJoin" not in phys
+
+
+def test_weighted_sample_is_shuffle_free_take_ordered(spark):
+    """sketch_weighted_sample (r7 audit): Efraimidis-Spirakis priorities are
+    a pure projection; the global top-k plans TakeOrderedAndProject with
+    ZERO exchanges — per-partition heaps, k rows to the driver merge."""
+    from datacurate4llms_spark import queries_registry as QR
+
+    phys = _plan(QR.QUERIES["sketch_weighted_sample"](spark, SF_CORRECT))
+    assert "TakeOrderedAndProject" in phys
+    assert "Exchange" not in phys
+
+
+def test_exact_dedup_default_is_partial_aggregate(spark):
+    """exact_dedup(keep='first') (r7): survivor-by-min-id must plan as a
+    min_by AGGREGATE with map-side partial combine (a hot identical-content
+    key collapses to one row per map task BEFORE the exchange), not a
+    row_number window (which funnels every copy of one content into a
+    single partition — unsplittable by AQE). min_by over a struct buffer
+    plans SortAggregate, not HashAggregate — the partial_min_by is the
+    property that matters."""
+    from datacurate4llms_spark.operators.dedup import exact_dedup
+
+    d = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").selectExpr(
+        "doc_id", "text as content"
+    )
+    phys = _plan(exact_dedup(d))
+    assert "Window" not in phys
+    assert "partial_min_by" in phys  # map-side combine before the exchange
+    assert phys.count("Exchange") == 1
