@@ -93,16 +93,22 @@ def exact_dedup(
     falls back to lowest id), or a metric Column (e.g. a quality score that
     varies across copies with different metadata).
 
-    The default keep-lowest-id policy plans as ``min_by(row, id)`` hash
+    The default keep-lowest-id policy plans as ``min_by(row, id)``
     aggregation rather than a row_number window (r7): identical survivors
-    (assuming non-null ids — the id contract), but the aggregate does
-    partial (map-side) combination, so a pathologically hot content value
-    (a billion identical boilerplate docs at 100 TB) collapses to one row
-    per map task BEFORE the exchange, where the window form funnels every
-    copy into a single partition and sorts it (AQE skew handling does not
-    split window keys). Metric ``keep`` policies retain the window (their
-    order key can be an arbitrary orderable Column, which min_by/max_by
-    cannot compose with the id tie-break in one pass)."""
+    (assuming non-null ids — the id contract) and equivalent shuffle
+    behavior — the window form was ALREADY map-side pruned (Spark's
+    WindowGroupLimit keeps one row per key per partition below the
+    exchange, visible in plans/r07/dedup_exact_before.txt), so this is NOT
+    a skew fix. The aggregate form guarantees that pruning by operator
+    semantics (partial_min_by) instead of relying on the optimizer
+    pattern-matching the ``row_number() ... == 1`` filter shape — a
+    refactor that breaks the rank-filter pattern silently loses the
+    pruning in the window form, and the pin
+    (test_exact_dedup_default_is_partial_aggregate) makes the guarantee
+    explicit. Measured neutral at bench scale (0.841 vs 0.849 s best-of).
+    Metric ``keep`` policies retain the window (their order key can be an
+    arbitrary orderable Column, which min_by/max_by cannot compose with
+    the id tie-break in one pass)."""
     if isinstance(keep, str) and keep == "first":
         cols = df.columns
         row = F.struct(*[F.col(c) for c in cols])

@@ -102,6 +102,11 @@ def broadcast_knn(
     numpy and emits only its local top-k per query — the shuffle carries
     |Q|·k·n_batches candidate rows into one final window. This is the
     reference's tiled GEMM (:65-74) with Spark partitions as the outer tile.
+    Corpus partitioning is GEMM-cost-adaptive (r7): partitions are lifted to
+    ``min(defaultParallelism, estimated GEMM flops / 5e8)`` using the
+    optimizer's size statistic, because every extra partition costs |Q|·k
+    candidate rows in the top-k exchange — a flat lift to the core count
+    pays that inflation even when the whole GEMM is sub-second.
 
     ``max_query_cells`` guards the driver collect: |Q|·dim above the bound
     raises instead of silently OOMing the driver (misuse → error, not crash).
@@ -201,11 +206,32 @@ def broadcast_knn(
             )
 
     src = corpus.select(corpus_id, emb_col)
-    # a single tiny input file would serialize the GEMM onto one core —
-    # guarantee enough partitions for the cluster before the Python stage
+    # A single tiny input file would serialize the GEMM onto one core, so
+    # lift the corpus partition count — but only as far as the GEMM needs
+    # (guide-§1.3 napkin math, r7): every corpus partition emits |Q|·k
+    # candidate rows into the final top-k exchange, so a flat lift to
+    # defaultParallelism inflates the exchange 8× at small corpus sizes
+    # where the whole GEMM is one task's work (measured: 640k→80k candidate
+    # rows, ~0.35 s off the bench query). Estimated GEMM cost = approx rows
+    # (from the optimizer's sizeInBytes statistic — driver-side, no job)
+    # × |Q| × dim; one partition per ~5e8 flops ≈ 0.25-0.5 s of numpy per
+    # task, clamped to the cluster's parallelism. Frames without usable
+    # stats estimate huge → target = defaultParallelism = the old floor.
     parallelism = spark.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < parallelism:
-        src = src.repartition(parallelism)
+    try:
+        size_bytes = int(
+            str(src._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        size_bytes = None
+    if size_bytes is None:
+        target = parallelism
+    else:
+        approx_rows = max(1, size_bytes // (4 * dim + 12))
+        gemm_flops = approx_rows * len(q_pd) * dim
+        target = int(min(parallelism, max(1, gemm_flops // 500_000_000)))
+    if target > 1 and src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
     candidates = src.mapInPandas(
         part, schema="query_id bigint, neighbour_id bigint, sim double"
     )

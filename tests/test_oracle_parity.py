@@ -6,6 +6,8 @@ match.
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -13,6 +15,15 @@ import pytest
 from conftest import SF_CORRECT
 
 import __spark_entry__ as entrymod
+
+# Per-query wall budget for the Spark side at sf0.01 (VERDICT r6 Next #6):
+# the whole registry runs inside the driver's correctness gate, so one
+# accidentally-quadratic query (an unbounded edge table, a cartesian) must
+# fail HERE, not exhaust the driver's patience. The budget is deliberately
+# generous — this sandbox shows whole-machine stall windows up to ~30 s
+# (PLANS.md §4.7), and a healthy registry query runs in well under 10 s —
+# so only a structural blowup (or two stalls back to back) can trip it.
+QUERY_BUDGET_S = 90.0
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -35,7 +46,13 @@ ORACLE_KEYS = sorted(entrymod.oracle_sql().keys())
 @pytest.mark.parametrize("name", ORACLE_KEYS)
 def test_query_matches_duckdb_oracle(spark, duck, name):
     q = entrymod.queries()[name]
+    t0 = time.perf_counter()
     spark_pd = q(spark, SF_CORRECT).toPandas()
+    spark_s = time.perf_counter() - t0
+    assert spark_s < QUERY_BUDGET_S, (
+        f"{name}: spark side took {spark_s:.1f}s at sf0.01 — past the "
+        f"{QUERY_BUDGET_S:.0f}s registry budget (quadratic blowup?)"
+    )
     duck_pd = duck.execute(entrymod.oracle_sql()[name]).df()
 
     assert len(spark_pd) == len(duck_pd), f"{name}: row count {len(spark_pd)} vs {len(duck_pd)}"

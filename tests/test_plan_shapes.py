@@ -596,12 +596,13 @@ def test_weighted_sample_is_shuffle_free_take_ordered(spark):
 
 def test_exact_dedup_default_is_partial_aggregate(spark):
     """exact_dedup(keep='first') (r7): survivor-by-min-id must plan as a
-    min_by AGGREGATE with map-side partial combine (a hot identical-content
-    key collapses to one row per map task BEFORE the exchange), not a
-    row_number window (which funnels every copy of one content into a
-    single partition — unsplittable by AQE). min_by over a struct buffer
-    plans SortAggregate, not HashAggregate — the partial_min_by is the
-    property that matters."""
+    min_by AGGREGATE with map-side partial combine — a hot identical-
+    content key collapses to one row per map task BEFORE the exchange by
+    the aggregate's own semantics. (The old window form achieved the same
+    pruning via the optimizer's WindowGroupLimit rank-filter pattern
+    match; this pin makes the guarantee structural instead of
+    pattern-dependent.) min_by over a struct buffer plans SortAggregate,
+    not HashAggregate — the partial_min_by is the property that matters."""
     from datacurate4llms_spark.operators.dedup import exact_dedup
 
     d = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").selectExpr(
