@@ -93,31 +93,18 @@ def exact_dedup(
     falls back to lowest id), or a metric Column (e.g. a quality score that
     varies across copies with different metadata).
 
-    The default keep-lowest-id policy plans as ``min_by(row, id)``
-    aggregation rather than a row_number window (r7): identical survivors
-    (assuming non-null ids — the id contract) and equivalent shuffle
-    behavior — the window form was ALREADY map-side pruned (Spark's
-    WindowGroupLimit keeps one row per key per partition below the
-    exchange, visible in plans/r07/dedup_exact_before.txt), so this is NOT
-    a skew fix. The aggregate form guarantees that pruning by operator
-    semantics (partial_min_by) instead of relying on the optimizer
-    pattern-matching the ``row_number() ... == 1`` filter shape — a
-    refactor that breaks the rank-filter pattern silently loses the
-    pruning in the window form, and the pin
-    (test_exact_dedup_default_is_partial_aggregate) makes the guarantee
-    explicit. Measured neutral at bench scale (0.841 vs 0.849 s best-of).
-    Metric ``keep`` policies retain the window (their order key can be an
-    arbitrary orderable Column, which min_by/max_by cannot compose with
-    the id tie-break in one pass)."""
-    if isinstance(keep, str) and keep == "first":
-        cols = df.columns
-        row = F.struct(*[F.col(c) for c in cols])
-        agg = df.groupBy(F.md5(F.col(content_col)).alias("_h")).agg(
-            F.min_by(row, F.col(id_col)).alias("_row")
-        )
-        return agg.select(
-            *[F.col("_row").getField(c).alias(c) for c in cols]
-        )
+    Plan shape (r7, measured): the ``row_number()==1`` filter triggers
+    Spark's WindowGroupLimit — one row per md5 per partition is kept BELOW
+    the exchange (map-side pruning, pinned in
+    test_exact_dedup_window_is_map_side_pruned), so a hot identical-content
+    key collapses per map task before it ever concentrates in one
+    partition. An r7 experiment replaced the window with
+    ``min_by(struct(row), id)`` aggregation (partial_min_by gives the same
+    map-side pruning by aggregate semantics); it was a wash at 20×
+    duplication but **1.5-2× slower at 1600× duplication** (interleaved
+    A/B at 8M rows, local[8]: window 3.5-4.1 s warm vs min_by 5.6-9.2 s —
+    SortAggregate maintains struct buffers where WindowGroupLimit streams
+    the sorted run), so the window form stays."""
     w = Window.partitionBy(F.md5(F.col(content_col))).orderBy(
         *_survivor_order(keep, content_col, id_col)
     )

@@ -40,7 +40,7 @@ def source_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_files_from(spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet"))
 
 
-_DERIVED_COLS_CACHE: list = []
+_DERIVED_COLS_CACHE: list | None = None
 
 
 def source_files_from(d: DataFrame) -> DataFrame:
@@ -53,7 +53,8 @@ def source_files_from(d: DataFrame) -> DataFrame:
     once per process and reused (construction caching, ~0.25 s of py4j per
     build otherwise — OPTIMIZATION_r07.md §qf).
     """
-    if _DERIVED_COLS_CACHE:
+    global _DERIVED_COLS_CACHE
+    if _DERIVED_COLS_CACHE is not None:
         return d.select(*_DERIVED_COLS_CACHE)
     i = F.col("doc_id")
 
@@ -122,17 +123,18 @@ def source_files_from(d: DataFrame) -> DataFrame:
     ).otherwise(F.lit(""))
     content = F.concat(base, email_sfx, boiler_sfx, long_sfx, secret_sfx)
 
-    _DERIVED_COLS_CACHE.extend(
-        [
-            F.col("doc_id"),
-            repo.alias("repo"),
-            path.alias("path"),
-            commit.alias("commit"),
-            code_lang.alias("lang"),
-            content.alias("content"),
-        ]
-    )
-    return d.select(*_DERIVED_COLS_CACHE)
+    cols = [
+        F.col("doc_id"),
+        repo.alias("repo"),
+        path.alias("path"),
+        commit.alias("commit"),
+        code_lang.alias("lang"),
+        content.alias("content"),
+    ]
+    # plain assignment (atomic) — a concurrent first call at worst builds
+    # its own copy and one assignment wins
+    _DERIVED_COLS_CACHE = cols
+    return d.select(*cols)
 
 
 def source_files_sql() -> str:

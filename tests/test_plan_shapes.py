@@ -594,21 +594,24 @@ def test_weighted_sample_is_shuffle_free_take_ordered(spark):
     assert "Exchange" not in phys
 
 
-def test_exact_dedup_default_is_partial_aggregate(spark):
-    """exact_dedup(keep='first') (r7): survivor-by-min-id must plan as a
-    min_by AGGREGATE with map-side partial combine — a hot identical-
-    content key collapses to one row per map task BEFORE the exchange by
-    the aggregate's own semantics. (The old window form achieved the same
-    pruning via the optimizer's WindowGroupLimit rank-filter pattern
-    match; this pin makes the guarantee structural instead of
-    pattern-dependent.) min_by over a struct buffer plans SortAggregate,
-    not HashAggregate — the partial_min_by is the property that matters."""
+def test_exact_dedup_window_is_map_side_pruned(spark):
+    """exact_dedup's row_number()==1 shape must keep triggering Spark's
+    WindowGroupLimit BELOW the exchange — one row per md5 per map
+    partition, so a hot identical-content key collapses before the shuffle.
+    This pruning is an optimizer PATTERN MATCH on the rank-filter shape; a
+    refactor that breaks the pattern (filter moved, rank kept in output
+    semantics changed) silently re-inflates the shuffle to every copy.
+    (An r7 experiment replaced the window with min_by(struct,id)
+    aggregation — same pruning by aggregate semantics — but measured
+    1.5-2× slower at 1600× duplication; the window form is the keeper and
+    this pin guards its load-bearing optimizer behavior.)"""
     from datacurate4llms_spark.operators.dedup import exact_dedup
 
     d = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").selectExpr(
         "doc_id", "text as content"
     )
     phys = _plan(exact_dedup(d))
-    assert "Window" not in phys
-    assert "partial_min_by" in phys  # map-side combine before the exchange
-    assert phys.count("Exchange") == 1
+    # partial WindowGroupLimit below the exchange AND final above it
+    assert phys.count("WindowGroupLimit") == 2
+    before_exchange = phys.split("Exchange hashpartitioning", 1)[1]
+    assert "WindowGroupLimit" in before_exchange  # the map-side (partial) one
