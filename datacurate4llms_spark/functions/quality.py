@@ -103,9 +103,15 @@ def max_line_len(content: Column | str) -> Column:
     return F.array_max(F.transform(lines(content), F.length)).cast("int")
 
 
-def avg_line_len(content: Column | str) -> Column:
-    ls = lines(content)
-    total = F.aggregate(ls, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double"))
+def avg_line_len(content: Column | str, ls: Column | None = None) -> Column:
+    """Mean line length. Σ line lengths == length(content) − (n_lines − 1)
+    (the split removes exactly one '\\n' per boundary), so the O(lines)
+    fold is O(1) arithmetic (r7) — bit-identical: both sides are exact
+    integers in doubles below 2^53, verified vs the fold on every corpus +
+    adversarial edges."""
+    c = _c(content)
+    ls = ls if ls is not None else lines(c)
+    total = (F.length(c) - (F.size(ls) - 1)).cast("double")
     return total / F.size(ls).cast("double")
 
 
@@ -276,8 +282,31 @@ def alnum_ratio(content: Column | str) -> Column:
     return (F.length(c) - non_alnum).cast("double") / F.length(c).cast("double")
 
 
-def word_count(content: Column | str) -> Column:
-    return F.size(F.split(F.trim(_c(content)), WS_SPLIT_RE)).cast("int")
+_WS_NOSPACE = ["\t", "\n", "\x0b", "\x0c", "\r"]
+
+
+def word_count(content: Column | str, toks: Column | None = None) -> Column:
+    """``size(split(trim(c), WS))`` — tokens of the space-trimmed text,
+    INCLUDING the leading/trailing empty-string artifacts java split keeps
+    when the trimmed text borders on non-space whitespace (trim strips
+    spaces only), and 1 for empty/all-space docs (split('') = ['']).
+
+    Pass ``toks`` (the staged :func:`_ws_tokens` column) to skip this
+    metric's own regex split (r7): count = non-empty tokens + one artifact
+    per non-space-whitespace edge of the trimmed text — equivalence
+    verified vs the split form on every corpus + adversarial edge strings
+    (single '\\t' counts both edges = 2, exactly like java split)."""
+    c = _c(content)
+    if toks is None:
+        return F.size(F.split(F.trim(c), WS_SPLIT_RE)).cast("int")
+    t = F.trim(c)
+    lead = F.substring(t, 1, 1).isin(*_WS_NOSPACE).cast("int")
+    trail = F.substring(t, -1, 1).isin(*_WS_NOSPACE).cast("int")
+    return (
+        F.when(t == "", F.lit(1))
+        .otherwise(F.size(toks) + lead + trail)
+        .cast("int")
+    )
 
 
 def langid_score(content: Column | str) -> Column:
@@ -414,16 +443,13 @@ def _metric_columns(content_col: str) -> tuple[dict, dict]:
         metrics = {
             "n_lines": F.size(ls).cast("int"),
             "max_line_len": F.array_max(F.transform(ls, F.length)).cast("int"),
-            "avg_line_len": (
-                F.aggregate(ls, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double"))
-                / F.size(ls).cast("double")
-            ),
+            "avg_line_len": avg_line_len(c, ls),
             "dup_line_frac": (
                 (F.size(ls) - F.size(F.array_distinct(ls))).cast("double")
                 / F.size(ls).cast("double")
             ),
             "alnum_ratio": alnum_ratio(c),
-            "word_count": word_count(c),
+            "word_count": word_count(c, toks),
             "langid_score": langid_score(c),
             "symbol_word_ratio": symbol_word_ratio(c, toks),
             "bullet_line_frac": bullet_line_frac(c, ls),
