@@ -34,8 +34,22 @@ SCRUB_RULES: list[tuple[str, str, str]] = [
 
 def scrub(content: Column | str) -> Column:
     c = F.col(content) if isinstance(content, str) else content
-    for _name, pattern, repl in SCRUB_RULES:
-        c = F.regexp_replace(c, pattern, repl)
+    for i, (name, pattern, repl) in enumerate(SCRUB_RULES):
+        if name == "email" and i == 0:
+            # Result-identical gate (r7): the email pattern cannot match
+            # without '@', but its leading char class matches at almost
+            # every position before failing there, making it the most
+            # expensive rule by far on NON-matching rows (measured: the
+            # full chain costs ~0.30 s over 100k files ungated vs ~0.03 s
+            # with this one gate — contains() is a plain substring scan).
+            # Gated only at position 0, where the input is a cheap
+            # attribute/leaf — a mid-chain gate would triple-reference the
+            # whole upstream regex chain (when-condition + both branches).
+            c = F.when(
+                F.contains(c, F.lit("@")), F.regexp_replace(c, pattern, repl)
+            ).otherwise(c)
+        else:
+            c = F.regexp_replace(c, pattern, repl)
     return c
 
 
