@@ -144,11 +144,18 @@ def select_subset(
     absolute: int | None = None,
     seed: int = 42,
     max_fold_rows: int | None = 50_000,
+    known_total: int | None = None,
 ) -> DataFrame:
     """End-to-end selection (the §7.1 flagship slice, minus ingest/encode):
     folds → per-fold greedy → global top-k → semi-join materialization.
+
+    ``known_total`` (r7, the broadcast_knn ``known_dim`` precedent): the
+    corpus row count, when the caller already knows it exactly (e.g. from
+    parquet footer metadata — see selection_pipeline), skips the count job
+    here. It must equal ``df.count()`` — k is derived from it, so a wrong
+    value changes the selection size.
     """
-    total = df.count()
+    total = known_total if known_total is not None else df.count()
     if percent is not None:
         k = max(1, int(percent / 100.0 * total))  # :146-152 int() truncation
     else:

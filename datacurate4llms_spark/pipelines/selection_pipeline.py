@@ -25,6 +25,27 @@ from ..functions.encoders import embed_dataframe
 from ..operators.selection import select_subset
 
 
+def _parquet_num_rows(path: str) -> int | None:
+    """Exact row count from parquet footer metadata — a driver-side footer
+    read (~ms), replacing a full count job for the k = ⌊pct·total⌋ literal
+    (r7). Parquet footers carry the exact count, so this equals
+    ``df.count()`` by format contract; returns None (→ caller counts) for
+    any layout this simple reader does not understand."""
+    import glob
+
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            parts = glob.glob(os.path.join(path, "*.parquet"))
+            if not parts:
+                return None
+            return sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
 def run_selection(
     spark: SparkSession,
     sf_dir: str,
@@ -35,13 +56,15 @@ def run_selection(
     seed: int = 42,
 ) -> DataFrame:
     """documents.parquet → representative subset with (fold, pick_order, gain)."""
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    path = os.path.join(sf_dir, "documents.parquet")
+    docs = spark.read.parquet(path)
     # P1 simple template "{{ text }}" — identity projection over the text col.
     keyed = docs.select("doc_id", F.col("text"))
     embedded = embed_dataframe(keyed, "text", "embedding", dim=dim)
     subset = select_subset(
         embedded, id_col="doc_id", emb_col="embedding",
         num_folds=num_folds, percent=percent, seed=seed,
+        known_total=_parquet_num_rows(path),
     )
     return (
         subset.join(docs.select("doc_id", "lang", "source", "n_chars"), "doc_id")
