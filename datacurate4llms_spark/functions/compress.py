@@ -173,7 +173,10 @@ def _lang_profiles() -> dict[str, np.ndarray]:
 def _langid_from_seq(seq: np.ndarray) -> tuple[str, float]:
     profiles = _lang_profiles()
     tg = _trigram_counts_from_seq(seq)
-    if tg.size == 0 or not tg.any():
+    # size==0 iff len(seq)<3; a non-empty bincount of >=1 trigram code always
+    # has a nonzero entry, so the old `not tg.any()` arm (a 19683-element
+    # scan per doc) was unreachable — removed in r7, behavior identical
+    if tg.size == 0:
         return ("unk", 0.0)
     tg = tg.astype(np.float64)
     tg /= np.linalg.norm(tg)
